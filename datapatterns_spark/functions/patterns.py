@@ -1,0 +1,50 @@
+"""Text-pattern palette and value coercion expressions.
+
+Reimplements the reference's pattern kernels as pure built-in Spark
+expressions (JVM-side, whole-stage-codegen) instead of per-row UDFs:
+
+* ``_MapAllStr`` / ``_MapAllUni`` / ``_MapAllUTF8``
+  (/root/reference/Profile.ecl:603-643): A-Z -> 'A', a-z -> 'a',
+  1-9 -> '9' with '0' kept literal until the final fix-up
+  (Profile.ecl:1306 replaces '0' with '9' for the pattern stats while
+  the best-type regexes still see the literal '0').  Spark strings are
+  UTF-8, so we use the Unicode property classes of the UTF8/UNICODE
+  kernels for every string column.
+* ``IsUTF8`` (Profile.ecl:540-599): "does this value really contain
+  non-ASCII" — expressed as a regex test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Digits 1-9 map to '9'; '0' stays until finish_pattern().
+_DIGITS_FROM = "123456789"
+_DIGITS_TO = "999999999"
+
+# Unicode uppercase (incl. titlecase handled by Lu per the reference's
+# first pass) and lowercase-ish letter classes (Profile.ecl:626-643).
+_UPPER_RE = r"\p{Lu}"
+_LOWER_RE = r"[\p{Ll}\p{Lt}\p{Lm}\p{Lo}]"
+
+NON_ASCII_RE = "[^\\x00-\\x7F]"
+
+
+def map_pattern(col: Column) -> Column:
+    """Map a string column into the pattern palette (keeps '0')."""
+    out = F.regexp_replace(col, _UPPER_RE, "A")
+    out = F.regexp_replace(out, _LOWER_RE, "a")
+    return F.translate(out, _DIGITS_FROM, _DIGITS_TO)
+
+
+def finish_pattern(col: Column) -> Column:
+    """Final '0' -> '9' fix-up applied for pattern statistics
+    (Profile.ecl:1300-1309)."""
+    return F.replace(col, F.lit("0"), F.lit("9"))
+
+
+def is_non_ascii(col: Column) -> Column:
+    """True when the value contains a non-ASCII character — the Spark
+    stand-in for the reference's IsUTF8 multi-byte scan."""
+    return col.rlike(NON_ASCII_RE)

@@ -1,0 +1,783 @@
+"""Profile() — per-column statistics engine.
+
+Spark-first reimplementation of the reference's ``Profile`` macro
+(/root/reference/Profile.ecl:189-1746).  The reference expands one ECL
+dataflow per column; here a single DataFrame plan profiles every
+column in one scan:
+
+1. **melt**: one ``inline(array(struct(...)))`` projection emits
+   ``(attribute, value, len)`` per column per row — all JVM-side
+   expressions, no Python in the hot path;
+2. **histogram**: ``groupBy(attribute, value, len).count()`` reduces
+   the data to distinct-value counts *before* any further statistics —
+   the reference's own skew/temp-storage trick (Profile.ecl:719-728)
+   — with Spark's partial (map-side) aggregation bounding the shuffle;
+3. every downstream statistic (fill, lengths, cardinality, modes,
+   cardinality breakdown, text patterns, best-type inference, numeric
+   stats incl. the reference's exact quartile position arithmetic) is
+   computed from the tiny weighted histogram;
+4. correlations run as one ``agg`` of ``corr(x, y)`` over all numeric
+   pairs on the source frame (Profile.ecl:1213-1245).
+
+``mode="approx"`` swaps exact cardinality/quartiles for mergeable
+sketches (HLL++ via ``approx_count_distinct``, ``percentile_approx``)
+and computes modes/breakdowns only for attributes whose estimated
+cardinality is low — the 10^12-row path (documented deviation; the
+reference is always exact).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import besttype
+from ..functions.patterns import finish_pattern, is_non_ascii, map_pattern
+from ..plans.schema_walk import (
+    KIND_ARRAY,
+    KIND_BINARY,
+    KIND_BOOLEAN,
+    KIND_NUMERIC,
+    KIND_STRING,
+    AttrInfo,
+    walk_schema,
+)
+
+ALL_FEATURES = (
+    "fill_rate",
+    "best_ecl_types",
+    "cardinality",
+    "cardinality_breakdown",
+    "modes",
+    "lengths",
+    "patterns",
+    "min_max",
+    "mean",
+    "std_dev",
+    "quartiles",
+    "correlations",
+)
+
+MAX_MODES = 5  # Profile.ecl:233
+
+_MODE_STRUCT = "struct<value:string,rec_count:bigint>"
+_PATTERN_STRUCT = "struct<data_pattern:string,rec_count:bigint,example:string>"
+_CORR_STRUCT = "struct<attribute:string,corr:double>"
+
+
+@dataclass
+class ProfileParams:
+    field_list: list[str] | None = None
+    max_patterns: int = 100  # Profile.ecl:192
+    max_pattern_len: int = 100  # Profile.ecl:193 (min 33, Profile.ecl:519-520)
+    features: tuple[str, ...] = ALL_FEATURES
+    sample_size: int = 100  # percent
+    lcb_limit: int = 64  # clamped 0..1000, Profile.ecl:229
+    allow_zero: bool = False  # zero numerics are nil unless set
+    mode: str = "exact"  # "exact" | "approx"
+    approx_mode_card_limit: int = 10_000  # approx: modes only for low-card attrs
+    extras: dict = field(default_factory=dict)
+
+    @property
+    def pattern_len(self) -> int:
+        return max(33, int(self.max_pattern_len))
+
+    def has(self, feat: str) -> bool:
+        return feat in self.features
+
+
+def _value_expr(a: AttrInfo) -> Column:
+    c = F.col(a.name)
+    if a.kind == KIND_STRING:
+        return F.coalesce(F.trim(c), F.lit(""))
+    if a.kind == KIND_BOOLEAN:
+        return F.when(c, F.lit("true")).when(~c, F.lit("false")).otherwise(F.lit("false"))
+    if a.kind == KIND_ARRAY:
+        return F.when(
+            c.isNull(), F.lit("")
+        ).otherwise(F.concat_ws(", ", F.transform(c, lambda e: e.cast("string"))))
+    if a.kind == KIND_BINARY:
+        return F.coalesce(c.cast("string"), F.lit(""))
+    if a.kind == KIND_NUMERIC:
+        return F.coalesce(c.cast("string"), F.lit(""))
+    # temporal and anything else: profiled via trimmed string form
+    return F.coalesce(F.trim(c.cast("string")), F.lit(""))
+
+
+def _len_expr(a: AttrInfo) -> Column:
+    c = F.col(a.name)
+    if a.kind == KIND_ARRAY:
+        return F.coalesce(F.size(c), F.lit(0))  # element count, Profile.ecl:819-820
+    if a.kind == KIND_BINARY:
+        return F.coalesce(F.length(c), F.lit(0))  # byte length
+    if a.kind == KIND_BOOLEAN:
+        return F.lit(1)
+    return F.length(_value_expr(a))
+
+
+def melt(df: DataFrame, attrs: list[AttrInfo]) -> DataFrame:
+    """One scan -> (attribute, value, len) rows for every column."""
+    structs = [
+        F.struct(
+            F.lit(a.name).alias("attribute"),
+            _value_expr(a).alias("value"),
+            _len_expr(a).cast("int").alias("len"),
+        )
+        for a in attrs
+    ]
+    return df.select(F.inline(F.array(*structs)))
+
+
+def _filled_expr(attrs: list[AttrInfo], allow_zero: bool) -> Column:
+    """Per-attribute filled semantics (Profile.ecl:830-844), applied
+    post-histogram so the test runs once per distinct value."""
+    numeric = [a.name for a in attrs if a.kind == KIND_NUMERIC]
+    booleans = [a.name for a in attrs if a.kind == KIND_BOOLEAN]
+    att, val, ln = F.col("attribute"), F.col("value"), F.col("len")
+    expr = F.when(F.lit(False), F.lit(False))
+    if booleans:
+        expr = expr.when(att.isin(booleans), F.lit(True))
+    if numeric:
+        numeric_filled = (
+            (val != "")
+            if allow_zero
+            else ((val != "") & (val.cast("double") != 0))
+        )
+        expr = expr.when(att.isin(numeric), numeric_filled)
+    return expr.otherwise(ln > 0)
+
+
+def _pattern_expr(attrs: list[AttrInfo], plen: int) -> Column:
+    """Per-attribute pattern mapping (Profile.ecl:771-816): numerics
+    map their full string form, booleans are 'B', everything else maps
+    the trimmed value truncated to the pattern length."""
+    numeric = [a.name for a in attrs if a.kind == KIND_NUMERIC]
+    booleans = [a.name for a in attrs if a.kind == KIND_BOOLEAN]
+    att, val = F.col("attribute"), F.col("value")
+    expr = F.when(F.lit(False), F.lit(""))
+    if booleans:
+        expr = expr.when(att.isin(booleans), F.lit("B"))
+    if numeric:
+        expr = expr.when(att.isin(numeric), map_pattern(val))
+    return expr.otherwise(map_pattern(F.substring(val, 1, plen)))
+
+
+def _deterministic_sample(df: DataFrame, pct: int) -> DataFrame:
+    """Deterministic ~pct% sample — the Spark analogue of the
+    reference's systematic ENTH sample (Profile.ecl:283-288)."""
+    pct = max(1, min(100, int(pct)))
+    if pct >= 100:
+        return df
+    h = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(100))
+    return df.filter(h < pct)
+
+
+def _attr_meta_df(df: DataFrame, attrs: list[AttrInfo], sort_prefix: str, name_prefix: str):
+    spark = df.sparkSession
+    rows = [
+        (
+            name_prefix + a.name,
+            a.name,
+            a.given_type,
+            a.kind,
+            f"{sort_prefix}{a.ordinal:05d}",
+        )
+        for a in attrs
+    ]
+    schema = "attribute string, _local_name string, given_attribute_type string, _kind string, sort_value string"
+    return spark.createDataFrame(rows, schema)
+
+
+def _empty_array(struct_type: str) -> Column:
+    return F.expr(f"cast(array() as array<{struct_type}>)")
+
+
+def profile(
+    df: DataFrame,
+    field_list: list[str] | str | None = None,
+    max_patterns: int = 100,
+    max_pattern_len: int = 100,
+    features: tuple[str, ...] | str = ALL_FEATURES,
+    sample_size: int = 100,
+    lcb_limit: int = 64,
+    allow_zero: bool = False,
+    mode: str = "exact",
+) -> DataFrame:
+    """Profile every (selected) column of ``df``.
+
+    Returns one row per attribute in schema order, matching the
+    reference's ``FinalOutputLayout`` (Profile.ecl:445-496): child
+    ArrayType(StructType) columns are exploded and profiled
+    independently with dotted names, appended after the top-level
+    attributes (Profile.ecl:1672-1739).
+    """
+    if isinstance(field_list, str):
+        field_list = [f for f in field_list.replace(" ", "").split(",") if f] or None
+    if isinstance(features, str):
+        features = tuple(f for f in features.replace(" ", "").split(",") if f)
+    params = ProfileParams(
+        field_list=field_list,
+        max_patterns=max_patterns,
+        max_pattern_len=max_pattern_len,
+        features=tuple(features),
+        sample_size=sample_size,
+        lcb_limit=min(max(lcb_limit, 0), 1000),
+        allow_zero=allow_zero,
+        mode=mode,
+    )
+    attrs, children = walk_schema(df.schema, params.field_list)
+    sampled = _deterministic_sample(df, params.sample_size)
+
+    results = []
+    if attrs:
+        results.append(_profile_flat(sampled, attrs, params, "", ""))
+    for child in children:
+        child_fields = None
+        if params.field_list:
+            prefix = child.name.lower() + "."
+            child_fields = [
+                f[len(prefix):] for f in params.field_list if f.lower().startswith(prefix)
+            ] or None
+        exploded = sampled.select(F.explode(F.col(child.name)).alias("_row")).select("_row.*")
+        child_attrs, _ = walk_schema(exploded.schema, child_fields)
+        if child_attrs:
+            results.append(
+                _profile_flat(
+                    exploded,
+                    child_attrs,
+                    params,
+                    name_prefix=f"{child.name}.",
+                    sort_prefix=f"{child.ordinal:05d}.",
+                )
+            )
+    if not results:
+        raise ValueError("no profilable attributes found")
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("sort_value").drop("sort_value", "_local_name", "_kind")
+
+
+def _profile_flat(
+    df: DataFrame,
+    attrs: list[AttrInfo],
+    params: ProfileParams,
+    name_prefix: str,
+    sort_prefix: str,
+) -> DataFrame:
+    """Profile a flat (scalar-attribute) frame — the analogue of one
+    ``_Inner_Profile`` expansion (Profile.ecl:508-1665)."""
+    plen = params.pattern_len
+    meta = _attr_meta_df(df, attrs, sort_prefix, name_prefix)
+
+    string_attrs = [a.name for a in attrs if a.kind == KIND_STRING]
+    as_is_attrs = [
+        a.name for a in attrs if a.kind in (KIND_NUMERIC, KIND_BOOLEAN, KIND_ARRAY)
+    ]
+
+    melted = melt(df, attrs)
+
+    # --- weighted distinct-value histogram (A1, Profile.ecl:771-866) ---
+    hist = (
+        melted.groupBy("attribute", "value", "len")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("filled", _filled_expr(attrs, params.allow_zero))
+        .withColumn("pattern", _pattern_expr(attrs, plen))
+    )
+    att = F.col("attribute")
+    hist = hist.withColumn(
+        "type_flag",
+        F.when(
+            att.isin(as_is_attrs) if as_is_attrs else F.lit(False),
+            F.lit(besttype.AS_IS),
+        ).otherwise(besttype.type_flag(F.col("pattern"), treat_as_is=False)),
+    ).withColumn(
+        "is_uni",
+        (
+            att.isin(string_attrs) if string_attrs else F.lit(False)
+        ) & is_non_ascii(F.col("value")),
+    )
+
+    filled = F.col("filled")
+    w_cnt = F.when(filled, F.col("cnt"))
+
+    # --- per-attribute summary: fill, lengths, cardinality, type fold ---
+    agg_exprs = [
+        F.sum("cnt").alias("rec_count"),
+        F.coalesce(F.sum(w_cnt), F.lit(0)).alias("fill_count"),
+        F.coalesce(F.min(F.when(filled, F.col("len"))), F.lit(0)).alias("min_length"),
+        F.coalesce(F.max(F.when(filled, F.col("len"))), F.lit(0)).alias("max_length"),
+        F.coalesce(
+            F.floor(
+                F.sum(F.when(filled, F.col("len") * F.col("cnt")))
+                / F.sum(w_cnt)
+            ),
+            F.lit(0),
+        ).alias("ave_length"),
+        # AND-fold of per-value type flags (Profile.ecl:967-992)
+        F.coalesce(F.bit_and(F.when(filled, F.col("type_flag"))), F.lit(0)).alias("type_flags"),
+        F.coalesce(
+            F.min(F.when(filled & (F.col("len") > 0), F.col("len"))), F.lit(0)
+        ).alias("min_len_nonzero"),
+        F.coalesce(F.max(F.when(filled, F.col("is_uni").cast("int"))), F.lit(0)).alias("_uni"),
+    ]
+    if params.mode == "exact":
+        agg_exprs.append(
+            F.count_distinct(F.when(filled, F.col("value"))).alias("cardinality")
+        )
+    else:
+        agg_exprs.append(
+            F.approx_count_distinct(F.when(filled, F.col("value"))).alias("cardinality")
+        )
+    summary = hist.groupBy("attribute").agg(*agg_exprs)
+
+    # meta.attribute carries the (possibly child-dataset-prefixed) full
+    # name; the histogram uses local column names -> join on local name.
+    base = meta.join(
+        summary.withColumnRenamed("attribute", "_local_name"), "_local_name", "left"
+    ).na.fill(
+        {
+            "rec_count": 0,
+            "fill_count": 0,
+            "min_length": 0,
+            "max_length": 0,
+            "ave_length": 0,
+            "type_flags": 0,
+            "min_len_nonzero": 0,
+            "_uni": 0,
+            "cardinality": 0,
+        }
+    )
+
+    # --- best type per attribute (Profile.ecl:1002-1023) ---
+    best_cases = None
+    numeric_flag_cases = None
+    for a in attrs:
+        name_c = F.col("attribute") == (name_prefix + a.name)
+        bt = besttype.best_type_name(
+            kind=a.kind,
+            given_type=a.given_type,
+            flags=F.col("type_flags"),
+            max_len=F.col("max_length"),
+            min_len_nonzero=F.col("min_len_nonzero"),
+            is_unicode=F.col("_uni") == 1,
+        )
+        bt = F.when(F.col("fill_count") == 0, F.col("given_attribute_type")).otherwise(bt)
+        is_num = F.lit(a.kind == KIND_NUMERIC) | (
+            F.lit(a.kind == KIND_STRING)
+            & (
+                F.col("type_flags").bitwiseAND(
+                    F.lit(
+                        besttype.SIGNED
+                        | besttype.UNSIGNED
+                        | besttype.FLOAT
+                        | besttype.EXP
+                    )
+                )
+                != 0
+            )
+            & (F.col("fill_count") > 0)
+        )
+        best_cases = (
+            F.when(name_c, bt) if best_cases is None else best_cases.when(name_c, bt)
+        )
+        numeric_flag_cases = (
+            F.when(name_c, is_num)
+            if numeric_flag_cases is None
+            else numeric_flag_cases.when(name_c, is_num)
+        )
+    base = base.withColumn("best_attribute_type", best_cases).withColumn(
+        "is_numeric", F.coalesce(numeric_flag_cases, F.lit(False))
+    )
+    base = base.withColumn(
+        "fill_rate",
+        F.when(
+            F.col("rec_count") > 0,
+            F.round(F.col("fill_count") / F.col("rec_count") * 100, 6),
+        ).otherwise(F.lit(0.0)),
+    )
+
+    pieces = [base]
+    prefixed = F.concat(F.lit(name_prefix), F.col("attribute"))
+
+    # --- numeric stats over the weighted histogram (A5/A6) ---
+    want_numstats = any(
+        params.has(f) for f in ("min_max", "mean", "std_dev", "quartiles")
+    )
+    if want_numstats:
+        num_attr_names = base.filter(F.col("is_numeric")).select(
+            F.col("_local_name").alias("attribute")
+        )
+        hnum = (
+            hist.filter(filled)
+            .join(F.broadcast(num_attr_names), "attribute")
+            .select("attribute", F.col("value").cast("double").alias("v"), "cnt")
+        )
+        if params.mode == "exact":
+            numstats = _exact_numeric_stats(hnum)
+        else:
+            numstats = _approx_numeric_stats(hnum)
+        numstats = numstats.select(
+            F.concat(F.lit(name_prefix), F.col("attribute")).alias("attribute"),
+            *[c for c in numstats.columns if c != "attribute"],
+        )
+        pieces.append(numstats)
+
+    # --- modes (J2: top-5 tied for max, count>1) + low-card breakdown ---
+    if params.has("modes") or params.has("cardinality_breakdown"):
+        vh = (
+            hist.filter(filled)
+            .groupBy("attribute", "value")
+            .agg(F.sum("cnt").alias("rec_count"))
+        )
+        if params.mode == "approx":
+            low_card = base.filter(
+                F.col("cardinality") <= params.approx_mode_card_limit
+            ).select(F.col("_local_name").alias("attribute"))
+            vh = vh.join(F.broadcast(low_card), "attribute")
+        w = Window.partitionBy("attribute")
+        w_top = Window.partitionBy("attribute").orderBy(
+            F.desc("rec_count"), F.asc("value")
+        )
+        vh2 = vh.withColumn("max_cnt", F.max("rec_count").over(w)).withColumn(
+            "rn", F.row_number().over(w_top)
+        ).withColumn("n_distinct", F.count(F.lit(1)).over(w))
+        mode_rows = vh2.filter(
+            (F.col("rn") <= MAX_MODES)
+            & (F.col("rec_count") == F.col("max_cnt"))
+            & (F.col("rec_count") > 1)
+        )
+        modes = mode_rows.groupBy("attribute").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("value").alias("value"),
+                            F.col("rec_count").alias("rec_count"),
+                        )
+                    )
+                ),
+                lambda s: s,
+            ).alias("modes")
+        )
+        lcb_rows = vh2.filter(F.col("n_distinct") <= params.lcb_limit)
+        lcb = lcb_rows.groupBy("attribute").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("rec_count")).alias("_k"),
+                            F.col("value").alias("value"),
+                            F.col("rec_count").alias("rec_count"),
+                        )
+                    )
+                ),
+                lambda s: F.struct(s["value"].alias("value"), s["rec_count"].alias("rec_count")),
+            ).alias("cardinality_breakdown")
+        )
+        pieces.append(
+            modes.select(
+                F.concat(F.lit(name_prefix), F.col("attribute")).alias("attribute"), "modes"
+            )
+        )
+        pieces.append(
+            lcb.select(
+                F.concat(F.lit(name_prefix), F.col("attribute")).alias("attribute"),
+                "cardinality_breakdown",
+            )
+        )
+
+    # --- popular / rare text patterns (A8 + J3) ---
+    if params.has("patterns") and params.max_patterns > 0:
+        pat = (
+            hist.filter(filled)
+            .withColumn("data_pattern", finish_pattern(F.col("pattern")))
+            .groupBy("attribute", "data_pattern")
+            .agg(
+                F.sum("cnt").alias("rec_count"),
+                F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
+            )
+        )
+        w_desc = Window.partitionBy("attribute").orderBy(
+            F.desc("rec_count"), F.asc("data_pattern")
+        )
+        w_asc = Window.partitionBy("attribute").orderBy(
+            F.asc("rec_count"), F.asc("data_pattern")
+        )
+        pat = pat.withColumn("rn_top", F.row_number().over(w_desc)).withColumn(
+            "rn_rare", F.row_number().over(w_asc)
+        )
+        k = int(params.max_patterns)
+        pstruct = F.struct(
+            F.col("data_pattern").alias("data_pattern"),
+            F.col("rec_count").alias("rec_count"),
+            F.col("example").alias("example"),
+        )
+        popular = (
+            pat.filter(F.col("rn_top") <= k)
+            .groupBy("attribute")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("rec_count")).alias("_k"),
+                                F.col("data_pattern").alias("data_pattern"),
+                                F.col("rec_count").alias("rec_count"),
+                                F.col("example").alias("example"),
+                            )
+                        )
+                    ),
+                    lambda s: F.struct(
+                        s["data_pattern"].alias("data_pattern"),
+                        s["rec_count"].alias("rec_count"),
+                        s["example"].alias("example"),
+                    ),
+                ).alias("popular_patterns")
+            )
+        )
+        # rare = bottom-k that do not also appear in the top-k (J3 anti)
+        rare = (
+            pat.filter((F.col("rn_rare") <= k) & (F.col("rn_top") > k))
+            .groupBy("attribute")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("rec_count").alias("_k"),
+                                F.col("data_pattern").alias("data_pattern"),
+                                F.col("rec_count").alias("rec_count"),
+                                F.col("example").alias("example"),
+                            )
+                        )
+                    ),
+                    lambda s: F.struct(
+                        s["data_pattern"].alias("data_pattern"),
+                        s["rec_count"].alias("rec_count"),
+                        s["example"].alias("example"),
+                    ),
+                ).alias("rare_patterns"),
+            )
+        )
+        pieces.append(popular.select(prefixed.alias("attribute"), "popular_patterns"))
+        pieces.append(rare.select(prefixed.alias("attribute"), "rare_patterns"))
+
+    # --- correlations (A12, Profile.ecl:1213-1260) ---
+    if params.has("correlations"):
+        num_given = [a.name for a in attrs if a.kind == KIND_NUMERIC]
+        corr_df = _correlations(df, num_given, name_prefix)
+        if corr_df is not None:
+            pieces.append(corr_df)
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.join(p, "attribute", "left")
+
+    # fill empty nested columns and shape per enabled features
+    return _shape_output(out, params)
+
+
+def _exact_numeric_stats(hnum: DataFrame) -> DataFrame:
+    """Weighted min/max/mean/population-stddev plus the reference's
+    exact quartile position arithmetic (Profile.ecl:1088-1139):
+    cumulative counts over value-sorted distinct values, positional
+    selection with two-position averaging."""
+    w_cum = (
+        Window.partitionBy("attribute")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("attribute")
+    d = hnum.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(w_all)
+    )
+    n = F.col("total")
+    half = (n / 2).cast("long")  # halfNumRecs := wholeNumRecs DIV 2
+    q2p1 = half + n % 2
+    q2p2 = q2p1 + (n + 1) % 2
+    q1p1 = (half / 2).cast("long") + half % 2
+    q1p2 = q1p1 + (half + 1) % 2
+    q3p1 = F.greatest(q2p1, q2p2) + (half / 2).cast("long") + half % 2
+    q3p2 = q3p1 - (half + 1) % 2
+
+    def pick(pos: Column) -> Column:
+        return F.min(F.when(F.col("cum") >= pos, F.col("v")))
+
+    g = d.groupBy("attribute").agg(
+        F.min("v").alias("numeric_min"),
+        F.max("v").alias("numeric_max"),
+        (F.sum(F.col("v") * F.col("cnt")) / F.sum("cnt")).alias("_mean"),
+        F.sum(F.col("v") * F.col("v") * F.col("cnt")).alias("_sumsq"),
+        F.sum("cnt").alias("_n"),
+        ((pick(q1p1) + pick(q1p2)) / 2).alias("_q1"),
+        ((pick(q2p1) + pick(q2p2)) / 2).alias("numeric_median"),
+        ((pick(q3p1) + pick(q3p2)) / 2).alias("_q3"),
+        F.max(half).alias("_half"),
+    )
+    return g.select(
+        "attribute",
+        F.round("numeric_min", 4).alias("numeric_min"),
+        F.round("numeric_max", 4).alias("numeric_max"),
+        F.round("_mean", 4).alias("numeric_mean"),
+        F.round(
+            F.sqrt(F.col("_sumsq") / F.col("_n") - F.col("_mean") * F.col("_mean")), 4
+        ).alias("numeric_std_dev"),
+        F.round(
+            F.when(F.col("_half") > 0, F.col("_q1")).otherwise(0.0), 4
+        ).alias("numeric_lower_quartile"),
+        F.round("numeric_median", 4).alias("numeric_median"),
+        F.round(
+            F.when(F.col("_half") > 0, F.col("_q3")).otherwise(0.0), 4
+        ).alias("numeric_upper_quartile"),
+    )
+
+
+def _approx_numeric_stats(hnum: DataFrame) -> DataFrame:
+    """Sketch-based numeric stats for the 10^12-row path: quantiles via
+    ``percentile_approx`` (t-digest-like, mergeable).  Documented
+    deviation from the reference's exact positional quartiles."""
+    g = hnum.groupBy("attribute").agg(
+        F.round(F.min("v"), 4).alias("numeric_min"),
+        F.round(F.max("v"), 4).alias("numeric_max"),
+        F.round(F.sum(F.col("v") * F.col("cnt")) / F.sum("cnt"), 4).alias("numeric_mean"),
+        (F.sum(F.col("v") * F.col("v") * F.col("cnt")) / F.sum("cnt")).alias("_ex2"),
+        (F.sum(F.col("v") * F.col("cnt")) / F.sum("cnt")).alias("_ex"),
+        F.percentile_approx("v", [0.25, 0.5, 0.75], 10_000).alias("_q"),
+    )
+    return g.select(
+        "attribute",
+        "numeric_min",
+        "numeric_max",
+        "numeric_mean",
+        F.round(F.sqrt(F.col("_ex2") - F.col("_ex") * F.col("_ex")), 4).alias(
+            "numeric_std_dev"
+        ),
+        F.round(F.col("_q")[0], 4).alias("numeric_lower_quartile"),
+        F.round(F.col("_q")[1], 4).alias("numeric_median"),
+        F.round(F.col("_q")[2], 4).alias("numeric_upper_quartile"),
+    )
+
+
+def _correlations(df: DataFrame, numeric_names: list[str], name_prefix: str):
+    """All-pairs Pearson correlation in ONE aggregate pass
+    (Profile.ecl:1213-1245 runs one full scan per pair; Catalyst
+    computes every ``corr`` in a single job here)."""
+    if len(numeric_names) < 2:
+        return None
+    pairs = [
+        (x, y)
+        for i, x in enumerate(numeric_names)
+        for y in numeric_names[i + 1 :]
+    ]
+    row = df.agg(
+        *[
+            F.corr(F.col(x).cast("double"), F.col(y).cast("double")).alias(f"c{i}")
+            for i, (x, y) in enumerate(pairs)
+        ]
+    ).collect()[0]
+    by_attr: dict[str, list[tuple[str, float]]] = {n: [] for n in numeric_names}
+    for i, (x, y) in enumerate(pairs):
+        c = row[i]
+        c = round(float(c), 6) if c is not None else 0.0
+        by_attr[x].append((y, c))
+        by_attr[y].append((x, c))
+    rows = [
+        (
+            name_prefix + attr,
+            [
+                {"attribute": name_prefix + other, "corr": c}
+                for other, c in sorted(lst, key=lambda t: (-t[1], t[0]))
+            ],
+        )
+        for attr, lst in by_attr.items()
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, f"attribute string, correlations array<{_CORR_STRUCT}>"
+    )
+
+
+def _shape_output(out: DataFrame, params: ProfileParams) -> DataFrame:
+    """Project to the reference's feature-conditional FinalOutputLayout
+    column set and order (Profile.ecl:445-496)."""
+    has = params.has
+    empty_mode = _empty_array(_MODE_STRUCT)
+    empty_pat = _empty_array(_PATTERN_STRUCT)
+    cols: list[Column] = [
+        F.col("attribute"),
+        F.col("given_attribute_type"),
+    ]
+    if has("best_ecl_types"):
+        cols.append(F.col("best_attribute_type"))
+    cols.append(F.col("rec_count").cast("long").alias("rec_count"))
+    if has("fill_rate"):
+        cols += [
+            F.col("fill_count").cast("long").alias("fill_count"),
+            F.col("fill_rate").cast("double").alias("fill_rate"),
+        ]
+    if has("cardinality") or has("cardinality_breakdown"):
+        cols.append(F.col("cardinality").cast("long").alias("cardinality"))
+    if has("cardinality_breakdown") and params.lcb_limit > 0:
+        c = (
+            F.coalesce(F.col("cardinality_breakdown"), empty_mode)
+            if "cardinality_breakdown" in out.columns
+            else empty_mode
+        )
+        cols.append(c.alias("cardinality_breakdown"))
+    if has("modes"):
+        c = F.coalesce(F.col("modes"), empty_mode) if "modes" in out.columns else empty_mode
+        cols.append(c.alias("modes"))
+    if has("lengths"):
+        cols += [
+            F.col("min_length").cast("long").alias("min_length"),
+            F.col("max_length").cast("long").alias("max_length"),
+            F.col("ave_length").cast("long").alias("ave_length"),
+        ]
+    if has("patterns") and params.max_patterns > 0:
+        p = (
+            F.coalesce(F.col("popular_patterns"), empty_pat)
+            if "popular_patterns" in out.columns
+            else empty_pat
+        )
+        r = (
+            F.coalesce(F.col("rare_patterns"), empty_pat)
+            if "rare_patterns" in out.columns
+            else empty_pat
+        )
+        cols += [p.alias("popular_patterns"), r.alias("rare_patterns")]
+    numericish = ("min_max", "mean", "std_dev", "quartiles", "correlations")
+    if any(has(f) for f in numericish):
+        cols.append(F.col("is_numeric"))
+
+    def numcol(name: str) -> Column:
+        if name in out.columns:
+            return F.coalesce(F.col(name), F.lit(0.0)).cast("double").alias(name)
+        return F.lit(0.0).alias(name)
+
+    if has("min_max"):
+        cols += [numcol("numeric_min"), numcol("numeric_max")]
+    if has("mean"):
+        cols.append(numcol("numeric_mean"))
+    if has("std_dev"):
+        cols.append(numcol("numeric_std_dev"))
+    if has("quartiles"):
+        cols += [
+            numcol("numeric_lower_quartile"),
+            numcol("numeric_median"),
+            numcol("numeric_upper_quartile"),
+        ]
+    if has("correlations"):
+        c = (
+            F.coalesce(F.col("correlations"), _empty_array(_CORR_STRUCT))
+            if "correlations" in out.columns
+            else _empty_array(_CORR_STRUCT)
+        )
+        cols.append(c.alias("correlations"))
+    cols.append(F.col("sort_value"))
+    cols.append(F.col("_local_name"))
+    cols.append(F.col("_kind"))
+    return out.select(*cols)
