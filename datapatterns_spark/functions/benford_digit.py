@@ -1,0 +1,31 @@
+"""Nth-significant-digit extraction.
+
+Pure-expression reimplementation of the reference's ``NthDigit`` C++
+kernel (/root/reference/Benford.ecl:176-209):
+
+* leading zeros are not significant;
+* once a significant digit OR a decimal point has been seen, the
+  default result is 0 (implied trailing zeros — the v1.7.2 fix,
+  README.md:97);
+* 10 (an impossible digit) marks "no digit found" and is filtered out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def nth_digit(col: Column, pos: int) -> Column:
+    """The ``pos``-th significant digit of the string form of ``col``."""
+    s = F.coalesce(col.cast("string"), F.lit(""))
+    # keep only the characters the reference's scanner reacts to
+    cleaned = F.regexp_replace(s, "[^0-9.]", "")
+    # significant-digit stream: drop the decimal point, strip leading zeros
+    sig = F.regexp_replace(F.regexp_replace(cleaned, "\\.", ""), "^0+", "")
+    return (
+        F.when(F.length(sig) >= pos, F.substring(sig, pos, 1).cast("int"))
+        .when(F.length(sig) > 0, F.lit(0))  # implied trailing zero
+        .when(cleaned.contains("."), F.lit(0))  # only zeros + a decimal point
+        .otherwise(F.lit(10))  # sentinel: no digit found
+    )

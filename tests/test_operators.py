@@ -1,0 +1,196 @@
+"""Tests for Cardinality / NormalizeProfileResults / Benford /
+Validation — golden semantics from the reference's docs and tests."""
+
+import pytest
+
+from datapatterns_spark.operators.benford import benford
+from datapatterns_spark.operators.best_record import best_record_structure
+from datapatterns_spark.operators.cardinality import cardinality
+from datapatterns_spark.operators.normalize import normalize_profile_results
+from datapatterns_spark.operators.profile import profile
+from datapatterns_spark.operators.validation import fix, validate
+
+
+# ---------- Cardinality ----------
+def test_cardinality_basic(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("a", 1)], "s string, n int"
+    )
+    rows = [tuple(r) for r in cardinality(df).collect()]
+    # sorted by attribute, -rec_count, value (Cardinality.ecl:395)
+    assert rows == [
+        ("n", "1", 3),
+        ("n", "2", 1),
+        ("s", "a", 3),
+        ("s", "b", 1),
+    ]
+
+
+def test_cardinality_field_list(spark):
+    df = spark.createDataFrame([("a", 1)], "s string, n int")
+    rows = cardinality(df, field_list="n").collect()
+    assert {r["attribute"] for r in rows} == {"n"}
+
+
+# ---------- NormalizeProfileResults ----------
+def test_normalize_profile(spark):
+    df = spark.createDataFrame(
+        [(s,) for s in ["Dan", "Dan", "Mike"]], "s string"
+    )
+    prof = profile(df)
+    norm = normalize_profile_results(prof)
+    kv = {r["key"]: r["value"] for r in norm.collect()}
+    assert kv["rec_count"] == "3"
+    assert kv["cardinality"] == "2"
+    assert kv["modes"] == "Dan:2"
+    assert kv["popular_patterns"] == "Aaa:2|Aaaa:1"
+    assert kv["is_numeric"] == "false"
+    # one row per non-attribute column
+    assert norm.count() == len(prof.columns) - 1
+
+
+# ---------- Benford ----------
+def test_benford_digit_extraction(spark):
+    from pyspark.sql import functions as F
+
+    from datapatterns_spark.functions.benford_digit import nth_digit
+
+    cases = [
+        ("123", 1, 1),
+        ("123", 2, 2),
+        ("0123", 1, 1),
+        ("0.05", 1, 5),
+        ("0.00", 1, 0),  # decimal point seen -> implied 0
+        ("000", 1, 10),  # no digit, no point -> sentinel
+        ("", 1, 10),
+        ("abc", 1, 10),
+        ("10", 2, 0),  # zero after significant digit counts
+        ("1", 2, 0),  # implied trailing zero
+        ("-250", 1, 2),
+        ("7,500", 2, 5),  # punctuation skipped by the scanner
+    ]
+    df = spark.createDataFrame([(s, p) for s, p, _ in cases], "s string, p int")
+    for (s, p, want) in cases:
+        got = (
+            df.filter((F.col("s") == s) & (F.col("p") == p))
+            .select(nth_digit(F.col("s"), p).alias("d"))
+            .collect()[0]["d"]
+        )
+        assert got == want, (s, p, got, want)
+
+
+def test_benford_output_contract(spark):
+    df = spark.createDataFrame([(v,) for v in [1, 1, 1, 2, 3, 9, 0]], "n long")
+    rows = benford(df).collect()
+    assert rows[0]["attribute"] == "-- EXPECTED DIGIT 1 --"
+    assert rows[0]["chi_squared"] == pytest.approx(20.090)
+    assert rows[0]["num_values"] == 7
+    assert rows[0]["one"] == pytest.approx(30.1)
+    r = rows[1]
+    assert r["attribute"] == "n"
+    # 0 -> sentinel n=0? No: integer 0 has no digits and no '.', so
+    # it is filtered (sentinel 10) -> 6 usable values
+    assert r["num_values"] == 6
+    assert r["one"] == pytest.approx(50.0)
+    assert r["zero"] == -1.0
+    assert r["chi_squared"] > 0
+
+
+def test_benford_digit2(spark):
+    df = spark.createDataFrame([("10",), ("11",), ("1",)], "s string")
+    rows = benford(df, digit=2).collect()
+    assert rows[0]["chi_squared"] == pytest.approx(21.666)
+    r = rows[1]
+    # second digits: 0, 1, 0(implied) -> zero 66.7%, one 33.3%
+    assert r["zero"] == pytest.approx(66.7)
+    assert r["one"] == pytest.approx(33.3)
+
+
+# ---------- Validate ----------
+def test_validate_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "US"), (0, "XX"), (-5, "GB")], "v int, code string"
+    )
+    out = validate(df, "VPos:v > 0; CodeKnown:code IN ('US','GB')")
+    got = {
+        (r["v"]): (
+            r["validation_results"]["num_violations"],
+            list(r["validation_results"]["violations"]),
+        )
+        for r in out.collect()
+    }
+    assert got[1] == (0, [])
+    assert got[0] == (2, ["VPos", "CodeKnown"])
+    assert got[-5] == (1, ["VPos"])
+
+
+def test_validate_helpers(spark):
+    df = spark.createDataFrame(
+        [("12345", "AB-1"), ("1234", "xy!2")], "fips string, tag string"
+    )
+    out = validate(
+        df,
+        "FIPSLength:StrLen(fips) = 5;"
+        "FipsDigits:IsOnlyDigits(fips);"
+        "TagPattern:Patternize(tag) = 'AA-9'",
+    )
+    rows = {r["fips"]: list(r["validation_results"]["violations"]) for r in out.collect()}
+    assert rows["12345"] == []
+    assert rows["1234"] == ["FIPSLength", "TagPattern"]
+
+
+def test_validate_all_fields_filled(spark):
+    df = spark.createDataFrame([("a", "b"), ("", "b")], "x string, y string")
+    out = validate(df, "Filled:AllFieldsFilled()")
+    rows = {r["x"]: r["validation_results"]["num_violations"] for r in out.collect()}
+    assert rows["a"] == 0
+    assert rows[""] == 1
+
+
+# ---------- Fix ----------
+def test_fix_assign_swap_skip(spark):
+    df = spark.createDataFrame(
+        [
+            (10, 20, "ok"),  # valid
+            (30, 5, "swapped"),  # lo > hi -> swap
+            (0, 0, "dead"),  # both zero -> skip
+            (-1, 9, "clamped"),  # lo negative -> reassign 0
+        ],
+        "lo int, hi int, tag string",
+    )
+    spec = (
+        "Ordered:lo <= hi;"
+        "LoPos:lo >= 0;"
+        "NotDead:lo != 0 OR hi != 0"
+    )
+    checked = validate(df, spec)
+    fixed = fix(
+        checked,
+        "NotDead:SkipRecord();"
+        "Ordered:Swap(lo, hi);"
+        "LoPos:lo := 0",
+    )
+    rows = {r["tag"]: (r["lo"], r["hi"]) for r in fixed.collect()}
+    assert "dead" not in rows
+    assert rows["ok"] == (10, 20)
+    assert rows["swapped"] == (5, 30)
+    assert rows["clamped"] == (0, 9)
+    assert "validation_results" not in fixed.columns
+
+
+def test_fix_membership_algebra(spark):
+    df = spark.createDataFrame([(1,), (2,)], "v int")
+    checked = validate(df, "A:v != 1; B:v != 2")
+    out = fix(checked, "A AND NOT B:v := 100")
+    rows = sorted(r["v"] for r in out.collect())
+    assert rows == [2, 100]
+
+
+# ---------- BestRecordStructure ----------
+def test_best_record_structure(spark):
+    df = spark.createDataFrame([("100", "abc")], "n string, s string")
+    lines = [r["txt"] for r in best_record_structure(df).collect()]
+    assert lines[0] == "NewLayout := RECORD"
+    assert lines[-1] == "END;"
+    assert any("unsigned" in ln and " n;" in ln for ln in lines)
+    assert any("string3 s;" in ln for ln in lines)
