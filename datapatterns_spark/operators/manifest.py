@@ -1,0 +1,106 @@
+"""Checkpointed per-partition lineage + metrics manifest.
+
+The north_rule requires validation runs over 10^12-turn tables to be
+*resumable*: a restarted job must skip partitions whose verdicts are
+already complete.  The reference has no analogue (its unit of work is
+one Thor workunit); this is batch resumability per SURVEY.md §2.10 /
+§4.3 — a parquet manifest keyed
+``(partition, status, started_at, finished_at, n_checks, snapshot_id)``
+— NOT Structured Streaming state.
+
+Protocol:
+
+1. list the distinct partition values (cheap column scan / Iceberg
+   partition listing through the pluggable source adapter);
+2. drop partitions already COMPLETE in the manifest;
+3. run the check suite on the remaining partitions **in bounded
+   batches**, appending verdicts/violations + a manifest row per
+   finished partition (parquet append = the commit point);
+4. a crash between batches loses at most one batch of work.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .constraints import Check, run_checks
+
+MANIFEST_SCHEMA = (
+    "partition string, status string, started_at double, finished_at double, "
+    "n_checks int, n_violations long, snapshot_id string"
+)
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(f"{path}/manifest")
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def completed_partitions(spark: SparkSession, path: str) -> set[str]:
+    m = read_manifest(spark, path)
+    return {
+        r["partition"]
+        for r in m.filter(F.col("status") == "COMPLETE").select("partition").collect()
+    }
+
+
+def run_with_manifest(
+    df: DataFrame,
+    checks: list[Check],
+    partition_col: str,
+    output_path: str,
+    key_cols: list[str] | None = None,
+    batch_size: int = 8,
+    snapshot_id: str = "",
+) -> DataFrame:
+    """Run ``checks`` per partition with checkpoint/resume.
+
+    Returns the full verdict DataFrame (read back from the output so a
+    resumed run sees prior batches too).  Partition batches bound the
+    work lost on a crash; each batch appends verdicts, violations and
+    manifest rows (parquet append is atomic per task-commit, and a
+    partition appears in the manifest only after its results landed).
+    """
+    spark = df.sparkSession
+    done = completed_partitions(spark, output_path)
+    parts = [
+        r["p"]
+        for r in df.select(F.col(partition_col).cast("string").alias("p"))
+        .distinct()
+        .orderBy("p")
+        .collect()
+    ]
+    todo = [p for p in parts if p not in done]
+
+    for i in range(0, len(todo), batch_size):
+        batch = todo[i : i + batch_size]
+        started = time.time()
+        sub = df.filter(F.col(partition_col).cast("string").isin(batch))
+        verdicts, violations = run_checks(
+            sub, checks, partition_col=partition_col, key_cols=key_cols
+        )
+        verdicts = verdicts.cache()
+        verdicts.write.mode("append").parquet(f"{output_path}/verdicts")
+        violations.write.mode("append").parquet(f"{output_path}/violations")
+        counts = {
+            r["partition"]: r["n"]
+            for r in verdicts.groupBy("partition")
+            .agg(F.sum("violation_count").alias("n"))
+            .collect()
+        }
+        finished = time.time()
+        manifest_rows = [
+            (p, "COMPLETE", started, finished, len(checks), int(counts.get(p, 0)), snapshot_id)
+            for p in batch
+        ]
+        spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).write.mode(
+            "append"
+        ).parquet(f"{output_path}/manifest")
+        verdicts.unpersist()
+
+    return spark.read.parquet(f"{output_path}/verdicts")

@@ -1,0 +1,177 @@
+"""Constraint layer + transcript generator + manifest/resume tests
+(SURVEY.md §2.11, §4.3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapatterns_spark.operators import constraints as C
+from datapatterns_spark.operators.manifest import run_with_manifest, completed_partitions
+from datapatterns_spark.sources.transcripts import (
+    ROLE_DOMAIN,
+    generate_drifted_transcripts,
+    generate_transcripts,
+    transcript_check_suite,
+)
+
+
+def test_unique_check(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 1)], "k string, i int"
+    )
+    verdicts, viol = C.run_checks(df, [C.unique("uq", ["k", "i"])], key_cols=["k", "i"])
+    v = verdicts.collect()[0]
+    assert v["passed"] is False
+    assert v["violation_count"] == 2  # both rows of the dup key
+    assert viol.count() == 2
+
+
+def test_domain_and_rule_checks(spark):
+    df = spark.createDataFrame(
+        [("user", 5), ("agent", -1), ("tool", 3)], "role string, n int"
+    )
+    verdicts, viol = C.run_checks(
+        df,
+        [C.in_domain("dom", "role", ROLE_DOMAIN), C.row_rule("pos", "n > 0")],
+        key_cols=["role"],
+    )
+    out = {r["check_name"]: r for r in verdicts.collect()}
+    assert out["dom"]["violation_count"] == 1
+    assert out["pos"]["violation_count"] == 1
+    assert not out["dom"]["passed"] and not out["pos"]["passed"]
+
+
+def test_monotonic_check(spark):
+    rows = [
+        ("c1", 0, 100.0),
+        ("c1", 1, 110.0),
+        ("c1", 2, 105.0),  # regression
+        ("c2", 0, 50.0),
+        ("c2", 1, 60.0),
+    ]
+    df = spark.createDataFrame(rows, "conv string, t int, tsv double").withColumn(
+        "ts", F.timestamp_seconds("tsv")
+    )
+    verdicts, viol = C.run_checks(
+        df, [C.monotonic("mono", "ts", "conv", "t")], key_cols=["conv", "t"]
+    )
+    v = verdicts.collect()[0]
+    assert v["violation_count"] == 1
+    assert viol.collect()[0]["detail"].startswith("ts regression")
+
+
+def test_per_partition_verdicts(spark):
+    df = spark.createDataFrame(
+        [("p0", 1), ("p0", 1), ("p1", 2)], "part string, k int"
+    )
+    verdicts, _ = C.run_checks(
+        df, [C.unique("uq", ["k"])], partition_col="part", key_cols=["k"]
+    )
+    out = {r["partition"]: r["passed"] for r in verdicts.collect()}
+    assert out == {"p0": False, "p1": True}
+
+
+def test_benford_conformance_check(spark):
+    import math
+
+    # log-uniform positive values follow Benford; sequential ints don't
+    good = spark.range(1, 4000).select(
+        F.exp(F.rand(seed=7) * math.log(10_000)).alias("v")
+    )
+    verdicts, _ = C.run_checks(good, [C.benford_conformance("ben", "v")])
+    assert verdicts.collect()[0]["passed"] is True
+    bad = spark.range(100000, 104000).select(F.col("id").cast("double").alias("v"))
+    verdicts2, _ = C.run_checks(bad, [C.benford_conformance("ben", "v")])
+    assert verdicts2.collect()[0]["passed"] is False
+
+
+def test_drift_psi_and_ks(spark):
+    base_df = spark.range(5000).select((F.rand(seed=1) * 100).alias("v"))
+    same_df = spark.range(5000).select((F.rand(seed=2) * 100).alias("v"))
+    drifted_df = spark.range(5000).select((F.rand(seed=3) * 100 + 50).alias("v"))
+    hist, lo, hi = C.baseline_histogram(base_df, "v", bins=32)
+    checks = [
+        C.drift_psi("psi", "v", hist, bins=32, lo=lo, hi=hi, threshold=0.2),
+        C.drift_ks("ks", "v", hist, bins=32, lo=lo, hi=hi, threshold=0.1),
+    ]
+    ok = {r["check_name"]: r["passed"] for r in C.run_checks(same_df, checks)[0].collect()}
+    assert ok == {"psi": True, "ks": True}
+    bad = {r["check_name"]: r["passed"] for r in C.run_checks(drifted_df, checks)[0].collect()}
+    assert bad == {"psi": False, "ks": False}
+
+
+def test_generator_deterministic_and_planted(spark):
+    df1 = generate_transcripts(spark, n_conversations=300, seed=42)
+    df2 = generate_transcripts(spark, n_conversations=300, seed=42)
+    assert df1.count() == df2.count()
+    # identical content regardless of plan: sorted hash must match
+    h1 = df1.select(F.sum(F.xxhash64(*df1.columns)).alias("h")).collect()[0]["h"]
+    h2 = df2.select(F.sum(F.xxhash64(*df2.columns)).alias("h")).collect()[0]["h"]
+    assert h1 == h2
+    assert df1.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_transcript_suite_finds_planted_violations(spark):
+    # high violation rate so a small table has plantings
+    df = generate_transcripts(spark, n_conversations=400, seed=42, violation_rate=0.01)
+    verdicts, viol = C.run_checks(
+        df,
+        transcript_check_suite(),
+        key_cols=["conv_id", "turn_idx"],
+    )
+    out = {r["check_name"]: r for r in verdicts.collect()}
+    assert out["unique_turn"]["violation_count"] > 0
+    assert out["role_domain"]["violation_count"] > 0
+    assert out["tool_domain"]["violation_count"] > 0
+    assert out["ts_monotonic"]["violation_count"] > 0
+    # cross-check uniqueness count independently
+    dup_rows = (
+        df.groupBy("conv_id", "turn_idx")
+        .count()
+        .filter("count > 1")
+        .agg(F.sum("count"))
+        .collect()[0][0]
+    )
+    assert out["unique_turn"]["violation_count"] == dup_rows
+
+
+def test_drift_pair_fires_only_for_drifted_columns(spark):
+    base = generate_transcripts(spark, 400, seed=42)
+    drifted = generate_drifted_transcripts(spark, 400, seed=42, role_shift=0.5)
+    role_hist, _, _ = C.baseline_histogram(base, "role", bins=16, categorical=True)
+    len_df = base.select(F.length("text").alias("tl"))
+    len_hist, lo, hi = C.baseline_histogram(len_df, "tl", bins=32)
+    tool_hist, _, _ = C.baseline_histogram(base, "tool", bins=16, categorical=True)
+    checks = [
+        C.drift_psi("role_drift", "role", role_hist, bins=16, categorical=True, threshold=0.05),
+        C.drift_psi("len_drift", "tl", len_hist, bins=32, lo=lo, hi=hi, threshold=0.05),
+        C.drift_psi("tool_drift", "tool", tool_hist, bins=16, categorical=True, threshold=0.05),
+    ]
+    d = drifted.withColumn("tl", F.length("text"))
+    out = {r["check_name"]: r["passed"] for r in C.run_checks(d, checks)[0].collect()}
+    assert out["role_drift"] is False
+    assert out["len_drift"] is False
+    assert out["tool_drift"] is True  # undrifted column stays quiet
+
+
+def test_manifest_resume(spark, tmp_path):
+    df = generate_transcripts(spark, 200, seed=42, violation_rate=0.01).withColumn(
+        "part", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("string")
+    )
+    checks = transcript_check_suite()
+    out = str(tmp_path / "run1")
+    # first run: only 2 of 4 partitions (simulated crash via batch_size
+    # + pre-marking): run on a partition subset
+    sub = df.filter(F.col("part").isin(["0", "1"]))
+    run_with_manifest(sub, checks, "part", out, key_cols=["conv_id", "turn_idx"])
+    assert completed_partitions(spark, out) == {"0", "1"}
+    # resume: full table; only the remaining partitions are processed
+    verdicts = run_with_manifest(df, checks, "part", out, key_cols=["conv_id", "turn_idx"])
+    assert completed_partitions(spark, out) == {"0", "1", "2", "3"}
+    # final verdict table covers all 4 partitions x 6 checks exactly once
+    assert verdicts.count() == 4 * len(checks)
+    # identical to a fresh full run
+    fresh = str(tmp_path / "run2")
+    v2 = run_with_manifest(df, checks, "part", fresh, key_cols=["conv_id", "turn_idx"])
+    a = sorted(map(tuple, verdicts.select("partition", "check_name", "passed", "violation_count").collect()))
+    b = sorted(map(tuple, v2.select("partition", "check_name", "passed", "violation_count").collect()))
+    assert a == b
