@@ -1,0 +1,415 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (DataPatterns profiles, it never dedups)
+— these are the pipeline capabilities mandated by the build brief,
+designed Spark-first:
+
+* :func:`exact_duplicates` / :func:`dedup_exact` — hash-groupBy, the
+  canonical one-shuffle exact pass;
+* :func:`ngram_jaccard_pairs` — exact all-pairs Jaccard over shingle
+  sets via an inverted-index self-join (explode -> join on shingle ->
+  count commons), with a document-frequency cap to kill the
+  quadratic-blowup shingles at scale;
+* :func:`minhash_lsh_pairs` — MinHash signatures (k seeded xxhash64
+  min-hashes) banded into LSH buckets; candidates verified with exact
+  Jaccard so the output has no false positives;
+* :func:`simhash` / :func:`simhash_pairs` — 64-bit SimHash via
+  higher-order expressions (no Python UDF), near-dups by banded
+  Hamming distance;
+* :func:`embedding_cosine_pairs` — cosine near-dup over an
+  ``array<float>`` column, brute-force or random-hyperplane-LSH
+  bucketed.
+
+All shuffles key on the candidate-pair structure (shingle / band
+bucket), never on raw document text.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+def normalized_text(col: Column) -> Column:
+    """Canonical text form for exact duplicate detection: lowercase,
+    punctuation stripped, whitespace collapsed."""
+    c = F.lower(F.coalesce(col, F.lit("")))
+    c = F.regexp_replace(c, r"[\p{Punct}]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str, id_col: str, normalize: bool = True
+) -> DataFrame:
+    """Rows belonging to a duplicated (normalized) text, with the
+    group's canonical (min-id) representative attached."""
+    key = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
+    d = df.withColumn("_dup_key", F.xxhash64(key))
+    w = Window.partitionBy("_dup_key")
+    return (
+        d.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .filter(F.col("group_size") > 1)
+        .select(id_col, "canonical_id", "group_size")
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str, normalize: bool = True) -> DataFrame:
+    """Keep one row (min id) per distinct normalized text."""
+    key = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
+    d = df.withColumn("_dup_key", F.xxhash64(key))
+    w = Window.partitionBy("_dup_key").orderBy(id_col)
+    return d.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn", "_dup_key")
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+def shingles(col: Column, n: int = 3, words: bool = True) -> Column:
+    """Distinct word (or character) n-gram array of the normalized
+    text."""
+    norm = normalized_text(col)
+    if words:
+        toks = F.split(norm, " ")
+        count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        grams = F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        # short docs: fall back to the whole text as one shingle
+        grams = F.when(count > 0, grams).otherwise(F.array(norm))
+    else:
+        count = F.greatest(F.length(norm) - (n - 1), F.lit(0))
+        grams = F.transform(
+            F.sequence(F.lit(1), count), lambda i: F.substring(norm, i, n)
+        )
+        grams = F.when(count > 0, grams).otherwise(F.array(norm))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold via inverted index.
+
+    ``max_shingle_df`` drops shingles shared by more than that many
+    documents before pairing — at 100 TB an ultra-common shingle would
+    otherwise create a quadratic candidate set.  Pairs whose every
+    common shingle is ultra-common are then missed; leave it None for
+    exact semantics at test scale and set it (e.g. 1000) at cluster
+    scale (documented deviation)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("size", F.size("sh"))
+    sizes = sh.select("id", "size")
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    if max_shingle_df is not None:
+        w = Window.partitionBy("g")
+        inv = inv.withColumn("_df", F.count(F.lit(1)).over(w)).filter(
+            F.col("_df") <= max_shingle_df
+        ).drop("_df")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(sh_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per seed i, min over shingles of
+    xxhash64(shingle, i)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh_col, lambda g, i=i: F.xxhash64(g, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs: shingle -> minhash -> band -> bucket-join
+    -> exact-Jaccard verification (no false positives; recall is the
+    standard LSH S-curve at (bands, rows_per_band))."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    buckets = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(col: Column, seed: int = 0) -> Column:
+    """64-bit SimHash of the normalized token stream, as a 16-char hex
+    STRING — pure higher-order expressions (token hash bit votes), no
+    UDF.  The bit fan-out is unrolled with literal shifts; the votes
+    array is referenced exactly once downstream (hex encoding via
+    ``conv``) so the aggregate isn't re-evaluated per bit."""
+    toks = F.split(normalized_text(col), " ")
+    votes = F.aggregate(
+        toks,
+        F.array(*[F.lit(0)] * 64),
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(F.xxhash64(tok, F.lit(seed)), b)
+                    .bitwiseAND(F.lit(1))
+                    .cast("int")
+                    * 2
+                    - 1
+                    for b in range(63, -1, -1)  # MSB first
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    bits = F.array_join(
+        F.transform(votes, lambda v: F.when(v > 0, "1").otherwise("0")), ""
+    )
+    return F.lpad(F.conv(bits, 2, 16), 16, "0")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-hex-char SimHashes: XOR each
+    16-bit chunk (safe in a signed long) and popcount."""
+    out = F.lit(0)
+    for i in range(4):
+        ca = F.conv(F.substring(a, i * 4 + 1, 4), 16, 10).cast("long")
+        cb = F.conv(F.substring(b, i * 4 + 1, 4), 16, 10).cast("long")
+        out = out + F.bit_count(ca.bitwiseXOR(cb))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, found by
+    banding the 64-bit hash into 4 x 16-bit chunks (any pair within
+    distance 3 shares at least one exact chunk) and verifying."""
+    d = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("h"))
+    chunks = d.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("h", i * 4 + 1, 4).alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "h", "c.band", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.h"), F.col("b.h")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (na * nb)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(w) for w in p]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs with cosine >= threshold.
+
+    ``method="brute"`` is the exact baseline (self-join; quadratic —
+    test scale only).  ``method="lsh"`` buckets by random-hyperplane
+    sign signatures across ``n_tables`` tables, then verifies cosine
+    exactly."""
+    d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if method == "brute":
+        a, b = d.alias("a"), d.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+    else:
+        if dim is None:
+            dim = len(d.select("v").first()["v"])
+        buckets = d
+        bucket_cols = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed + t)
+            name = f"_b{t}"
+            buckets = buckets.withColumn(name, _sign_bucket(F.col("v"), planes))
+            bucket_cols.append(name)
+        tagged = buckets.select(
+            "id",
+            "v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(t).alias("t"), F.col(c).alias("bk"))
+                        for t, c in enumerate(bucket_cols)
+                    ]
+                )
+            ).alias("tb"),
+        ).select("id", "v", "tb.t", "tb.bk")
+        a, b = tagged.alias("a"), tagged.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.t") == F.col("b.t"))
+                & (F.col("a.bk") == F.col("b.bk"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"),
+                F.col("b.v").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data pipelines (not in the
+reference): language ID, quality scoring, token counting, document
+fingerprinting.  All pure built-in expressions — no Python UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text
+
+# marker-word lists per language for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "por", "con"],
+    "it": ["il", "la", "di", "che", "e", "un", "per", "con", "del", "una"],
+}
+
+_EN_STOPWORDS = _LANG_MARKERS["en"] + ["a", "an", "as", "at", "be", "by", "on", "or"]
+
+# whitespace split plus a BPE-ish regex that also counts punctuation
+# runs and digit runs as tokens
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def whitespace_token_count(col: Column) -> Column:
+    t = F.trim(F.coalesce(col, F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.coalesce(
+        F.regexp_count(F.coalesce(col, F.lit("")), F.lit(BPE_TOKEN_RE)), F.lit(0)
+    )
+
+
+def _marker_hits(col: Column, markers: list[str]) -> Column:
+    toks = F.split(normalized_text(col), " ")
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+
+
+def lang_id(col: Column) -> Column:
+    """Best-guess language code by stopword-marker vote; 'und'
+    (undetermined) when nothing matches."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-_marker_hits(col, markers)).alias("neg"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, markers in _LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_sort(scored)[0]
+    return F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: length band, alpha ratio, low punct
+    density, stopword presence, reasonable mean word length."""
+    t = F.coalesce(col, F.lit(""))
+    n = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", ""))
+    words = whitespace_token_count(t)
+    stop = _marker_hits(t, _EN_STOPWORDS)
+    len_ok = F.when((n >= 20) & (n <= 8000), 1.0).when(n > 0, 0.4).otherwise(0.0)
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    punct_ok = F.when(n > 0, 1.0 - F.least(punct / n * 4, F.lit(1.0))).otherwise(0.0)
+    stop_ok = F.when(words > 0, F.least(stop / words * 5, F.lit(1.0))).otherwise(0.0)
+    mean_wl = F.when(words > 0, n / words).otherwise(F.lit(0.0))
+    wl_ok = F.when((mean_wl >= 3) & (mean_wl <= 12), 1.0).otherwise(0.3)
+    return F.round(
+        0.3 * len_ok + 0.25 * alpha_ratio + 0.15 * punct_ok + 0.15 * stop_ok + 0.15 * wl_ok,
+        4,
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """64-bit content fingerprint of the normalized text (rolling-hash
+    analogue; xxhash64 over the canonical form)."""
+    return F.xxhash64(normalized_text(col))
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column block."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "ws_tokens": whitespace_token_count(c),
+            "bpe_tokens": bpe_token_count(c),
+            "lang_guess": lang_id(c),
+            "quality": quality_score(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

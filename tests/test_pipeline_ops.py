@@ -1,0 +1,139 @@
+"""Tests for the training-data pipeline operators: dedup families,
+similarity search, text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapatterns_spark.operators import dedup as D
+from datapatterns_spark.operators import similarity as S
+from datapatterns_spark.operators import textanalysis as TA
+from datapatterns_spark.operators.multimodal import (
+    extract_features,
+    make_fake_media_table,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "The quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox JUMPS over the lazy dog!!"),  # normalized dup
+        (4, "The quick brown fox jumps over the sleepy dog"),  # near dup
+        (5, "Completely different content about spark engines"),
+        (6, "der schnelle braune fuchs springt und ist nicht da"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    dups = D.exact_duplicates(docs, "text", "doc_id").collect()
+    ids = {r["doc_id"] for r in dups}
+    assert ids == {1, 2, 3}
+    assert all(r["canonical_id"] == 1 and r["group_size"] == 3 for r in dups)
+    kept = D.dedup_exact(docs, "text", "doc_id").select("doc_id").collect()
+    assert {r["doc_id"] for r in kept} == {1, 4, 5, 6}
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact dups have jaccard 1.0; near-dup 1<->4 shares most shingles
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert (1, 4) in got
+    assert not any(5 in p or 6 in p for p in got)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert j[(1, 2)] == 1.0
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got
+    # verification step guarantees no false positives
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert all(v >= 0.5 for v in j.values())
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = D.simhash_pairs(docs, "text", "doc_id", max_hamming=8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got  # identical normalized text: distance 0
+    h = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert h[(1, 2)] == 0
+    assert not any((a == 5 or b == 5) for a, b in got)
+
+
+def test_embedding_pairs_brute_vs_lsh(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    far = [rng.gauss(0, 1) for _ in range(16)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id long, embedding array<float>"
+    )
+    brute = D.embedding_cosine_pairs(df, "embedding", "vec_id", 0.99, method="brute").collect()
+    assert {(r["id_a"], r["id_b"]) for r in brute} == {(1, 2)}
+    lsh = D.embedding_cosine_pairs(df, "embedding", "vec_id", 0.99, method="lsh").collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} == {(1, 2)}
+
+
+def test_similarity_topk_real_embeddings(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(3)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    rows = exact.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["cos"])
+    for q, sims in by_q.items():
+        assert sorted(sims, reverse=True) == sims  # ranked desc
+    # IVF recall vs brute force
+    approx = S.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # n_probe=4 of 8 cells
+
+
+def test_text_analysis(spark, docs):
+    out = {r["doc_id"]: r for r in TA.analyze_documents(docs).collect()}
+    assert out[1]["ws_tokens"] == 9
+    assert out[1]["bpe_tokens"] == 9
+    assert out[3]["bpe_tokens"] > out[3]["ws_tokens"]  # '!!' counted
+    assert out[1]["lang_guess"] == "en"
+    assert out[6]["lang_guess"] == "de"
+    assert out[1]["fingerprint"] == out[2]["fingerprint"] == out[3]["fingerprint"]
+    assert 0.0 <= out[1]["quality"] <= 1.0
+    assert out[1]["quality"] > 0.5
+
+
+def test_multimodal_features(spark):
+    media = make_fake_media_table(spark, n=30)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["features"]) == 16 for r in rows)
+    # deterministic: same payload -> same features
+    again = {r["media_id"]: r["features"] for r in extract_features(media, fake=True).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+    # real decode is an explicit stub
+    with pytest.raises(Exception):
+        extract_features(media, fake=False).collect()
+
+
+def test_multimodal_frame_sampling(spark):
+    media = make_fake_media_table(spark, n=9)
+    frames = sample_frames(media, every_ms=1000, fake=True)
+    rows = frames.collect()
+    # only every third row is a 5000ms video -> 5 frames each
+    vids = {r["media_id"] for r in rows}
+    assert all(m % 3 == 0 for m in vids)
+    per = {}
+    for r in rows:
+        per[r["media_id"]] = per.get(r["media_id"], 0) + 1
+    assert all(v == 5 for v in per.values())
