@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship profile; ``queries()`` maps
+every implemented operator family (SURVEY.md §2 + the training-data
+pipeline ops) to a callable on the driver-generated parquet tables;
+``oracle_sql()`` provides DuckDB-equivalent SQL for each
+SQL-expressible query.  Column names/aliases match pairwise so the
+driver's order-insensitive value-hash comparison lines up.
 """
 
 from __future__ import annotations
@@ -12,27 +13,637 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# table helpers
+# ---------------------------------------------------------------------------
+LI_NUMERIC = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+]
+LI_STRING = ["l_returnflag", "l_linestatus"]
+EVENT_TYPES = ["click", "view", "purchase", "signup", "logout"]  # domain guess;
+# the domain check is exercised by whatever subset exists (see q)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full profile of lineitem at sf0.001."""
+    from datapatterns_spark.operators.profile import profile
+
+    return profile(_t(spark, "/root/testdata/sf0.001", "lineitem"))
 
 
+# ---------------------------------------------------------------------------
+# SQL-building helpers for the oracles
+# ---------------------------------------------------------------------------
+def _union_src(cols: list[tuple[str, str]], table: str, where: str = "") -> str:
+    """UNION ALL of SELECT '<attr>' AS attribute, <expr> ... per column."""
+    parts = []
+    for attr, expr in cols:
+        w = f" WHERE {where.format(c=attr)}" if where else ""
+        parts.append(f"SELECT '{attr}' AS attribute, {expr.format(c=attr)} FROM {table}{w}")
+    return " UNION ALL ".join(parts)
+
+
+_NUM_FILLED = "{c} IS NOT NULL AND {c} <> 0"
+_STR_FILLED = "length(trim(coalesce(CAST({c} AS VARCHAR), ''))) > 0"
+
+# the pattern palette in DuckDB (RE2): Lu->A, lower-ish->a, digits->9
+_PATTERN_SQL = (
+    "translate(regexp_replace(regexp_replace({v}, '\\p{{Lu}}', 'A', 'g'),"
+    " '[\\p{{Ll}}\\p{{Lt}}\\p{{Lm}}\\p{{Lo}}]', 'a', 'g'),"
+    " '0123456789', '9999999999')"
+)
+# best-type flags need '0' kept literal (digits 1-9 only -> 9)
+_PATTERN0_SQL = (
+    "translate(regexp_replace(regexp_replace({v}, '\\p{{Lu}}', 'A', 'g'),"
+    " '[\\p{{Ll}}\\p{{Lt}}\\p{{Lm}}\\p{{Lo}}]', 'a', 'g'),"
+    " '123456789', '999999999')"
+)
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(coalesce({v}, '')),"
+    " '[\\p{{Punct}}]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from datapatterns_spark.operators import constraints as C
+    from datapatterns_spark.operators import dedup as D
+    from datapatterns_spark.operators import similarity as S
+    from datapatterns_spark.operators import textanalysis as TA
+    from datapatterns_spark.operators.benford import benford
+    from datapatterns_spark.operators.cardinality import cardinality
+    from datapatterns_spark.operators.profile import profile
+    from datapatterns_spark.operators.validation import validate
+    from datapatterns_spark.sources.transcripts import (
+        generate_transcripts,
+        transcript_check_suite,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_profile_fill(spark, sf):
+        return profile(_t(spark, sf, "lineitem"), features=("fill_rate",)).select(
+            "attribute", "rec_count", "fill_count", "fill_rate"
+        )
+
+    def q_profile_numeric(spark, sf):
+        p = profile(
+            _t(spark, sf, "lineitem"),
+            field_list=LI_NUMERIC,
+            features=("min_max", "mean", "std_dev", "quartiles"),
+        )
+        return p.select(
+            "attribute",
+            F.col("numeric_min").alias("nmin"),
+            F.col("numeric_max").alias("nmax"),
+            F.col("numeric_mean").alias("nmean"),
+            F.col("numeric_std_dev").alias("nstd"),
+            F.col("numeric_lower_quartile").alias("q1"),
+            F.col("numeric_median").alias("q2"),
+            F.col("numeric_upper_quartile").alias("q3"),
+        )
+
+    def q_profile_cardinality(spark, sf):
+        return profile(
+            _t(spark, sf, "lineitem"), features=("cardinality",)
+        ).select("attribute", "cardinality")
+
+    def q_profile_lengths(spark, sf):
+        return profile(
+            _t(spark, sf, "documents"),
+            field_list=["text", "lang", "source"],
+            features=("lengths",),
+        ).select("attribute", "min_length", "max_length", "ave_length")
+
+    def q_profile_modes(spark, sf):
+        p = profile(
+            _t(spark, sf, "lineitem"), field_list=LI_STRING, features=("modes",)
+        )
+        m = p.select("attribute", F.explode("modes").alias("m"))
+        return m.select(
+            "attribute", F.col("m.value").alias("value"), F.col("m.rec_count").alias("rec_count")
+        )
+
+    def q_profile_patterns(spark, sf):
+        p = profile(
+            _t(spark, sf, "documents"),
+            field_list=["lang", "source", "text"],
+            features=("patterns",),
+        )
+        e = p.select("attribute", F.explode("popular_patterns").alias("pp"))
+        return e.select(
+            "attribute",
+            F.col("pp.data_pattern").alias("data_pattern"),
+            F.col("pp.rec_count").alias("rec_count"),
+            F.col("pp.example").alias("example"),
+        )
+
+    def q_profile_best_type(spark, sf):
+        return profile(
+            _t(spark, sf, "events"),
+            field_list=["event_type", "props"],
+            features=("best_ecl_types",),
+        ).select("attribute", "best_attribute_type")
+
+    def q_cardinality_histogram(spark, sf):
+        return cardinality(_t(spark, sf, "events"), field_list=["event_type"])
+
+    def q_benford(spark, sf):
+        return benford(
+            _t(spark, sf, "lineitem"),
+            field_list=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+
+    def q_validate(spark, sf):
+        v = validate(
+            _t(spark, sf, "lineitem"),
+            "QtyPositive:l_quantity > 0;"
+            "DiscSmall:l_discount <= 0.06;"
+            "TaxSmall:l_tax <= 0.04;"
+            "FlagUpper:IsOnlyUppercase(l_returnflag)",
+        )
+        return (
+            v.groupBy(
+                F.concat_ws(",", F.col("validation_results.violations")).alias("violations"),
+                F.col("validation_results.num_violations").alias("num_violations"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def q_constraint_verdicts(spark, sf):
+        ev = _t(spark, sf, "events")
+        checks = [
+            C.unique("unique_user_ts", ["user_id", "ts"]),
+            C.in_domain("event_type_domain", "event_type", EVENT_TYPES),
+            C.monotonic("ts_monotonic_by_event", "ts", "user_id", "event_id"),
+            C.row_rule("value_not_negative", "value >= 0"),
+        ]
+        verdicts, _ = C.run_checks(ev, checks, key_cols=["event_id"])
+        return verdicts.select("check_name", "passed", "violation_count")
+
+    def q_drift_psi(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        baseline = [1.0 / 32] * 32
+        checks = [
+            C.drift_psi("qty_psi", "l_quantity", baseline, bins=32, lo=1.0, hi=51.0, threshold=0.05)
+        ]
+        verdicts, _ = C.run_checks(li, checks)
+        return verdicts.select("check_name", "passed", F.col("metric").alias("psi"))
+
+    def q_similarity_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id").isin([1, 2, 3]))
+        r = S.brute_force_topk(emb, qs, k=5)
+        # 4-decimal rounding: float32 sum order differs between engines
+        # at the 6th decimal
+        return r.select(
+            "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
+        )
+
+    def q_exact_dedup(spark, sf):
+        return D.dedup_exact(_t(spark, sf, "documents"), "text", "doc_id").select("doc_id")
+
+    def q_ngram_jaccard(spark, sf):
+        return D.ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), "text", "doc_id", n=3, threshold=0.7
+        )
+
+    def q_text_tokens(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            TA.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+            TA.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        )
+
+    def q_text_langid(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", TA.lang_id(F.col("text")).alias("lang_guess"))
+
+    # --- weaker rows-only checks (no SQL-expressible oracle) ---
+    def q_minhash_lsh(spark, sf):
+        return D.minhash_lsh_pairs(
+            _t(spark, sf, "documents"), "text", "doc_id", threshold=0.7
+        )
+
+    def q_simhash(spark, sf):
+        return D.simhash_pairs(_t(spark, sf, "documents"), "text", "doc_id", max_hamming=3)
+
+    def q_transcript_suite(spark, sf):
+        df = generate_transcripts(spark, n_conversations=2000, seed=42, violation_rate=0.003)
+        verdicts, _ = C.run_checks(
+            df, transcript_check_suite(), key_cols=["conv_id", "turn_idx"]
+        )
+        return verdicts.select("check_name", "passed", "violation_count")
+
+    def q_profile_approx(spark, sf):
+        p = profile(_t(spark, sf, "lineitem"), mode="approx")
+        return p.select("attribute", "rec_count", "fill_count", "cardinality")
+
+    return {
+        "profile_fill": q_profile_fill,
+        "profile_numeric_stats": q_profile_numeric,
+        "profile_cardinality": q_profile_cardinality,
+        "profile_lengths": q_profile_lengths,
+        "profile_modes": q_profile_modes,
+        "profile_patterns": q_profile_patterns,
+        "profile_best_type": q_profile_best_type,
+        "cardinality_histogram": q_cardinality_histogram,
+        "benford_digit1": q_benford,
+        "validate_rules": q_validate,
+        "constraint_verdicts": q_constraint_verdicts,
+        "drift_psi": q_drift_psi,
+        "similarity_topk": q_similarity_topk,
+        "dedup_exact": q_exact_dedup,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "text_tokens": q_text_tokens,
+        "text_langid": q_text_langid,
+        "dedup_minhash_lsh": q_minhash_lsh,
+        "dedup_simhash": q_simhash,
+        "transcript_suite": q_transcript_suite,
+        "profile_approx": q_profile_approx,
+    }
 
 
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # ---- profile_fill ----
+    fill_parts = []
+    for c in LI_NUMERIC:
+        fill_parts.append(
+            f"SELECT '{c}' AS attribute, COUNT(*) AS rec_count,"
+            f" CAST(SUM(CASE WHEN {c} IS NOT NULL AND {c} <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS fill_count"
+            f" FROM lineitem"
+        )
+    for c in LI_STRING:
+        fill_parts.append(
+            f"SELECT '{c}' AS attribute, COUNT(*) AS rec_count,"
+            f" CAST(SUM(CASE WHEN length(trim(coalesce({c},''))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fill_count"
+            f" FROM lineitem"
+        )
+    fill_parts.append(
+        "SELECT 'l_shipdate' AS attribute, COUNT(*) AS rec_count,"
+        " CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fill_count"
+        " FROM lineitem"
+    )
+    profile_fill = (
+        "SELECT attribute, rec_count, fill_count,"
+        " ROUND(fill_count * 100.0 / rec_count, 6) AS fill_rate FROM ("
+        + " UNION ALL ".join(fill_parts)
+        + ")"
+    )
+
+    # ---- profile_numeric_stats (exact ECL quartile position math) ----
+    src = _union_src(
+        [(c, f"CAST({c} AS DOUBLE) AS v") for c in LI_NUMERIC],
+        "lineitem",
+        where=_NUM_FILLED,
+    )
+    profile_numeric = f"""
+WITH src AS ({src}),
+hist AS (SELECT attribute, v, COUNT(*) AS cnt FROM src GROUP BY 1, 2),
+pos AS (
+  SELECT attribute, v, cnt,
+         SUM(cnt) OVER (PARTITION BY attribute ORDER BY v) AS cum,
+         SUM(cnt) OVER (PARTITION BY attribute) AS total
+  FROM hist),
+p AS (
+  SELECT *,
+         total // 2 AS half,
+         (total // 2) + (total % 2) AS q2p1,
+         (total // 2) + (total % 2) + ((total + 1) % 2) AS q2p2,
+         ((total // 2) // 2) + ((total // 2) % 2) AS q1p1,
+         ((total // 2) // 2) + ((total // 2) % 2) + (((total // 2) + 1) % 2) AS q1p2
+  FROM pos),
+p2 AS (
+  SELECT *,
+         GREATEST(q2p1, q2p2) + ((half) // 2) + (half % 2) AS q3p1,
+         GREATEST(q2p1, q2p2) + ((half) // 2) + (half % 2) - ((half + 1) % 2) AS q3p2
+  FROM p)
+SELECT attribute,
+       ROUND(MIN(v), 4) AS nmin,
+       ROUND(MAX(v), 4) AS nmax,
+       ROUND(SUM(v * cnt) / SUM(cnt), 4) AS nmean,
+       ROUND(SQRT(SUM(v * v * cnt) / SUM(cnt) - (SUM(v * cnt) / SUM(cnt)) * (SUM(v * cnt) / SUM(cnt))), 4) AS nstd,
+       ROUND(CASE WHEN MAX(half) > 0 THEN (MIN(CASE WHEN cum >= q1p1 THEN v END) + MIN(CASE WHEN cum >= q1p2 THEN v END)) / 2 ELSE 0 END, 4) AS q1,
+       ROUND((MIN(CASE WHEN cum >= q2p1 THEN v END) + MIN(CASE WHEN cum >= q2p2 THEN v END)) / 2, 4) AS q2,
+       ROUND(CASE WHEN MAX(half) > 0 THEN (MIN(CASE WHEN cum >= q3p1 THEN v END) + MIN(CASE WHEN cum >= q3p2 THEN v END)) / 2 ELSE 0 END, 4) AS q3
+FROM p2 GROUP BY attribute
+"""
+
+    # ---- profile_cardinality ----
+    card_parts = []
+    for c in LI_NUMERIC:
+        card_parts.append(
+            f"SELECT '{c}' AS attribute, CAST(COUNT(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT)"
+            f" AS cardinality FROM lineitem WHERE {c} IS NOT NULL AND {c} <> 0"
+        )
+    for c in LI_STRING:
+        card_parts.append(
+            f"SELECT '{c}' AS attribute, CAST(COUNT(DISTINCT trim({c})) AS BIGINT)"
+            f" AS cardinality FROM lineitem WHERE length(trim(coalesce({c},''))) > 0"
+        )
+    card_parts.append(
+        "SELECT 'l_shipdate' AS attribute, CAST(COUNT(DISTINCT l_shipdate) AS BIGINT)"
+        " AS cardinality FROM lineitem WHERE l_shipdate IS NOT NULL"
+    )
+    profile_cardinality = " UNION ALL ".join(card_parts)
+
+    # ---- profile_lengths (trimmed, filled only, weighted trunc ave) ----
+    len_parts = [
+        f"SELECT '{c}' AS attribute, length(trim(coalesce({c},''))) AS len FROM documents"
+        f" WHERE length(trim(coalesce({c},''))) > 0"
+        for c in ["text", "lang", "source"]
+    ]
+    profile_lengths = (
+        "SELECT attribute, CAST(MIN(len) AS BIGINT) AS min_length,"
+        " CAST(MAX(len) AS BIGINT) AS max_length,"
+        " CAST(FLOOR(SUM(len) * 1.0 / COUNT(*)) AS BIGINT) AS ave_length FROM ("
+        + " UNION ALL ".join(len_parts)
+        + ") GROUP BY attribute"
+    )
+
+    # ---- profile_modes (top-5 tied at max, count > 1) ----
+    mode_src = _union_src(
+        [(c, f"trim({c}) AS value") for c in LI_STRING], "lineitem", where=_STR_FILLED
+    )
+    profile_modes = f"""
+WITH src AS ({mode_src}),
+vh AS (SELECT attribute, value, COUNT(*) AS rec_count FROM src GROUP BY 1, 2),
+m AS (SELECT *, MAX(rec_count) OVER (PARTITION BY attribute) AS mx,
+             ROW_NUMBER() OVER (PARTITION BY attribute ORDER BY rec_count DESC, value) AS rn
+      FROM vh)
+SELECT attribute, value, rec_count FROM m WHERE rn <= 5 AND rec_count = mx AND rec_count > 1
+"""
+
+    # ---- profile_patterns (top 100 by count desc, pattern asc) ----
+    pat_v = _PATTERN_SQL.format(v="substr(value, 1, 100)")
+    pat_src = _union_src(
+        [(c, f"trim({c}) AS value") for c in ["lang", "source", "text"]],
+        "documents",
+        where=_STR_FILLED,
+    )
+    profile_patterns = f"""
+WITH src AS ({pat_src}),
+pat AS (SELECT attribute, {pat_v} AS data_pattern,
+               COUNT(*) AS rec_count, MIN(substr(value, 1, 100)) AS example
+        FROM src GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY attribute ORDER BY rec_count DESC, data_pattern) AS rn FROM pat)
+SELECT attribute, data_pattern, rec_count, example FROM r WHERE rn <= 100
+"""
+
+    # ---- profile_best_type (flags AND-fold + ladder) ----
+    bt_src = _union_src(
+        [(c, f"trim(CAST({c} AS VARCHAR)) AS value") for c in ["event_type", "props"]],
+        "events",
+        where=_STR_FILLED,
+    )
+    pat0 = _PATTERN0_SQL.format(v="value")
+    profile_best_type = f"""
+WITH src AS ({bt_src}),
+pv AS (SELECT attribute, value, {pat0} AS pat FROM src),
+fl AS (SELECT attribute, length(value) AS len,
+              regexp_matches(value, '[^\\x00-\\x7F]') AS uni,
+              CASE
+                WHEN regexp_matches(pat, '^0[09]{{1,18}}$') THEN 0
+                WHEN regexp_matches(pat, '^\\-[09]{{1,19}}$') THEN 13
+                WHEN regexp_matches(pat, '^[09]{{1,19}}$') THEN 15
+                WHEN regexp_matches(pat, '^\\+?[09]{{1,20}}$') THEN 14
+                WHEN regexp_matches(pat, '^(\\-|\\+)?[09]{{0,15}}\\.[09]{{1,15}}$') THEN 12
+                WHEN regexp_matches(pat, '^(\\-|\\+)?[09]\\.[09]{{1,6}}[aA]\\-[09]{{1,3}}$') THEN 8
+                ELSE 0 END AS flag
+       FROM pv),
+agg AS (SELECT attribute, BIT_AND(flag) AS flags, MAX(len) AS maxlen,
+               COALESCE(MIN(CASE WHEN len > 0 THEN len END), 0) AS minlen,
+               BOOL_OR(uni) AS uni
+        FROM fl GROUP BY attribute)
+SELECT attribute,
+  CASE
+    WHEN (flags & 2) <> 0 THEN 'unsigned' || CAST(CASE WHEN maxlen < 3 THEN 1 WHEN maxlen < 5 THEN 2 WHEN maxlen < 7 THEN 3 WHEN maxlen < 9 THEN 4 WHEN maxlen < 11 THEN 5 WHEN maxlen < 14 THEN 6 WHEN maxlen < 16 THEN 7 ELSE 8 END AS VARCHAR)
+    WHEN (flags & 1) <> 0 THEN 'integer' || CAST(CASE WHEN maxlen < 3 THEN 1 WHEN maxlen < 5 THEN 2 WHEN maxlen < 7 THEN 3 WHEN maxlen < 9 THEN 4 WHEN maxlen < 11 THEN 5 WHEN maxlen < 14 THEN 6 WHEN maxlen < 16 THEN 7 ELSE 8 END AS VARCHAR)
+    WHEN (flags & 4) <> 0 THEN 'real' || (CASE WHEN maxlen < 8 THEN '4' ELSE '8' END)
+    WHEN (flags & 8) <> 0 THEN 'real8'
+    WHEN uni THEN 'utf8'
+    ELSE 'string' || (CASE WHEN maxlen > 0 AND maxlen < minlen * 1000 THEN CAST(maxlen AS VARCHAR) ELSE '' END)
+  END AS best_attribute_type
+FROM agg
+"""
+
+    # ---- cardinality_histogram (raw values, no trim/filter) ----
+    cardinality_histogram = (
+        "SELECT 'event_type' AS attribute, coalesce(CAST(event_type AS VARCHAR), '') AS value,"
+        " COUNT(*) AS rec_count FROM events GROUP BY 1, 2"
+    )
+
+    # ---- benford (digit 1) ----
+    ben_cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"]
+    ben_src_parts = [
+        f"SELECT {i + 1} AS ord, '{c}' AS attribute,"
+        f" CASE WHEN regexp_extract(CAST({c} AS VARCHAR), '[1-9]') <> ''"
+        f" THEN CAST(regexp_extract(CAST({c} AS VARCHAR), '[1-9]') AS INT)"
+        f" WHEN contains(CAST({c} AS VARCHAR), '.') THEN 0 ELSE 10 END AS n"
+        f" FROM lineitem"
+        for i, c in enumerate(ben_cols)
+    ]
+    digit_names = ["zero", "one", "two", "three", "four", "five", "six", "seven", "eight", "nine"]
+    pct_cols = ",\n       ".join(
+        f"ROUND(SUM(CASE WHEN n = {d} THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 1) AS {digit_names[d]}"
+        for d in range(10)
+    )
+    expected = {1: 30.1, 2: 17.6, 3: 12.5, 4: 9.7, 5: 7.9, 6: 6.7, 7: 5.8, 8: 5.1, 9: 4.6}
+    chi = " + ".join(
+        f"(({digit_names[d]} - {e}) * ({digit_names[d]} - {e}) / {e})"
+        for d, e in expected.items()
+    )
+    benford_sql = f"""
+WITH src AS ({' UNION ALL '.join(ben_src_parts)}),
+agg AS (
+  SELECT ord, attribute,
+       {pct_cols},
+       COUNT(*) AS num_values
+  FROM src WHERE n <> 10 GROUP BY ord, attribute),
+withchi AS (
+  SELECT attribute, CAST(-1.0 AS DOUBLE) AS zero, one, two, three, four, five, six, seven, eight, nine,
+         ROUND({chi}, 3) AS chi_squared, CAST(num_values AS BIGINT) AS num_values, ord
+  FROM agg)
+SELECT attribute, zero, one, two, three, four, five, six, seven, eight, nine, chi_squared, num_values
+FROM (
+  SELECT * FROM withchi
+  UNION ALL
+  SELECT '-- EXPECTED DIGIT 1 --', CAST(-1.0 AS DOUBLE), 30.1, 17.6, 12.5, 9.7, 7.9, 6.7, 5.8, 5.1, 4.6,
+         CAST(20.090 AS DOUBLE), (SELECT COUNT(*) FROM lineitem), 0
+) ORDER BY ord
+"""
+
+    # ---- validate ----
+    tests = [
+        ("QtyPositive", "l_quantity > 0"),
+        ("DiscSmall", "l_discount <= 0.06"),
+        ("TaxSmall", "l_tax <= 0.04"),
+        ("FlagUpper", "regexp_matches(CAST(l_returnflag AS VARCHAR), '^\\p{Lu}+$')"),
+    ]
+    name_cases = ",\n         ".join(
+        f"CASE WHEN ({t}) IS DISTINCT FROM TRUE THEN '{n}' END" for n, t in tests
+    )
+    cnt_cases = " + ".join(
+        f"(CASE WHEN ({t}) IS DISTINCT FROM TRUE THEN 1 ELSE 0 END)" for _, t in tests
+    )
+    validate_sql = f"""
+WITH v AS (
+  SELECT concat_ws(',',
+         {name_cases}) AS violations,
+         CAST({cnt_cases} AS INT) AS num_violations
+  FROM lineitem)
+SELECT violations, num_violations, COUNT(*) AS n FROM v GROUP BY 1, 2
+"""
+
+    # ---- constraint verdicts on events ----
+    domain_list = ", ".join(f"'{x}'" for x in EVENT_TYPES)
+    constraint_sql = f"""
+WITH uq AS (
+  SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS c FROM (
+    SELECT COUNT(*) AS cnt FROM events GROUP BY user_id, ts HAVING COUNT(*) > 1)),
+dom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events
+  WHERE (event_type IN ({domain_list})) IS DISTINCT FROM TRUE),
+mono AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS p FROM events)
+  WHERE p IS NOT NULL AND ts < p),
+neg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events
+  WHERE (value >= 0) IS DISTINCT FROM TRUE)
+SELECT 'unique_user_ts' AS check_name, (c = 0) AS passed, c AS violation_count FROM uq
+UNION ALL SELECT 'event_type_domain', (c = 0), c FROM dom
+UNION ALL SELECT 'ts_monotonic_by_event', (c = 0), c FROM mono
+UNION ALL SELECT 'value_not_negative', (c = 0), c FROM neg
+"""
+
+    # ---- drift PSI (uniform baseline, fixed lo/hi) ----
+    drift_sql = """
+WITH hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0) / (50.0 / 32)) AS INT), 0), 31) AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS t FROM hist),
+grid AS (SELECT CAST(range AS INT) AS bin FROM range(32)),
+j AS (
+  SELECT g.bin,
+         GREATEST(COALESCE(h.cnt, 0) * 1.0 / (SELECT t FROM tot), 0.000001) AS a,
+         GREATEST(1.0 / 32, 0.000001) AS b
+  FROM grid g LEFT JOIN hist h ON g.bin = h.bin)
+SELECT 'qty_psi' AS check_name,
+       (ROUND(SUM((a - b) * LN(a / b)), 6) <= 0.05) AS passed,
+       ROUND(SUM((a - b) * LN(a / b)), 6) AS psi
+FROM j
+"""
+
+    # ---- similarity top-k ----
+    similarity_sql = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (1, 2, 3)),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.embedding) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, CAST(rn AS INT) AS rank FROM r WHERE rn <= 5
+"""
+
+    # ---- exact dedup ----
+    norm = _NORM_SQL.format(v="text")
+    dedup_exact_sql = f"""
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY {norm}
+"""
+
+    # ---- n-gram jaccard pairs ----
+    ngram_sql = f"""
+WITH norm AS (SELECT doc_id AS id, {norm} AS t FROM documents),
+toks AS (SELECT id, string_split(t, ' ') AS tk FROM norm),
+grams AS (
+  SELECT id,
+         CASE WHEN len(tk) >= 3
+              THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])))
+              ELSE [array_to_string(tk, ' ')] END AS g
+  FROM toks),
+sizes AS (SELECT id, len(g) AS sz FROM grams),
+inv AS (SELECT id, UNNEST(g) AS gram FROM grams),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT c.id_a, c.id_b,
+       ROUND(c.common * 1.0 / (sa.sz + sb.sz - c.common), 6) AS jaccard
+FROM common c JOIN sizes sa ON c.id_a = sa.id JOIN sizes sb ON c.id_b = sb.id
+WHERE c.common * 1.0 / (sa.sz + sb.sz - c.common) >= 0.7
+"""
+
+    # ---- token counts ----
+    text_tokens_sql = """
+SELECT doc_id,
+       CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+            ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS INT) AS bpe_tokens
+FROM documents
+"""
+
+    # ---- language id ----
+    markers = {
+        "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+        "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
+        "fr": ["le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"],
+        "es": ["el", "la", "los", "de", "que", "y", "en", "un", "por", "con"],
+        "it": ["il", "la", "di", "che", "e", "un", "per", "con", "del", "una"],
+    }
+    entries = ", ".join(
+        "{neg: -len(list_filter(tk, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ws)
+        + f"], x))), lang: '{lang}'}}"
+        for lang, ws in markers.items()
+    )
+    langid_sql = f"""
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+scored AS (SELECT doc_id, list_sort([{entries}]) AS s FROM toks)
+SELECT doc_id,
+       CASE WHEN s[1].neg < 0 THEN s[1].lang ELSE 'und' END AS lang_guess
+FROM scored
+"""
+
+    return {
+        "profile_fill": profile_fill,
+        "profile_numeric_stats": profile_numeric,
+        "profile_cardinality": profile_cardinality,
+        "profile_lengths": profile_lengths,
+        "profile_modes": profile_modes,
+        "profile_patterns": profile_patterns,
+        "profile_best_type": profile_best_type,
+        "cardinality_histogram": cardinality_histogram,
+        "benford_digit1": benford_sql,
+        "validate_rules": validate_sql,
+        "constraint_verdicts": constraint_sql,
+        "drift_psi": drift_sql,
+        "similarity_topk": similarity_sql,
+        "dedup_exact": dedup_exact_sql,
+        "dedup_ngram_jaccard": ngram_sql,
+        "text_tokens": text_tokens_sql,
+        "text_langid": langid_sql,
+        # dedup_minhash_lsh / dedup_simhash / transcript_suite /
+        # profile_approx: probabilistic or generator-backed -> rows-only
+    }

@@ -304,11 +304,20 @@ def simhash_pairs(
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns.  Terms are
+    promoted to double BEFORE multiplying — float*float products lose
+    precision that breaks parity with double-based oracles."""
     dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double"))
+    )
     return dot / (na * nb)
 
 
