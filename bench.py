@@ -1,0 +1,178 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Runs the headline operator suite at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "turns_per_sec": ..., "transcript_turns": ...}
+
+The flagship measurement matches BASELINE.json's metric: turns/sec
+profiled+validated (full Profile + the whole constraint suite) over a
+synthetic transcript table.
+
+``--scaling`` additionally runs the flagship job at local[8] and
+local[32] in fresh subprocesses (the sandbox stand-in for N vs 4N
+executors, per BASELINE.md) and reports throughput at both plus the
+scaling efficiency (t8/t32)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# transcript conversations for the flagship run (~1.3M turns at 65k)
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "65000"))
+
+
+def _sf_from_dir(d: str) -> float:
+    try:
+        return float(d.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return -1.0
+
+
+def build_session(cpus: str):
+    from datapatterns_spark.session import get_spark
+
+    return get_spark(
+        "datapatterns-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=str(max(int(cpus) * 2, 8)),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+def flagship_profile_validate(spark, n_convs: int) -> int:
+    """The BASELINE.json metric workload: full Profile (approx/sketch
+    mode — the 10^12-row path) + all transcript constraint checks over
+    a synthetic transcript table.  Returns the number of turns."""
+    from pyspark.sql import functions as F
+
+    from datapatterns_spark.operators import constraints as C
+    from datapatterns_spark.operators.profile import profile
+    from datapatterns_spark.sources.transcripts import (
+        generate_transcripts,
+        transcript_check_suite,
+    )
+
+    df = generate_transcripts(spark, n_conversations=n_convs, seed=42)
+    df = df.withColumn(
+        "part", F.pmod(F.xxhash64("conv_id"), F.lit(16)).cast("string")
+    )
+    # persist the generated input so we measure the engine, not the
+    # generator, consistently across both phases
+    df = df.cache()
+    n = df.count()
+
+    prof = profile(df.drop("part"), mode="approx")
+    prof.collect()
+
+    verdicts, violations = C.run_checks(
+        df,
+        transcript_check_suite(),
+        partition_col="part",
+        key_cols=["conv_id", "turn_idx"],
+    )
+    verdicts.collect()
+    violations.count()
+    df.unpersist()
+    return n
+
+
+def run_suite() -> dict:
+    import __spark_entry__ as entrymod
+
+    spark = build_session(CPUS)
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen with a trivial action
+    spark.range(10).count()
+
+    t0 = time.time()
+    n_turns = flagship_profile_validate(spark, N_CONVS)
+    timings["profile_validate_transcripts"] = round(time.time() - t0, 3)
+    turns_per_sec = n_turns / timings["profile_validate_transcripts"]
+
+    qs = entrymod.queries()
+    headline = [
+        "profile_fill",
+        "profile_numeric_stats",
+        "profile_patterns",
+        "benford_digit1",
+        "validate_rules",
+        "constraint_verdicts",
+        "cardinality_histogram",
+        "dedup_minhash_lsh",
+        "similarity_topk",
+        "text_tokens",
+    ]
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline suite wall time (flagship: turns/sec profiled+validated)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "transcript_turns": n_turns,
+        "turns_per_sec": round(turns_per_sec, 1),
+        "cpus": int(CPUS),
+    }
+
+
+def run_flagship_only(cpus: str) -> dict:
+    spark = build_session(cpus)
+    spark.range(10).count()
+    t0 = time.time()
+    n = flagship_profile_validate(spark, N_CONVS)
+    el = time.time() - t0
+    spark.stop()
+    return {"cpus": int(cpus), "sec": round(el, 3), "turns": n,
+            "turns_per_sec": round(n / el, 1)}
+
+
+def main() -> None:
+    if "--flagship-only" in sys.argv:
+        cpus = sys.argv[sys.argv.index("--flagship-only") + 1]
+        print(json.dumps(run_flagship_only(cpus)))
+        return
+
+    result = run_suite()
+
+    if "--scaling" in sys.argv:
+        runs = {}
+        for cpus in ("8", "32"):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship-only", cpus],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        t8, t32 = runs["8"]["sec"], runs["32"]["sec"]
+        result["scaling"] = {
+            "local8": runs["8"],
+            "local32": runs["32"],
+            "efficiency": round((t8 / t32) / 4.0, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

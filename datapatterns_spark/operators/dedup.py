@@ -71,9 +71,11 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str, normalize: bool = Tru
 # ---------------------------------------------------------------------------
 # shingles + exact n-gram Jaccard
 # ---------------------------------------------------------------------------
-def shingles(col: Column, n: int = 3, words: bool = True) -> Column:
-    """Distinct word (or character) n-gram array of the normalized
-    text."""
+def shingles(col: Column, n: int = 3, words: bool = True, distinct: bool = True) -> Column:
+    """Word (or character) n-gram array of the normalized text.
+
+    ``distinct=False`` skips the per-row hash-set dedup — correct for
+    min-hash signatures (duplicates don't change a min)."""
     norm = normalized_text(col)
     if words:
         toks = F.split(norm, " ")
@@ -90,7 +92,7 @@ def shingles(col: Column, n: int = 3, words: bool = True) -> Column:
             F.sequence(F.lit(1), count), lambda i: F.substring(norm, i, n)
         )
         grams = F.when(count > 0, grams).otherwise(F.array(norm))
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def ngram_jaccard_pairs(
@@ -142,17 +144,6 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def minhash_signature(sh_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per seed i, min over shingles of
-    xxhash64(shingle, i)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(sh_col, lambda g, i=i: F.xxhash64(g, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -164,49 +155,74 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs: shingle -> minhash -> band -> bucket-join
     -> exact-Jaccard verification (no false positives; recall is the
-    standard LSH S-curve at (bands, rows_per_band))."""
+    standard LSH S-curve at (bands, rows_per_band)).
+
+    The signature is computed by exploding shingles and running
+    ``min(xxhash64(g, i))`` aggregates — each hash evaluated exactly
+    once (an inline array-expression signature gets duplicated into
+    every band struct by Catalyst's CollapseProject, multiplying the
+    work ~bands-fold), and the shuffle carries hashes, not text.
+    """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-    buckets = sh.select(
+    # duplicate shingles don't change a min-hash -> no distinct needed
+    # before the signature aggregation; the shuffle carries (id, hash)
+    # partials, never text
+    inv = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n, distinct=False)).alias("g"),
+    )
+    sig = inv.groupBy("id").agg(
+        *[F.min(F.xxhash64("g", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
+    )
+    # signatures are tiny (num_hashes longs per doc); persist so the
+    # band fan-out + self-join don't recompute the corpus scan
+    sig = sig.persist()
+    buckets = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bucket")
-    a, b = buckets.alias("a"), buckets.alias("b")
+    ).select("id", "bb.band", "bb.bucket")
+    left = buckets.toDF("id_a", "band", "bucket")
+    right = buckets.toDF("id_b", "band_r", "bucket_r")
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        left.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("bucket") == F.col("bucket_r"))
+            & (F.col("id_a") < F.col("id_b")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # exact-Jaccard verification: recompute distinct shingle sets ONLY
+    # for candidate docs (a semi-join-bounded set, tiny vs the corpus)
+    cand_ids = cands.select(F.col("id_a").alias("id")).union(
+        cands.select(F.col("id_b").alias("id"))
+    ).distinct()
+    shc = (
+        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+        .join(cand_ids, "id", "left_semi")
+    )
+    sh_a = shc.toDF("id_a", "sh_a")
+    sh_b = shc.toDF("id_b", "sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cands.withColumn("jaccard", F.round(inter / union, 6))
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

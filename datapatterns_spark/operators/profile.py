@@ -8,10 +8,11 @@ column in one scan:
 1. **melt**: one ``inline(array(struct(...)))`` projection emits
    ``(attribute, value, len)`` per column per row — all JVM-side
    expressions, no Python in the hot path;
-2. **histogram**: ``groupBy(attribute, value, len).count()`` reduces
-   the data to distinct-value counts *before* any further statistics —
-   the reference's own skew/temp-storage trick (Profile.ecl:719-728)
-   — with Spark's partial (map-side) aggregation bounding the shuffle;
+2. **histogram** (exact mode): ``groupBy(attribute, value, len)``
+   reduces the data to distinct-value counts *before* any further
+   statistics — the reference's own skew/temp-storage trick
+   (Profile.ecl:719-728) — with Spark's partial (map-side)
+   aggregation bounding the shuffle;
 3. every downstream statistic (fill, lengths, cardinality, modes,
    cardinality breakdown, text patterns, best-type inference, numeric
    stats incl. the reference's exact quartile position arithmetic) is
@@ -19,11 +20,24 @@ column in one scan:
 4. correlations run as one ``agg`` of ``corr(x, y)`` over all numeric
    pairs on the source frame (Profile.ecl:1213-1245).
 
-``mode="approx"`` swaps exact cardinality/quartiles for mergeable
-sketches (HLL++ via ``approx_count_distinct``, ``percentile_approx``)
-and computes modes/breakdowns only for attributes whose estimated
-cardinality is low — the 10^12-row path (documented deviation; the
-reference is always exact).
+Scale design notes:
+
+* per-group top-k (modes, patterns) never runs a window over whole
+  attributes (an attribute is ONE window partition = one task):
+  modes join against a broadcast per-attribute max; pattern top-k is
+  a salted two-phase ``row_number`` (bucket-local top-k, then final
+  top-k over <= buckets*k rows);
+* ``mode="approx"`` is the 10^12-row path: NO raw-value shuffle at
+  all — fill/lengths/type-folds/HLL cardinality
+  (``approx_count_distinct``) aggregate the melt directly,
+  quantiles use ``percentile_approx`` sketches, patterns group on the
+  (bounded-cardinality) pattern string, and modes/breakdowns are
+  computed exactly but only for attributes whose estimated
+  cardinality is low (a second bounded pass).  Deviation from the
+  always-exact reference is documented per stat;
+* exact quartiles keep the reference's cumulative-position windows —
+  inherently one ordered pass per numeric attribute (use approx mode
+  when that matters).
 """
 
 from __future__ import annotations
@@ -32,7 +46,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions import besttype
 from ..functions.patterns import finish_pattern, is_non_ascii, map_pattern
@@ -67,6 +80,8 @@ _MODE_STRUCT = "struct<value:string,rec_count:bigint>"
 _PATTERN_STRUCT = "struct<data_pattern:string,rec_count:bigint,example:string>"
 _CORR_STRUCT = "struct<attribute:string,corr:double>"
 
+NUMERIC_FEATURES = ("min_max", "mean", "std_dev", "quartiles")
+
 
 @dataclass
 class ProfileParams:
@@ -87,6 +102,28 @@ class ProfileParams:
 
     def has(self, feat: str) -> bool:
         return feat in self.features
+
+    # ---- feature-driven plan gating ----
+    @property
+    def need_numeric(self) -> bool:
+        return any(self.has(f) for f in NUMERIC_FEATURES)
+
+    @property
+    def need_flags(self) -> bool:
+        # best types OR detecting string columns that are best-numeric
+        return self.has("best_ecl_types") or self.need_numeric
+
+    @property
+    def need_lengths(self) -> bool:
+        return self.has("lengths") or self.need_flags
+
+    @property
+    def need_cardinality(self) -> bool:
+        return (
+            self.has("cardinality")
+            or (self.has("cardinality_breakdown") and self.lcb_limit > 0)
+            or self.mode == "approx"  # gates the low-card modes pass
+        )
 
 
 def _value_expr(a: AttrInfo) -> Column:
@@ -132,8 +169,7 @@ def melt(df: DataFrame, attrs: list[AttrInfo]) -> DataFrame:
 
 
 def _filled_expr(attrs: list[AttrInfo], allow_zero: bool) -> Column:
-    """Per-attribute filled semantics (Profile.ecl:830-844), applied
-    post-histogram so the test runs once per distinct value."""
+    """Per-attribute filled semantics (Profile.ecl:830-844)."""
     numeric = [a.name for a in attrs if a.kind == KIND_NUMERIC]
     booleans = [a.name for a in attrs if a.kind == KIND_BOOLEAN]
     att, val, ln = F.col("attribute"), F.col("value"), F.col("len")
@@ -173,6 +209,28 @@ def _deterministic_sample(df: DataFrame, pct: int) -> DataFrame:
         return df
     h = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(100))
     return df.filter(h < pct)
+
+
+def grouped_topk(
+    df: DataFrame,
+    keys: list[str],
+    order: list[Column],
+    k: int,
+    salt_col: Column,
+    buckets: int = 64,
+    rank_name: str = "_rn",
+) -> DataFrame:
+    """Skew-free per-group top-k: a whole group is never one window
+    partition.  Phase 1 takes a local top-k inside ``buckets`` salt
+    partitions per group; phase 2 ranks the <= buckets*k survivors."""
+    salt = F.pmod(salt_col, F.lit(buckets))
+    local = df.withColumn("_rn1", F.row_number().over(
+        Window.partitionBy(*[F.col(c) for c in keys], salt).orderBy(*order)
+    )).filter(F.col("_rn1") <= k).drop("_rn1")
+    w2 = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order)
+    return local.withColumn(rank_name, F.row_number().over(w2)).filter(
+        F.col(rank_name) <= k
+    )
 
 
 def _attr_meta_df(df: DataFrame, attrs: list[AttrInfo], sort_prefix: str, name_prefix: str):
@@ -271,6 +329,7 @@ def _profile_flat(
     """Profile a flat (scalar-attribute) frame — the analogue of one
     ``_Inner_Profile`` expansion (Profile.ecl:508-1665)."""
     plen = params.pattern_len
+    exact = params.mode == "exact"
     meta = _attr_meta_df(df, attrs, sort_prefix, name_prefix)
 
     string_attrs = [a.name for a in attrs if a.kind == KIND_STRING]
@@ -280,26 +339,51 @@ def _profile_flat(
 
     melted = melt(df, attrs)
 
-    # --- weighted distinct-value histogram (A1, Profile.ecl:771-866) ---
-    hist = (
-        melted.groupBy("attribute", "value", "len")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("filled", _filled_expr(attrs, params.allow_zero))
-        .withColumn("pattern", _pattern_expr(attrs, plen))
+    def derive(frame: DataFrame, with_flags: bool, with_pattern: bool) -> DataFrame:
+        out = frame.withColumn("filled", _filled_expr(attrs, params.allow_zero))
+        if with_pattern:
+            out = out.withColumn("pattern", _pattern_expr(attrs, plen))
+        att = F.col("attribute")
+        if with_flags:
+            out = out.withColumn(
+                "type_flag",
+                F.when(
+                    att.isin(as_is_attrs) if as_is_attrs else F.lit(False),
+                    F.lit(besttype.AS_IS),
+                ).otherwise(besttype.type_flag(F.col("pattern"), treat_as_is=False)),
+            ).withColumn(
+                "is_uni",
+                (
+                    att.isin(string_attrs) if string_attrs else F.lit(False)
+                ) & is_non_ascii(F.col("value")),
+            )
+        return out
+
+    need_pattern = params.need_flags or (params.has("patterns") and params.max_patterns > 0)
+    # fill/lengths/type-folds are exact either way; the distinct-value
+    # histogram only pays off when some stat genuinely groups by value
+    needs_value_grouping = (
+        params.has("cardinality")
+        or (params.has("cardinality_breakdown") and params.lcb_limit > 0)
+        or params.has("modes")
+        or (params.has("patterns") and params.max_patterns > 0)
+        or params.need_numeric
     )
-    att = F.col("attribute")
-    hist = hist.withColumn(
-        "type_flag",
-        F.when(
-            att.isin(as_is_attrs) if as_is_attrs else F.lit(False),
-            F.lit(besttype.AS_IS),
-        ).otherwise(besttype.type_flag(F.col("pattern"), treat_as_is=False)),
-    ).withColumn(
-        "is_uni",
-        (
-            att.isin(string_attrs) if string_attrs else F.lit(False)
-        ) & is_non_ascii(F.col("value")),
-    )
+
+    if exact and needs_value_grouping:
+        # distinct-value histogram first: pattern/flag work then runs
+        # once per distinct value (cheaper than per row)
+        hist = (
+            melted.groupBy("attribute", "value", "len")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        hist = derive(hist, params.need_flags, need_pattern)
+        stats_src = hist
+    else:
+        # approx/sketch path: never shuffle raw values — derive per
+        # row, aggregate the melt directly (map-side partial agg
+        # collapses to one partial row per attribute per task)
+        stats_src = derive(melted.withColumn("cnt", F.lit(1)), params.need_flags, need_pattern)
 
     filled = F.col("filled")
     w_cnt = F.when(filled, F.col("cnt"))
@@ -308,90 +392,107 @@ def _profile_flat(
     agg_exprs = [
         F.sum("cnt").alias("rec_count"),
         F.coalesce(F.sum(w_cnt), F.lit(0)).alias("fill_count"),
-        F.coalesce(F.min(F.when(filled, F.col("len"))), F.lit(0)).alias("min_length"),
-        F.coalesce(F.max(F.when(filled, F.col("len"))), F.lit(0)).alias("max_length"),
-        F.coalesce(
-            F.floor(
-                F.sum(F.when(filled, F.col("len") * F.col("cnt")))
-                / F.sum(w_cnt)
-            ),
-            F.lit(0),
-        ).alias("ave_length"),
-        # AND-fold of per-value type flags (Profile.ecl:967-992)
-        F.coalesce(F.bit_and(F.when(filled, F.col("type_flag"))), F.lit(0)).alias("type_flags"),
-        F.coalesce(
-            F.min(F.when(filled & (F.col("len") > 0), F.col("len"))), F.lit(0)
-        ).alias("min_len_nonzero"),
-        F.coalesce(F.max(F.when(filled, F.col("is_uni").cast("int"))), F.lit(0)).alias("_uni"),
     ]
-    if params.mode == "exact":
-        agg_exprs.append(
-            F.count_distinct(F.when(filled, F.col("value"))).alias("cardinality")
-        )
-    else:
-        agg_exprs.append(
-            F.approx_count_distinct(F.when(filled, F.col("value"))).alias("cardinality")
-        )
-    summary = hist.groupBy("attribute").agg(*agg_exprs)
+    if params.need_lengths:
+        agg_exprs += [
+            F.coalesce(F.min(F.when(filled, F.col("len"))), F.lit(0)).alias("min_length"),
+            F.coalesce(F.max(F.when(filled, F.col("len"))), F.lit(0)).alias("max_length"),
+            F.coalesce(
+                F.floor(F.sum(F.when(filled, F.col("len") * F.col("cnt"))) / F.sum(w_cnt)),
+                F.lit(0),
+            ).alias("ave_length"),
+            F.coalesce(
+                F.min(F.when(filled & (F.col("len") > 0), F.col("len"))), F.lit(0)
+            ).alias("min_len_nonzero"),
+        ]
+    if params.need_flags:
+        # AND-fold of per-value type flags (Profile.ecl:967-992)
+        agg_exprs += [
+            F.coalesce(F.bit_and(F.when(filled, F.col("type_flag"))), F.lit(0)).alias(
+                "type_flags"
+            ),
+            F.coalesce(F.max(F.when(filled, F.col("is_uni").cast("int"))), F.lit(0)).alias(
+                "_uni"
+            ),
+        ]
+    if params.need_cardinality:
+        if exact:
+            agg_exprs.append(
+                F.count_distinct(F.when(filled, F.col("value"))).alias("cardinality")
+            )
+        else:
+            # HLL++ sketch — mergeable, ~2% relative error (documented
+            # deviation: the reference is exact, Cardinality.ecl)
+            agg_exprs.append(
+                F.approx_count_distinct(F.when(filled, F.col("value"))).alias("cardinality")
+            )
+    summary = stats_src.groupBy("attribute").agg(*agg_exprs)
 
+    fill_defaults = {
+        "rec_count": 0,
+        "fill_count": 0,
+        "min_length": 0,
+        "max_length": 0,
+        "ave_length": 0,
+        "type_flags": 0,
+        "min_len_nonzero": 0,
+        "_uni": 0,
+        "cardinality": 0,
+    }
     # meta.attribute carries the (possibly child-dataset-prefixed) full
     # name; the histogram uses local column names -> join on local name.
     base = meta.join(
         summary.withColumnRenamed("attribute", "_local_name"), "_local_name", "left"
-    ).na.fill(
-        {
-            "rec_count": 0,
-            "fill_count": 0,
-            "min_length": 0,
-            "max_length": 0,
-            "ave_length": 0,
-            "type_flags": 0,
-            "min_len_nonzero": 0,
-            "_uni": 0,
-            "cardinality": 0,
-        }
-    )
+    ).na.fill({k: v for k, v in fill_defaults.items() if k in summary.columns or k in ("rec_count",)})
 
-    # --- best type per attribute (Profile.ecl:1002-1023) ---
-    best_cases = None
-    numeric_flag_cases = None
-    for a in attrs:
-        name_c = F.col("attribute") == (name_prefix + a.name)
-        bt = besttype.best_type_name(
-            kind=a.kind,
-            given_type=a.given_type,
-            flags=F.col("type_flags"),
-            max_len=F.col("max_length"),
-            min_len_nonzero=F.col("min_len_nonzero"),
-            is_unicode=F.col("_uni") == 1,
-        )
-        bt = F.when(F.col("fill_count") == 0, F.col("given_attribute_type")).otherwise(bt)
-        is_num = F.lit(a.kind == KIND_NUMERIC) | (
-            F.lit(a.kind == KIND_STRING)
-            & (
-                F.col("type_flags").bitwiseAND(
-                    F.lit(
-                        besttype.SIGNED
-                        | besttype.UNSIGNED
-                        | besttype.FLOAT
-                        | besttype.EXP
-                    )
-                )
-                != 0
+    # --- best type + is_numeric per attribute (Profile.ecl:1002-1023) ---
+    if params.need_flags:
+        best_cases = None
+        numeric_flag_cases = None
+        for a in attrs:
+            name_c = F.col("attribute") == (name_prefix + a.name)
+            bt = besttype.best_type_name(
+                kind=a.kind,
+                given_type=a.given_type,
+                flags=F.col("type_flags"),
+                max_len=F.col("max_length"),
+                min_len_nonzero=F.col("min_len_nonzero"),
+                is_unicode=F.col("_uni") == 1,
             )
-            & (F.col("fill_count") > 0)
+            bt = F.when(F.col("fill_count") == 0, F.col("given_attribute_type")).otherwise(bt)
+            is_num = F.lit(a.kind == KIND_NUMERIC) | (
+                F.lit(a.kind == KIND_STRING)
+                & (
+                    F.col("type_flags").bitwiseAND(
+                        F.lit(
+                            besttype.SIGNED
+                            | besttype.UNSIGNED
+                            | besttype.FLOAT
+                            | besttype.EXP
+                        )
+                    )
+                    != 0
+                )
+                & (F.col("fill_count") > 0)
+            )
+            best_cases = (
+                F.when(name_c, bt) if best_cases is None else best_cases.when(name_c, bt)
+            )
+            numeric_flag_cases = (
+                F.when(name_c, is_num)
+                if numeric_flag_cases is None
+                else numeric_flag_cases.when(name_c, is_num)
+            )
+        base = base.withColumn("best_attribute_type", best_cases).withColumn(
+            "is_numeric", F.coalesce(numeric_flag_cases, F.lit(False))
         )
-        best_cases = (
-            F.when(name_c, bt) if best_cases is None else best_cases.when(name_c, bt)
+    else:
+        base = base.withColumn(
+            "best_attribute_type", F.col("given_attribute_type")
+        ).withColumn(
+            "is_numeric",
+            F.col("_kind") == KIND_NUMERIC,
         )
-        numeric_flag_cases = (
-            F.when(name_c, is_num)
-            if numeric_flag_cases is None
-            else numeric_flag_cases.when(name_c, is_num)
-        )
-    base = base.withColumn("best_attribute_type", best_cases).withColumn(
-        "is_numeric", F.coalesce(numeric_flag_cases, F.lit(False))
-    )
     base = base.withColumn(
         "fill_rate",
         F.when(
@@ -403,20 +504,16 @@ def _profile_flat(
     pieces = [base]
     prefixed = F.concat(F.lit(name_prefix), F.col("attribute"))
 
-    # --- numeric stats over the weighted histogram (A5/A6) ---
-    want_numstats = any(
-        params.has(f) for f in ("min_max", "mean", "std_dev", "quartiles")
-    )
-    if want_numstats:
+    # --- numeric stats (A5/A6) ---
+    if params.need_numeric:
         num_attr_names = base.filter(F.col("is_numeric")).select(
             F.col("_local_name").alias("attribute")
         )
-        hnum = (
-            hist.filter(filled)
-            .join(F.broadcast(num_attr_names), "attribute")
-            .select("attribute", F.col("value").cast("double").alias("v"), "cnt")
+        src = stats_src.filter(filled).join(F.broadcast(num_attr_names), "attribute")
+        hnum = src.select(
+            "attribute", F.col("value").cast("double").alias("v"), "cnt"
         )
-        if params.mode == "exact":
+        if exact:
             numstats = _exact_numeric_stats(hnum)
         else:
             numstats = _approx_numeric_stats(hnum)
@@ -428,72 +525,89 @@ def _profile_flat(
 
     # --- modes (J2: top-5 tied for max, count>1) + low-card breakdown ---
     if params.has("modes") or params.has("cardinality_breakdown"):
-        vh = (
-            hist.filter(filled)
-            .groupBy("attribute", "value")
-            .agg(F.sum("cnt").alias("rec_count"))
-        )
-        if params.mode == "approx":
-            low_card = base.filter(
-                F.col("cardinality") <= params.approx_mode_card_limit
+        if exact:
+            vh = (
+                stats_src.filter(filled)
+                .groupBy("attribute", "value")
+                .agg(F.sum("cnt").alias("rec_count"))
+            )
+        else:
+            # approx: exact (attr, value) counts only for attributes
+            # whose HLL cardinality is low — a bounded second pass
+            low_card = [
+                r["attribute"]
+                for r in base.filter(
+                    F.col("cardinality") <= params.approx_mode_card_limit
+                )
+                .select(F.col("_local_name").alias("attribute"))
+                .collect()
+            ]
+            vh = (
+                melted.filter(F.col("attribute").isin(low_card))
+                .withColumn("filled", _filled_expr(attrs, params.allow_zero))
+                .filter(F.col("filled"))
+                .groupBy("attribute", "value")
+                .agg(F.count(F.lit(1)).alias("rec_count"))
+            )
+        if params.has("modes"):
+            # ties-at-max via broadcast max-join — no whole-attribute
+            # window partition (SURVEY.md hard part #3 / skew note)
+            max_cnt = vh.groupBy("attribute").agg(F.max("rec_count").alias("_mx"))
+            tied = vh.join(F.broadcast(max_cnt), "attribute").filter(
+                (F.col("rec_count") == F.col("_mx")) & (F.col("rec_count") > 1)
+            )
+            w_tied = Window.partitionBy("attribute").orderBy(F.asc("value"))
+            mode_rows = tied.withColumn("_rn", F.row_number().over(w_tied)).filter(
+                F.col("_rn") <= MAX_MODES
+            )
+            modes = mode_rows.groupBy("attribute").agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("value").alias("value"),
+                            F.col("rec_count").alias("rec_count"),
+                        )
+                    )
+                ).alias("modes")
+            )
+            pieces.append(
+                modes.select(
+                    F.concat(F.lit(name_prefix), F.col("attribute")).alias("attribute"),
+                    "modes",
+                )
+            )
+        if params.has("cardinality_breakdown") and params.lcb_limit > 0:
+            low_attrs = base.filter(
+                (F.col("cardinality") > 0) & (F.col("cardinality") <= params.lcb_limit)
             ).select(F.col("_local_name").alias("attribute"))
-            vh = vh.join(F.broadcast(low_card), "attribute")
-        w = Window.partitionBy("attribute")
-        w_top = Window.partitionBy("attribute").orderBy(
-            F.desc("rec_count"), F.asc("value")
-        )
-        vh2 = vh.withColumn("max_cnt", F.max("rec_count").over(w)).withColumn(
-            "rn", F.row_number().over(w_top)
-        ).withColumn("n_distinct", F.count(F.lit(1)).over(w))
-        mode_rows = vh2.filter(
-            (F.col("rn") <= MAX_MODES)
-            & (F.col("rec_count") == F.col("max_cnt"))
-            & (F.col("rec_count") > 1)
-        )
-        modes = mode_rows.groupBy("attribute").agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("value").alias("value"),
-                            F.col("rec_count").alias("rec_count"),
+            lcb_rows = vh.join(F.broadcast(low_attrs), "attribute")
+            lcb = lcb_rows.groupBy("attribute").agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("rec_count")).alias("_k"),
+                                F.col("value").alias("value"),
+                                F.col("rec_count").alias("rec_count"),
+                            )
                         )
-                    )
-                ),
-                lambda s: s,
-            ).alias("modes")
-        )
-        lcb_rows = vh2.filter(F.col("n_distinct") <= params.lcb_limit)
-        lcb = lcb_rows.groupBy("attribute").agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("rec_count")).alias("_k"),
-                            F.col("value").alias("value"),
-                            F.col("rec_count").alias("rec_count"),
-                        )
-                    )
-                ),
-                lambda s: F.struct(s["value"].alias("value"), s["rec_count"].alias("rec_count")),
-            ).alias("cardinality_breakdown")
-        )
-        pieces.append(
-            modes.select(
-                F.concat(F.lit(name_prefix), F.col("attribute")).alias("attribute"), "modes"
+                    ),
+                    lambda s: F.struct(
+                        s["value"].alias("value"), s["rec_count"].alias("rec_count")
+                    ),
+                ).alias("cardinality_breakdown")
             )
-        )
-        pieces.append(
-            lcb.select(
-                F.concat(F.lit(name_prefix), F.col("attribute")).alias("attribute"),
-                "cardinality_breakdown",
+            pieces.append(
+                lcb.select(
+                    F.concat(F.lit(name_prefix), F.col("attribute")).alias("attribute"),
+                    "cardinality_breakdown",
+                )
             )
-        )
 
     # --- popular / rare text patterns (A8 + J3) ---
     if params.has("patterns") and params.max_patterns > 0:
         pat = (
-            hist.filter(filled)
+            stats_src.filter(filled)
             .withColumn("data_pattern", finish_pattern(F.col("pattern")))
             .groupBy("attribute", "data_pattern")
             .agg(
@@ -501,70 +615,69 @@ def _profile_flat(
                 F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
             )
         )
-        w_desc = Window.partitionBy("attribute").orderBy(
-            F.desc("rec_count"), F.asc("data_pattern")
-        )
-        w_asc = Window.partitionBy("attribute").orderBy(
-            F.asc("rec_count"), F.asc("data_pattern")
-        )
-        pat = pat.withColumn("rn_top", F.row_number().over(w_desc)).withColumn(
-            "rn_rare", F.row_number().over(w_asc)
-        )
         k = int(params.max_patterns)
-        pstruct = F.struct(
-            F.col("data_pattern").alias("data_pattern"),
-            F.col("rec_count").alias("rec_count"),
-            F.col("example").alias("example"),
+        salt = F.xxhash64("data_pattern")
+        top = grouped_topk(
+            pat,
+            ["attribute"],
+            [F.desc("rec_count"), F.asc("data_pattern")],
+            k,
+            salt,
+            rank_name="_rn_top",
+        ).drop("_rn_top")
+        rare0 = grouped_topk(
+            pat,
+            ["attribute"],
+            [F.asc("rec_count"), F.asc("data_pattern")],
+            k,
+            salt,
+            rank_name="_rn_rare",
+        ).drop("_rn_rare")
+        rare = rare0.join(
+            top.select("attribute", "data_pattern"),
+            ["attribute", "data_pattern"],
+            "left_anti",
         )
-        popular = (
-            pat.filter(F.col("rn_top") <= k)
-            .groupBy("attribute")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                (-F.col("rec_count")).alias("_k"),
-                                F.col("data_pattern").alias("data_pattern"),
-                                F.col("rec_count").alias("rec_count"),
-                                F.col("example").alias("example"),
-                            )
+        popular = top.groupBy("attribute").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("rec_count")).alias("_k"),
+                            F.col("data_pattern").alias("data_pattern"),
+                            F.col("rec_count").alias("rec_count"),
+                            F.col("example").alias("example"),
                         )
-                    ),
-                    lambda s: F.struct(
-                        s["data_pattern"].alias("data_pattern"),
-                        s["rec_count"].alias("rec_count"),
-                        s["example"].alias("example"),
-                    ),
-                ).alias("popular_patterns")
-            )
+                    )
+                ),
+                lambda s: F.struct(
+                    s["data_pattern"].alias("data_pattern"),
+                    s["rec_count"].alias("rec_count"),
+                    s["example"].alias("example"),
+                ),
+            ).alias("popular_patterns")
         )
-        # rare = bottom-k that do not also appear in the top-k (J3 anti)
-        rare = (
-            pat.filter((F.col("rn_rare") <= k) & (F.col("rn_top") > k))
-            .groupBy("attribute")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("rec_count").alias("_k"),
-                                F.col("data_pattern").alias("data_pattern"),
-                                F.col("rec_count").alias("rec_count"),
-                                F.col("example").alias("example"),
-                            )
+        rare_agg = rare.groupBy("attribute").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("rec_count").alias("_k"),
+                            F.col("data_pattern").alias("data_pattern"),
+                            F.col("rec_count").alias("rec_count"),
+                            F.col("example").alias("example"),
                         )
-                    ),
-                    lambda s: F.struct(
-                        s["data_pattern"].alias("data_pattern"),
-                        s["rec_count"].alias("rec_count"),
-                        s["example"].alias("example"),
-                    ),
-                ).alias("rare_patterns"),
-            )
+                    )
+                ),
+                lambda s: F.struct(
+                    s["data_pattern"].alias("data_pattern"),
+                    s["rec_count"].alias("rec_count"),
+                    s["example"].alias("example"),
+                ),
+            ).alias("rare_patterns")
         )
         pieces.append(popular.select(prefixed.alias("attribute"), "popular_patterns"))
-        pieces.append(rare.select(prefixed.alias("attribute"), "rare_patterns"))
+        pieces.append(rare_agg.select(prefixed.alias("attribute"), "rare_patterns"))
 
     # --- correlations (A12, Profile.ecl:1213-1260) ---
     if params.has("correlations"):
@@ -577,7 +690,6 @@ def _profile_flat(
     for p in pieces[1:]:
         out = out.join(p, "attribute", "left")
 
-    # fill empty nested columns and shape per enabled features
     return _shape_output(out, params)
 
 
@@ -585,7 +697,9 @@ def _exact_numeric_stats(hnum: DataFrame) -> DataFrame:
     """Weighted min/max/mean/population-stddev plus the reference's
     exact quartile position arithmetic (Profile.ecl:1088-1139):
     cumulative counts over value-sorted distinct values, positional
-    selection with two-position averaging."""
+    selection with two-position averaging.  The ordered cumulative
+    window is one pass per attribute — inherent to exact quartiles;
+    approx mode replaces it with a sketch."""
     w_cum = (
         Window.partitionBy("attribute")
         .orderBy("v")
