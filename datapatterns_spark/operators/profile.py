@@ -372,12 +372,14 @@ def _profile_flat(
 
     if exact and needs_value_grouping:
         # distinct-value histogram first: pattern/flag work then runs
-        # once per distinct value (cheaper than per row)
+        # once per distinct value (cheaper than per row).  Persisted:
+        # modes/patterns/numeric-stats all branch from it, and without
+        # a persist each branch would re-run the melt + groupBy.
         hist = (
             melted.groupBy("attribute", "value", "len")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        hist = derive(hist, params.need_flags, need_pattern)
+        hist = derive(hist, params.need_flags, need_pattern).persist()
         stats_src = hist
     else:
         # approx/sketch path: never shuffle raw values — derive per
@@ -500,6 +502,10 @@ def _profile_flat(
             F.round(F.col("fill_count") / F.col("rec_count") * 100, 6),
         ).otherwise(F.lit(0.0)),
     )
+    # base is one tiny row per attribute but costs a full input pass;
+    # numeric-attr selection, low-card gating and the final assembly
+    # all reuse it
+    base = base.persist()
 
     pieces = [base]
     prefixed = F.concat(F.lit(name_prefix), F.col("attribute"))
@@ -606,6 +612,8 @@ def _profile_flat(
 
     # --- popular / rare text patterns (A8 + J3) ---
     if params.has("patterns") and params.max_patterns > 0:
+        # persisted: the top-k, bottom-k and anti-join branches would
+        # otherwise each recompute the melt + pattern aggregation
         pat = (
             stats_src.filter(filled)
             .withColumn("data_pattern", finish_pattern(F.col("pattern")))
@@ -614,6 +622,7 @@ def _profile_flat(
                 F.sum("cnt").alias("rec_count"),
                 F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
             )
+            .persist()
         )
         k = int(params.max_patterns)
         salt = F.xxhash64("data_pattern")
