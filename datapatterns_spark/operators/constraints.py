@@ -291,6 +291,10 @@ def run_checks(
         viol = violation_frames[0]
         for v in violation_frames[1:]:
             viol = viol.unionByName(v)
+        # the verdict aggregation AND the returned side-table both
+        # consume this; without a persist every downstream action
+        # re-runs all row+group check passes
+        viol = viol.persist()
     else:
         viol = spark.createDataFrame(
             [], "partition string, key string, check_name string, detail string"

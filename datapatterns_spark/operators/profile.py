@@ -423,10 +423,12 @@ def _profile_flat(
                 F.count_distinct(F.when(filled, F.col("value"))).alias("cardinality")
             )
         else:
-            # HLL++ sketch — mergeable, ~2% relative error (documented
-            # deviation: the reference is exact, Cardinality.ecl)
+            # HLL++ sketch at rsd=0.015 — mergeable, ~1.5% relative
+            # error (documented deviation: the reference is exact)
             agg_exprs.append(
-                F.approx_count_distinct(F.when(filled, F.col("value"))).alias("cardinality")
+                F.approx_count_distinct(
+                    F.when(filled, F.col("value")), 0.015
+                ).alias("cardinality")
             )
     summary = stats_src.groupBy("attribute").agg(*agg_exprs)
 

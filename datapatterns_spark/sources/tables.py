@@ -1,0 +1,78 @@
+"""Pluggable table source/sink — Iceberg first, parquet fallback.
+
+The target deployment reads Iceberg tables (BASELINE.json input_hint);
+this sandbox has no Iceberg runtime jar, so the adapter resolves in
+order (SURVEY.md §7 hard part 9):
+
+1. an Iceberg catalog table (``spark.table`` / ``format("iceberg")``),
+2. a plain parquet path.
+
+Everything downstream sees only DataFrames, so the engine is
+source-agnostic.  ``snapshot_id()`` feeds the checkpoint manifest's
+lineage column; for parquet it derives a content stamp from file
+metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    """Read ``ref`` as an Iceberg catalog table if resolvable, else as
+    a parquet path."""
+    if not ref.endswith(".parquet") and "/" not in ref:
+        try:
+            return spark.table(ref)
+        except Exception:
+            pass
+    try:
+        return spark.read.format("iceberg").load(ref)
+    except Exception:
+        return spark.read.parquet(ref)
+
+
+def write_table(
+    df: DataFrame,
+    ref: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """OUTPUT(..., OVERWRITE, COMPRESSED) analogue (README.md:630):
+    Iceberg table when the ref is a catalog name, else parquet
+    (compressed by default)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if "/" not in ref and not ref.endswith(".parquet"):
+        try:
+            writer.saveAsTable(ref)
+            return
+        except Exception:
+            pass
+    writer.parquet(ref)
+
+
+def snapshot_id(spark: SparkSession, ref: str) -> str:
+    """Lineage stamp for the manifest: the Iceberg snapshot id when
+    available, else a deterministic stamp over the parquet file
+    listing (name + size)."""
+    try:
+        snap = spark.sql(f"SELECT snapshot_id FROM {ref}.snapshots ORDER BY committed_at DESC LIMIT 1")
+        return str(snap.collect()[0][0])
+    except Exception:
+        pass
+    try:
+        import hashlib
+        import os
+
+        h = hashlib.sha256()
+        if os.path.isdir(ref):
+            for name in sorted(os.listdir(ref)):
+                p = os.path.join(ref, name)
+                h.update(f"{name}:{os.path.getsize(p)};".encode())
+        elif os.path.exists(ref):
+            h.update(f"{ref}:{os.path.getsize(ref)};".encode())
+        return h.hexdigest()[:16]
+    except Exception:
+        return "unknown"
