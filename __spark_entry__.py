@@ -72,9 +72,11 @@ _PATTERN0_SQL = (
     " '123456789', '999999999')"
 )
 
+# NOTE: DuckDB's RE2 does not understand Java's \p{Punct}; POSIX
+# [[:punct:]] is the same ASCII set Spark's \p{Punct} matches.
 _NORM_SQL = (
     "trim(regexp_replace(regexp_replace(lower(coalesce({v}, '')),"
-    " '[\\p{{Punct}}]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    " '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g'))"
 )
 
 
@@ -234,7 +236,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return d.select("doc_id", TA.lang_id(F.col("text")).alias("lang_guess"))
 
+    def q_profile_correlations(spark, sf):
+        p = profile(
+            _t(spark, sf, "lineitem"),
+            field_list=LI_NUMERIC,
+            features=("correlations",),
+        )
+        e = p.select("attribute", F.explode("correlations").alias("c"))
+        return e.select(
+            "attribute",
+            F.col("c.attribute").alias("other"),
+            F.round("c.corr", 4).alias("corr"),
+        )
+
+    def q_profile_breakdown(spark, sf):
+        p = profile(
+            _t(spark, sf, "events"),
+            field_list=["event_type"],
+            features=("cardinality_breakdown",),
+        )
+        e = p.select("attribute", F.explode("cardinality_breakdown").alias("b"))
+        return e.select(
+            "attribute",
+            F.col("b.value").alias("value"),
+            F.col("b.rec_count").alias("rec_count"),
+        )
+
+    def q_validate_fix(spark, sf):
+        from datapatterns_spark.operators.validation import fix as vfix
+
+        v = validate(
+            _t(spark, sf, "lineitem"),
+            "QtyBig:l_quantity <= 45;DiscSmall:l_discount <= 0.06",
+        )
+        fixed = vfix(v, "QtyBig: l_quantity := 45; DiscSmall: SkipRecord()")
+        return fixed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("double")), 2).alias("sum_price"),
+        )
+
+    def q_benford_digit2(spark, sf):
+        return benford(
+            _t(spark, sf, "lineitem"),
+            field_list=["l_orderkey", "l_quantity", "l_extendedprice"],
+            digit=2,
+        )
+
+    def q_text_quality(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", TA.quality_score(F.col("text")).alias("quality"))
+
+    def q_dedup_embedding(spark, sf):
+        return D.embedding_cosine_pairs(
+            _t(spark, sf, "embeddings"),
+            "embedding",
+            "vec_id",
+            threshold=0.45,
+            method="brute",
+        ).select("id_a", "id_b")  # cos dropped: a 0.45555 re-round tie
+        # flips between engines; pair membership has >5e-4 margin
+
+    def q_normalize_profile(spark, sf):
+        from datapatterns_spark.operators.normalize import normalize_profile_results
+
+        p = profile(
+            _t(spark, sf, "documents"),
+            field_list=["lang", "source"],
+            features=("fill_rate", "cardinality", "lengths"),
+        )
+        n = normalize_profile_results(p)
+        return n.filter(
+            F.col("key").isin(
+                "rec_count", "fill_count", "cardinality",
+                "min_length", "max_length", "ave_length",
+            )
+        )
+
     # --- weaker rows-only checks (no SQL-expressible oracle) ---
+    def q_ann_ivf(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id").isin([1, 2, 3]))
+        return S.ivf_topk(emb, qs, k=5, n_cells=16, n_probe=8)
+
+    def q_best_record(spark, sf):
+        from datapatterns_spark.operators.best_record import best_record_structure
+
+        return best_record_structure(_t(spark, sf, "events"))
+
+    def q_text_fingerprint(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", TA.fingerprint(F.col("text")).alias("fp"))
+
     def q_minhash_lsh(spark, sf):
         return D.minhash_lsh_pairs(
             _t(spark, sf, "documents"), "text", "doc_id", threshold=0.7
@@ -272,10 +365,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
+        "profile_correlations": q_profile_correlations,
+        "profile_cardinality_breakdown": q_profile_breakdown,
+        "validate_fix": q_validate_fix,
+        "benford_digit2": q_benford_digit2,
+        "text_quality": q_text_quality,
+        "dedup_embedding_cosine": q_dedup_embedding,
+        "normalize_profile": q_normalize_profile,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash": q_simhash,
         "transcript_suite": q_transcript_suite,
         "profile_approx": q_profile_approx,
+        "ann_ivf_topk": q_ann_ivf,
+        "best_record_structure": q_best_record,
+        "text_fingerprint": q_text_fingerprint,
     }
 
 
@@ -626,6 +729,142 @@ SELECT doc_id,
 FROM scored
 """
 
+    # ---- profile_correlations (all numeric pairs, both directions) ----
+    pairs = [
+        (x, y)
+        for i, x in enumerate(LI_NUMERIC)
+        for y in LI_NUMERIC[i + 1 :]
+    ]
+    corr_aggs = ", ".join(
+        f"COALESCE(ROUND(ROUND(corr(CAST({x} AS DOUBLE), CAST({y} AS DOUBLE)), 6), 4), 0) AS c{i}"
+        for i, (x, y) in enumerate(pairs)
+    )
+    corr_rows = " UNION ALL ".join(
+        f"SELECT '{x}' AS attribute, '{y}' AS other, c{i} AS corr FROM a"
+        f" UNION ALL SELECT '{y}', '{x}', c{i} FROM a"
+        for i, (x, y) in enumerate(pairs)
+    )
+    correlations_sql = f"WITH a AS (SELECT {corr_aggs} FROM lineitem) {corr_rows}"
+
+    # ---- profile_cardinality_breakdown (only when distinct <= 64) ----
+    breakdown_sql = """
+WITH vh AS (
+  SELECT 'event_type' AS attribute, trim(event_type) AS value, COUNT(*) AS rec_count
+  FROM events WHERE length(trim(coalesce(event_type, ''))) > 0 GROUP BY 2)
+SELECT attribute, value, rec_count FROM vh QUALIFY COUNT(*) OVER () <= 64
+"""
+
+    # ---- validate_fix (assign + SkipRecord, conditions from original rows) ----
+    validate_fix_sql = """
+WITH fixed AS (
+  SELECT CASE WHEN NOT coalesce(l_quantity <= 45, FALSE) THEN 45 ELSE l_quantity END AS q,
+         l_extendedprice AS p
+  FROM lineitem
+  WHERE coalesce(l_discount <= 0.06, FALSE))
+SELECT COUNT(*) AS n,
+       ROUND(SUM(CAST(q AS DOUBLE)), 2) AS sum_qty,
+       ROUND(SUM(CAST(p AS DOUBLE)), 2) AS sum_price
+FROM fixed
+"""
+
+    # ---- benford digit 2 (full NthDigit rule incl. implied trailing zeros) ----
+    ben2_cols = ["l_orderkey", "l_quantity", "l_extendedprice"]
+    ben2_src = " UNION ALL ".join(
+        f"SELECT {i + 1} AS ord, '{c}' AS attribute,"
+        f" CASE WHEN length(sig) >= 2 THEN CAST(substr(sig, 2, 1) AS INT)"
+        f" WHEN length(sig) > 0 THEN 0"
+        f" WHEN contains(cleaned, '.') THEN 0 ELSE 10 END AS n"
+        f" FROM (SELECT regexp_replace(replace(cleaned, '.', ''), '^0+', '') AS sig, cleaned"
+        f" FROM (SELECT regexp_replace(CAST({c} AS VARCHAR), '[^0-9.]', '', 'g') AS cleaned"
+        f" FROM lineitem))"
+        for i, c in enumerate(ben2_cols)
+    )
+    exp2 = [12.0, 11.4, 10.9, 10.4, 10.0, 9.7, 9.3, 9.0, 8.8, 8.5]
+    pct2 = ",\n       ".join(
+        f"ROUND(SUM(CASE WHEN n = {d} THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 1) AS {digit_names[d]}"
+        for d in range(10)
+    )
+    chi2 = " + ".join(
+        f"(({digit_names[d]} - {exp2[d]}) * ({digit_names[d]} - {exp2[d]}) / {exp2[d]})"
+        for d in range(10)
+    )
+    exp2_vals = ", ".join(str(v) for v in exp2)
+    benford2_sql = f"""
+WITH src AS ({ben2_src}),
+agg AS (
+  SELECT ord, attribute,
+       {pct2},
+       COUNT(*) AS num_values
+  FROM src WHERE n <> 10 GROUP BY ord, attribute),
+withchi AS (
+  SELECT attribute, zero, one, two, three, four, five, six, seven, eight, nine,
+         ROUND({chi2}, 3) AS chi_squared, CAST(num_values AS BIGINT) AS num_values, ord
+  FROM agg)
+SELECT attribute, zero, one, two, three, four, five, six, seven, eight, nine, chi_squared, num_values
+FROM (
+  SELECT * FROM withchi
+  UNION ALL
+  SELECT '-- EXPECTED DIGIT 2 --', {exp2_vals},
+         CAST(21.666 AS DOUBLE), (SELECT COUNT(*) FROM lineitem), 0
+) ORDER BY ord
+"""
+
+    # ---- text_quality (mirror quality_score arithmetic exactly) ----
+    stoplist = ", ".join(
+        f"'{w}'"
+        for w in markers["en"] + ["a", "an", "as", "at", "be", "by", "on", "or"]
+    )
+    text_quality_sql = f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t, {norm} AS nt FROM documents),
+m AS (
+  SELECT doc_id,
+         length(t) AS n,
+         length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(t, '[^[:punct:]]', '', 'g')) AS punct,
+         CASE WHEN trim(t) = '' THEN 0
+              ELSE len(string_split_regex(trim(t), '\\s+')) END AS words,
+         len(list_filter(string_split(nt, ' '), x -> list_contains([{stoplist}], x))) AS stop
+  FROM base)
+SELECT doc_id,
+  ROUND(
+    0.3 * (CASE WHEN n >= 20 AND n <= 8000 THEN 1.0 WHEN n > 0 THEN 0.4 ELSE 0.0 END)
+    + 0.25 * (CASE WHEN n > 0 THEN alpha * 1.0 / n ELSE 0.0 END)
+    + 0.15 * (CASE WHEN n > 0 THEN 1.0 - LEAST(punct * 1.0 / n * 4, 1.0) ELSE 0.0 END)
+    + 0.15 * (CASE WHEN words > 0 THEN LEAST(stop * 1.0 / words * 5, 1.0) ELSE 0.0 END)
+    + 0.15 * (CASE WHEN words > 0 AND n * 1.0 / words >= 3 AND n * 1.0 / words <= 12
+              THEN 1.0 ELSE 0.3 END),
+  4) AS quality
+FROM m
+"""
+
+    # ---- embedding cosine near-dup pairs (brute baseline) ----
+    dedup_embedding_sql = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos6
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b FROM p WHERE cos6 >= 0.45
+"""
+
+    # ---- normalize_profile (integer-stat keys only; exact strings) ----
+    np_stats = " UNION ALL ".join(
+        f"SELECT '{c}' AS attribute, COUNT(*) AS rec_count,"
+        f" SUM(CASE WHEN length(trim(coalesce({c}, ''))) > 0 THEN 1 ELSE 0 END) AS fill_count,"
+        f" COUNT(DISTINCT CASE WHEN length(trim(coalesce({c}, ''))) > 0 THEN trim({c}) END) AS cardinality,"
+        f" MIN(CASE WHEN length(trim(coalesce({c}, ''))) > 0 THEN length(trim({c})) END) AS min_length,"
+        f" MAX(CASE WHEN length(trim(coalesce({c}, ''))) > 0 THEN length(trim({c})) END) AS max_length,"
+        f" CAST(FLOOR(SUM(CASE WHEN length(trim(coalesce({c}, ''))) > 0 THEN length(trim({c})) END) * 1.0"
+        f" / SUM(CASE WHEN length(trim(coalesce({c}, ''))) > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS ave_length"
+        f" FROM documents"
+        for c in ["lang", "source"]
+    )
+    np_melt = " UNION ALL ".join(
+        f"SELECT attribute, '{k}' AS key, CAST({k} AS VARCHAR) AS value FROM s"
+        for k in ["rec_count", "fill_count", "cardinality", "min_length", "max_length", "ave_length"]
+    )
+    normalize_profile_sql = f"WITH s AS ({np_stats}) {np_melt}"
+
     return {
         "profile_fill": profile_fill,
         "profile_numeric_stats": profile_numeric,
@@ -644,6 +883,15 @@ FROM scored
         "dedup_ngram_jaccard": ngram_sql,
         "text_tokens": text_tokens_sql,
         "text_langid": langid_sql,
+        "profile_correlations": correlations_sql,
+        "profile_cardinality_breakdown": breakdown_sql,
+        "validate_fix": validate_fix_sql,
+        "benford_digit2": benford2_sql,
+        "text_quality": text_quality_sql,
+        "dedup_embedding_cosine": dedup_embedding_sql,
+        "normalize_profile": normalize_profile_sql,
         # dedup_minhash_lsh / dedup_simhash / transcript_suite /
-        # profile_approx: probabilistic or generator-backed -> rows-only
+        # profile_approx / ann_ivf_topk / best_record_structure /
+        # text_fingerprint: probabilistic, generator-backed, or
+        # hash-function-specific -> rows-only
     }
