@@ -32,6 +32,25 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
         return spark.read.parquet(ref)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+    schema: str | None = None,
+) -> DataFrame:
+    """CSV source (S2): ``DATASET(..., CSV(SEPARATOR, HEADING))``
+    analogue (/root/reference/README.md:612).  Schema inference only
+    when no explicit layout is given — the reference always has a
+    compile-time layout, so prefer passing ``schema``."""
+    reader = spark.read.option("sep", sep).option("header", header)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
 def write_table(
     df: DataFrame,
     ref: str,
