@@ -31,11 +31,25 @@ _LOWER_RE = r"[\p{Ll}\p{Lt}\p{Lm}\p{Lo}]"
 NON_ASCII_RE = "[^\\x00-\\x7F]"
 
 
+_ASCII_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz" + _DIGITS_FROM
+_ASCII_TO = "A" * 26 + "a" * 26 + _DIGITS_TO
+
+
 def map_pattern(col: Column) -> Column:
-    """Map a string column into the pattern palette (keeps '0')."""
-    out = F.regexp_replace(col, _UPPER_RE, "A")
-    out = F.regexp_replace(out, _LOWER_RE, "a")
-    return F.translate(out, _DIGITS_FROM, _DIGITS_TO)
+    """Map a string column into the pattern palette (keeps '0').
+
+    Pure-ASCII values (the overwhelming common case) take a single
+    ``translate`` table lookup — the direct analogue of the
+    reference's ``_MapAllStr`` C++ kernel (Profile.ecl:603-621); only
+    values containing multi-byte chars pay the Unicode-property regex
+    passes of ``_MapAllUni`` (Profile.ecl:626-643)."""
+    ascii_mapped = F.translate(col, _ASCII_FROM, _ASCII_TO)
+    uni_mapped = F.regexp_replace(
+        F.regexp_replace(ascii_mapped, _UPPER_RE, "A"), _LOWER_RE, "a"
+    )
+    return F.when(F.octet_length(col) == F.length(col), ascii_mapped).otherwise(
+        uni_mapped
+    )
 
 
 def finish_pattern(col: Column) -> Column:
@@ -46,5 +60,7 @@ def finish_pattern(col: Column) -> Column:
 
 def is_non_ascii(col: Column) -> Column:
     """True when the value contains a non-ASCII character — the Spark
-    stand-in for the reference's IsUTF8 multi-byte scan."""
-    return col.rlike(NON_ASCII_RE)
+    stand-in for the reference's IsUTF8 multi-byte scan.  UTF-8 encodes
+    every non-ASCII char as >1 byte, so byte length != char length is
+    the same test without a per-value regex scan (hot-path win)."""
+    return F.octet_length(col) != F.length(col)

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .benford import CRITICAL_1, CRITICAL_N, EXPECTED
@@ -198,6 +198,14 @@ def run_checks(
     ``partition_col`` defaults to a constant (whole-table grain); pass
     an Iceberg partition column (or any expression) for per-partition
     verdicts.  ``key_cols`` identify rows in the violation table.
+
+    Scale shape: ALL row+group checks run in ONE pass over the input —
+    the group-scope windows are planned together, so windows sharing a
+    key prefix (e.g. uniqueness on (conv_id, turn_idx) and ts-monotone
+    on conv_id) reuse a single exchange+sort; ALL stat checks
+    (Benford, PSI, KS) share ONE melt pass reduced to
+    ``(partition, check, bucket)`` counts, with the chi²/PSI/KS math
+    running on that tiny aggregated frame.
     """
     spark = df.sparkSession
     part = (
@@ -214,98 +222,90 @@ def run_checks(
     group_checks = [c for c in checks if c.kind == "group"]
     stat_checks = [c for c in checks if c.kind == "stat"]
 
-    violation_frames: list[DataFrame] = []
-
-    # ---- row checks: ONE narrow pass, violations exploded ----
-    if row_checks:
-        entries = []
-        for c in row_checks:
-            test = F.expr(expand_helpers(c.params["expr"], df.columns))
-            ok = F.coalesce(test.cast("boolean"), F.lit(False))
-            entries.append(F.when(~ok, F.lit(c.name)).otherwise(F.lit(None)))
-        arr = F.array_compact(F.array(*entries))
-        rows = (
-            df.select(part, key_expr, arr.alias("_fails"))
-            .filter(F.size("_fails") > 0)
-            .select(
-                "partition",
-                "key",
-                F.explode("_fails").alias("check_name"),
-                F.lit("row rule failed").alias("detail"),
+    # ---- row + group checks: ONE scan, shared shuffles ----
+    fail_structs: list[Column] = []
+    for c in row_checks:
+        test = F.expr(expand_helpers(c.params["expr"], df.columns))
+        ok = F.coalesce(test.cast("boolean"), F.lit(False))
+        fail_structs.append(
+            F.when(
+                ~ok,
+                F.struct(
+                    F.lit(c.name).alias("check_name"),
+                    F.lit("row rule failed").alias("detail"),
+                ),
             )
         )
-        violation_frames.append(rows)
-
-    # ---- group checks: ONE shuffle on the group key ----
     for c in group_checks:
         p = c.params
         if p["op"] == "unique":
             w = Window.partitionBy(*[F.col(x) for x in p["cols"]])
-            rows = (
-                df.select(
-                    part,
-                    key_expr,
-                    *[F.col(x) for x in p["cols"]],
-                    F.count(F.lit(1)).over(w).alias("_n"),
-                )
-                .filter(F.col("_n") > 1)
-                .select(
-                    "partition",
-                    "key",
-                    F.lit(c.name).alias("check_name"),
-                    F.concat(
-                        F.lit("duplicate key ("),
-                        F.concat_ws(",", *[F.col(x).cast("string") for x in p["cols"]]),
-                        F.lit(") x"),
-                        F.col("_n").cast("string"),
-                    ).alias("detail"),
+            n = F.count(F.lit(1)).over(w)
+            detail = F.concat(
+                F.lit("duplicate key ("),
+                F.concat_ws(",", *[F.col(x).cast("string") for x in p["cols"]]),
+                F.lit(") x"),
+                n.cast("string"),
+            )
+            fail_structs.append(
+                F.when(
+                    n > 1,
+                    F.struct(
+                        F.lit(c.name).alias("check_name"), detail.alias("detail")
+                    ),
                 )
             )
         elif p["op"] == "monotonic":
             w = Window.partitionBy(p["group"]).orderBy(p["order"])
             prev = F.lag(F.col(p["ts"])).over(w)
-            rows = (
-                df.select(part, key_expr, F.col(p["ts"]).alias("_ts"), prev.alias("_prev"))
-                .filter(F.col("_prev").isNotNull() & (F.col("_ts") < F.col("_prev")))
-                .select(
-                    "partition",
-                    "key",
-                    F.lit(c.name).alias("check_name"),
-                    F.concat(
-                        F.lit("ts regression: "),
-                        F.col("_ts").cast("string"),
-                        F.lit(" < "),
-                        F.col("_prev").cast("string"),
-                    ).alias("detail"),
+            detail = F.concat(
+                F.lit("ts regression: "),
+                F.col(p["ts"]).cast("string"),
+                F.lit(" < "),
+                prev.cast("string"),
+            )
+            fail_structs.append(
+                F.when(
+                    prev.isNotNull() & (F.col(p["ts"]) < prev),
+                    F.struct(
+                        F.lit(c.name).alias("check_name"), detail.alias("detail")
+                    ),
                 )
             )
         else:  # pragma: no cover
             raise ValueError(f"unknown group op {p['op']}")
-        violation_frames.append(rows)
 
-    # ---- verdict assembly for row+group checks ----
-    all_check_names = [c.name for c in row_checks + group_checks]
-    verdict_frames: list[DataFrame] = []
-    parts_df = df.select(part).distinct()
-    if violation_frames:
-        viol = violation_frames[0]
-        for v in violation_frames[1:]:
-            viol = viol.unionByName(v)
+    if fail_structs:
+        arr = F.array_compact(F.array(*fail_structs))
+        viol = (
+            df.select(part, key_expr, arr.alias("_f"))
+            .filter(F.size("_f") > 0)
+            .select("partition", "key", F.explode("_f").alias("_e"))
+            .select(
+                "partition",
+                "key",
+                F.col("_e.check_name").alias("check_name"),
+                F.col("_e.detail").alias("detail"),
+            )
+        )
         # the verdict aggregation AND the returned side-table both
         # consume this; without a persist every downstream action
-        # re-runs all row+group check passes
+        # re-runs the whole check pass
         viol = viol.persist()
     else:
         viol = spark.createDataFrame(
             [], "partition string, key string, check_name string, detail string"
         )
+
+    # ---- verdict assembly for row+group checks ----
+    all_check_names = [c.name for c in row_checks + group_checks]
+    verdict_frames: list[DataFrame] = []
+    parts_df = df.select(part).distinct()
     if all_check_names:
         grid = parts_df.crossJoin(
             spark.createDataFrame([(n,) for n in all_check_names], "check_name string")
         )
-        agg = viol.filter(F.col("check_name").isin(all_check_names)).groupBy(
-            "partition", "check_name"
-        ).agg(
+        agg = viol.groupBy("partition", "check_name").agg(
             F.count(F.lit(1)).alias("violation_count"),
             F.slice(F.collect_list("detail"), 1, SAMPLE_VIOLATIONS).alias(
                 "sample_violations"
@@ -327,9 +327,44 @@ def run_checks(
         )
         verdict_frames.append(verdicts)
 
-    # ---- stat checks: per-partition aggregates ----
-    for c in stat_checks:
-        verdict_frames.append(_stat_verdict(df, c, part))
+    # ---- stat checks: ONE melt pass -> (partition, check, bucket) ----
+    if stat_checks:
+        entries: list[Column] = []
+        for c in stat_checks:
+            p = c.params
+            if p["op"] == "benford":
+                digit = min(max(int(p["digit"]), 1), 4)
+                b = nth_digit(F.col(p["col"]), digit)
+                cond = b.isNotNull() & (b != 10)
+            else:
+                bins = int(p["bins"])
+                if p.get("categorical"):
+                    b = _cat_bin_expr(p["col"], bins)
+                else:
+                    b = _bin_expr(p["col"], bins, float(p["lo"]), float(p["hi"]))
+                cond = F.col(p["col"]).isNotNull()
+            entries.append(
+                F.when(
+                    cond,
+                    F.struct(
+                        F.lit(c.name).alias("c"), b.cast("int").alias("b")
+                    ),
+                )
+            )
+        stat_counts = (
+            df.select(part, F.array_compact(F.array(*entries)).alias("_s"))
+            .select("partition", F.explode("_s").alias("_e"))
+            .groupBy(
+                "partition",
+                F.col("_e.c").alias("check_name"),
+                F.col("_e.b").alias("bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist()
+        )
+        stat_counts.count()  # materialize once; every stat verdict reuses it
+        for c in stat_checks:
+            verdict_frames.append(_stat_verdict_from_counts(spark, stat_counts, c))
 
     if not verdict_frames:
         raise ValueError("no checks supplied")
@@ -339,86 +374,72 @@ def run_checks(
     return verdicts.orderBy("partition", "check_name"), viol
 
 
-def _stat_verdict(df: DataFrame, c: Check, part: Column) -> DataFrame:
+def _stat_verdict_from_counts(
+    spark: SparkSession, stat_counts: DataFrame, c: Check
+) -> DataFrame:
+    """Finish one stat check from the shared (partition, check, bucket)
+    count frame — all arithmetic over a frame bounded by
+    n_partitions x n_buckets."""
     p = c.params
+    sub = stat_counts.filter(F.col("check_name") == c.name).drop("check_name")
+    tot = sub.groupBy("partition").agg(F.sum("cnt").alias("_tot"))
+
     if p["op"] == "benford":
         digit = min(max(int(p["digit"]), 1), 4)
         expected = EXPECTED[digit]
         critical = CRITICAL_1 if digit == 1 else CRITICAL_N
-        n = nth_digit(F.col(p["col"]), digit)
-        d = df.select(part, n.alias("n")).filter(F.col("n") != 10)
-        pcts = [
-            F.round(F.count(F.when(F.col("n") == i, 1)) / F.count(F.lit(1)) * 100, 1)
+        exp_rows = [
+            (i, float(expected[i]))
             for i in range(10)
+            if not (i == 0 and digit == 1)
         ]
-        terms = []
-        for i in range(10):
-            if i == 0 and digit == 1:
-                continue
-            e = float(expected[i])
-            terms.append((pcts[i] - e) * (pcts[i] - e) / e)
-        chi = terms[0]
-        for t in terms[1:]:
-            chi = chi + t
-        g = d.groupBy("partition").agg(F.round(chi, 3).alias("metric"))
-        return g.select(
-            "partition",
-            F.lit(c.name).alias("check_name"),
-            (F.col("metric") <= critical).alias("passed"),
-            F.lit(0).cast("long").alias("violation_count"),
-            F.col("metric").cast("double"),
-            F.expr("cast(array() as array<string>)").alias("sample_violations"),
-        )
-
-    # drift checks share the binned-histogram machinery
-    bins = int(p["bins"])
-    if p.get("categorical"):
-        b = _cat_bin_expr(p["col"], bins)
+        exp_df = spark.createDataFrame(exp_rows, "bucket int, e double")
+        grid = tot.crossJoin(F.broadcast(exp_df))
+        joined = grid.join(sub, ["partition", "bucket"], "left").na.fill({"cnt": 0})
+        pct = F.round(F.col("cnt") / F.col("_tot") * 100, 1)
+        term = (pct - F.col("e")) * (pct - F.col("e")) / F.col("e")
+        g = joined.groupBy("partition").agg(F.round(F.sum(term), 3).alias("metric"))
+        passed = F.col("metric") <= critical
     else:
-        b = _bin_expr(p["col"], bins, float(p["lo"]), float(p["hi"]))
-    counts = (
-        df.filter(F.col(p["col"]).isNotNull())
-        .groupBy(part, b.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    w = Window.partitionBy("partition")
-    frac = counts.withColumn("frac", F.col("cnt") / F.sum("cnt").over(w))
-    spark = df.sparkSession
-    base = spark.createDataFrame(
-        [(int(k), float(v)) for k, v in p["baseline"].items()],
-        "bin int, base_frac double",
-    )
-    # complete the bin grid so missing bins count as ~0
-    grid = (
-        frac.select("partition")
-        .distinct()
-        .crossJoin(spark.range(bins).select(F.col("id").cast("int").alias("bin")))
-    )
-    joined = (
-        grid.join(frac.select("partition", "bin", "frac"), ["partition", "bin"], "left")
-        .join(F.broadcast(base), "bin", "left")
-        .na.fill({"frac": 0.0, "base_frac": 0.0})
-    )
-    eps = 1e-6
-    if p["op"] == "psi":
-        a = F.greatest(F.col("frac"), F.lit(eps))
-        bfr = F.greatest(F.col("base_frac"), F.lit(eps))
-        term = (a - bfr) * F.log(a / bfr)
-        g = joined.groupBy("partition").agg(F.round(F.sum(term), 6).alias("metric"))
-    elif p["op"] == "ks":
-        wb = Window.partitionBy("partition").orderBy("bin")
-        cdf = joined.withColumn("cdf_a", F.sum("frac").over(wb)).withColumn(
-            "cdf_b", F.sum("base_frac").over(wb)
+        bins = int(p["bins"])
+        base = spark.createDataFrame(
+            [(int(k), float(v)) for k, v in p["baseline"].items()],
+            "bucket int, base_frac double",
         )
-        g = cdf.groupBy("partition").agg(
-            F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias("metric")
+        bin_grid = spark.range(bins).select(F.col("id").cast("int").alias("bucket"))
+        grid = tot.crossJoin(bin_grid)
+        joined = (
+            grid.join(sub, ["partition", "bucket"], "left")
+            .join(F.broadcast(base), "bucket", "left")
+            .na.fill({"cnt": 0, "base_frac": 0.0})
+            .withColumn("frac", F.col("cnt") / F.col("_tot"))
         )
-    else:  # pragma: no cover
-        raise ValueError(f"unknown stat op {p['op']}")
+        eps = 1e-6
+        if p["op"] == "psi":
+            a = F.greatest(F.col("frac"), F.lit(eps))
+            bfr = F.greatest(F.col("base_frac"), F.lit(eps))
+            term = (a - bfr) * F.log(a / bfr)
+            g = joined.groupBy("partition").agg(
+                F.round(F.sum(term), 6).alias("metric")
+            )
+        elif p["op"] == "ks":
+            wb = Window.partitionBy("partition").orderBy("bucket")
+            cdf = joined.withColumn("cdf_a", F.sum("frac").over(wb)).withColumn(
+                "cdf_b", F.sum("base_frac").over(wb)
+            )
+            g = cdf.groupBy("partition").agg(
+                F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias(
+                    "metric"
+                )
+            )
+        else:  # pragma: no cover
+            raise ValueError(f"unknown stat op {p['op']}")
+        passed = F.col("metric") <= float(p["threshold"])
+
     return g.select(
         "partition",
         F.lit(c.name).alias("check_name"),
-        (F.col("metric") <= float(p["threshold"])).alias("passed"),
+        passed.alias("passed"),
         F.lit(0).cast("long").alias("violation_count"),
         F.col("metric").cast("double"),
         F.expr("cast(array() as array<string>)").alias("sample_violations"),

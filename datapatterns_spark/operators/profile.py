@@ -328,8 +328,10 @@ def _profile_flat(
 ) -> DataFrame:
     """Profile a flat (scalar-attribute) frame — the analogue of one
     ``_Inner_Profile`` expansion (Profile.ecl:508-1665)."""
+    if params.mode != "exact":
+        return _profile_flat_approx(df, attrs, params, name_prefix, sort_prefix)
     plen = params.pattern_len
-    exact = params.mode == "exact"
+    exact = True
     meta = _attr_meta_df(df, attrs, sort_prefix, name_prefix)
 
     string_attrs = [a.name for a in attrs if a.kind == KIND_STRING]
@@ -370,7 +372,7 @@ def _profile_flat(
         or params.need_numeric
     )
 
-    if exact and needs_value_grouping:
+    if needs_value_grouping:
         # distinct-value histogram first: pattern/flag work then runs
         # once per distinct value (cheaper than per row).  Persisted:
         # modes/patterns/numeric-stats all branch from it, and without
@@ -380,11 +382,13 @@ def _profile_flat(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         hist = derive(hist, params.need_flags, need_pattern).persist()
+        # force materialization: summary/numeric/modes/pattern branches
+        # run as parallel stages of the final job and would race past
+        # the unpopulated cache, each recomputing the melt + groupBy
+        hist.count()
         stats_src = hist
     else:
-        # approx/sketch path: never shuffle raw values — derive per
-        # row, aggregate the melt directly (map-side partial agg
-        # collapses to one partial row per attribute per task)
+        # fill/lengths/type-folds only: aggregate the melt directly
         stats_src = derive(melted.withColumn("cnt", F.lit(1)), params.need_flags, need_pattern)
 
     filled = F.col("filled")
@@ -418,18 +422,9 @@ def _profile_flat(
             ),
         ]
     if params.need_cardinality:
-        if exact:
-            agg_exprs.append(
-                F.count_distinct(F.when(filled, F.col("value"))).alias("cardinality")
-            )
-        else:
-            # HLL++ sketch at rsd=0.015 — mergeable, ~1.5% relative
-            # error (documented deviation: the reference is exact)
-            agg_exprs.append(
-                F.approx_count_distinct(
-                    F.when(filled, F.col("value")), 0.015
-                ).alias("cardinality")
-            )
+        agg_exprs.append(
+            F.count_distinct(F.when(filled, F.col("value"))).alias("cardinality")
+        )
     summary = stats_src.groupBy("attribute").agg(*agg_exprs)
 
     fill_defaults = {
@@ -450,6 +445,83 @@ def _profile_flat(
     ).na.fill({k: v for k, v in fill_defaults.items() if k in summary.columns or k in ("rec_count",)})
 
     # --- best type + is_numeric per attribute (Profile.ecl:1002-1023) ---
+    base = _attach_best_type(base, attrs, params, name_prefix)
+    # base is one tiny row per attribute but costs a full input pass;
+    # numeric-attr selection, low-card gating and the final assembly
+    # all reuse it
+    base = base.persist()
+    base.count()  # see hist: avoid parallel-stage cache races
+
+    pieces = [base]
+    prefixed = F.concat(F.lit(name_prefix), F.col("attribute"))
+
+    # --- numeric stats (A5/A6) ---
+    if params.need_numeric:
+        num_attr_names = base.filter(F.col("is_numeric")).select(
+            F.col("_local_name").alias("attribute")
+        )
+        src = stats_src.filter(filled).join(F.broadcast(num_attr_names), "attribute")
+        hnum = src.select(
+            "attribute", F.col("value").cast("double").alias("v"), "cnt"
+        )
+        numstats = _exact_numeric_stats(hnum)
+        numstats = numstats.select(
+            F.concat(F.lit(name_prefix), F.col("attribute")).alias("attribute"),
+            *[c for c in numstats.columns if c != "attribute"],
+        )
+        pieces.append(numstats)
+
+    # --- modes (J2: top-5 tied for max, count>1) + low-card breakdown ---
+    if params.has("modes") or params.has("cardinality_breakdown"):
+        vh = (
+            stats_src.filter(filled)
+            .groupBy("attribute", "value")
+            .agg(F.sum("cnt").alias("rec_count"))
+        )
+        if params.has("modes"):
+            pieces.append(_modes_piece(vh, name_prefix))
+        if params.has("cardinality_breakdown") and params.lcb_limit > 0:
+            low_attrs = base.filter(
+                (F.col("cardinality") > 0) & (F.col("cardinality") <= params.lcb_limit)
+            ).select(F.col("_local_name").alias("attribute"))
+            pieces.append(_lcb_piece(vh, low_attrs, name_prefix))
+
+    # --- popular / rare text patterns (A8 + J3) ---
+    if params.has("patterns") and params.max_patterns > 0:
+        # persisted: the top-k, bottom-k and anti-join branches would
+        # otherwise each recompute the melt + pattern aggregation
+        pat = (
+            stats_src.filter(filled)
+            .withColumn("data_pattern", finish_pattern(F.col("pattern")))
+            .groupBy("attribute", "data_pattern")
+            .agg(
+                F.sum("cnt").alias("rec_count"),
+                F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
+            )
+            .persist()
+        )
+        pieces.extend(_pattern_pieces(pat, params, name_prefix))
+
+    # --- correlations (A12, Profile.ecl:1213-1260) ---
+    if params.has("correlations"):
+        num_given = [a.name for a in attrs if a.kind == KIND_NUMERIC]
+        corr_df = _correlations(df, num_given, name_prefix)
+        if corr_df is not None:
+            pieces.append(corr_df)
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.join(p, "attribute", "left")
+
+    return _shape_output(out, params)
+
+
+def _attach_best_type(
+    base: DataFrame, attrs: list[AttrInfo], params: ProfileParams, name_prefix: str
+) -> DataFrame:
+    """Best type + is_numeric per attribute (Profile.ecl:1002-1023) and
+    fill_rate (Profile.ecl:1488-1489), from the per-attribute fold
+    columns (type_flags, lengths, _uni, fill_count)."""
     if params.need_flags:
         best_cases = None
         numeric_flag_cases = None
@@ -497,200 +569,383 @@ def _profile_flat(
             "is_numeric",
             F.col("_kind") == KIND_NUMERIC,
         )
-    base = base.withColumn(
+    return base.withColumn(
         "fill_rate",
         F.when(
             F.col("rec_count") > 0,
             F.round(F.col("fill_count") / F.col("rec_count") * 100, 6),
         ).otherwise(F.lit(0.0)),
     )
-    # base is one tiny row per attribute but costs a full input pass;
-    # numeric-attr selection, low-card gating and the final assembly
-    # all reuse it
-    base = base.persist()
+
+
+def _modes_piece(vh: DataFrame, name_prefix: str) -> DataFrame:
+    """Mode tie semantics (J2, Profile.ecl:1163-1175): up to MAX_MODES
+    values tied for the max count, only when count>1 — broadcast
+    max-join, never a whole-attribute window partition (skew note)."""
+    max_cnt = vh.groupBy("attribute").agg(F.max("rec_count").alias("_mx"))
+    tied = vh.join(F.broadcast(max_cnt), "attribute").filter(
+        (F.col("rec_count") == F.col("_mx")) & (F.col("rec_count") > 1)
+    )
+    w_tied = Window.partitionBy("attribute").orderBy(F.asc("value"))
+    mode_rows = tied.withColumn("_rn", F.row_number().over(w_tied)).filter(
+        F.col("_rn") <= MAX_MODES
+    )
+    modes = mode_rows.groupBy("attribute").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("value").alias("value"),
+                    F.col("rec_count").alias("rec_count"),
+                )
+            )
+        ).alias("modes")
+    )
+    return modes.select(
+        F.concat(F.lit(name_prefix), F.col("attribute")).alias("attribute"), "modes"
+    )
+
+
+def _lcb_piece(vh: DataFrame, low_attrs: DataFrame, name_prefix: str) -> DataFrame:
+    """Low-cardinality breakdown (A9, Profile.ecl:1178-1192): the full
+    value list, count-desc, only for attributes in ``low_attrs``."""
+    lcb_rows = vh.join(F.broadcast(low_attrs), "attribute")
+    lcb = lcb_rows.groupBy("attribute").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("rec_count")).alias("_k"),
+                        F.col("value").alias("value"),
+                        F.col("rec_count").alias("rec_count"),
+                    )
+                )
+            ),
+            lambda s: F.struct(
+                s["value"].alias("value"), s["rec_count"].alias("rec_count")
+            ),
+        ).alias("cardinality_breakdown")
+    )
+    return lcb.select(
+        F.concat(F.lit(name_prefix), F.col("attribute")).alias("attribute"),
+        "cardinality_breakdown",
+    )
+
+
+def _pattern_pieces(
+    pat: DataFrame, params: ProfileParams, name_prefix: str
+) -> list[DataFrame]:
+    """Popular/rare pattern pieces (A8 + anti-join J3) from the
+    per-attribute pattern histogram ``pat`` (persisted by the caller:
+    top-k, bottom-k and the anti-join all branch from it)."""
+    prefixed = F.concat(F.lit(name_prefix), F.col("attribute"))
+    k = int(params.max_patterns)
+    salt = F.xxhash64("data_pattern")
+    top = grouped_topk(
+        pat,
+        ["attribute"],
+        [F.desc("rec_count"), F.asc("data_pattern")],
+        k,
+        salt,
+        rank_name="_rn_top",
+    ).drop("_rn_top")
+    rare0 = grouped_topk(
+        pat,
+        ["attribute"],
+        [F.asc("rec_count"), F.asc("data_pattern")],
+        k,
+        salt,
+        rank_name="_rn_rare",
+    ).drop("_rn_rare")
+    rare = rare0.join(
+        top.select("attribute", "data_pattern"),
+        ["attribute", "data_pattern"],
+        "left_anti",
+    )
+    popular = top.groupBy("attribute").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("rec_count")).alias("_k"),
+                        F.col("data_pattern").alias("data_pattern"),
+                        F.col("rec_count").alias("rec_count"),
+                        F.col("example").alias("example"),
+                    )
+                )
+            ),
+            lambda s: F.struct(
+                s["data_pattern"].alias("data_pattern"),
+                s["rec_count"].alias("rec_count"),
+                s["example"].alias("example"),
+            ),
+        ).alias("popular_patterns")
+    )
+    rare_agg = rare.groupBy("attribute").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("rec_count").alias("_k"),
+                        F.col("data_pattern").alias("data_pattern"),
+                        F.col("rec_count").alias("rec_count"),
+                        F.col("example").alias("example"),
+                    )
+                )
+            ),
+            lambda s: F.struct(
+                s["data_pattern"].alias("data_pattern"),
+                s["rec_count"].alias("rec_count"),
+                s["example"].alias("example"),
+            ),
+        ).alias("rare_patterns")
+    )
+    return [
+        popular.select(prefixed.alias("attribute"), "popular_patterns"),
+        rare_agg.select(prefixed.alias("attribute"), "rare_patterns"),
+    ]
+
+
+def _profile_flat_approx(
+    df: DataFrame,
+    attrs: list[AttrInfo],
+    params: ProfileParams,
+    name_prefix: str,
+    sort_prefix: str,
+) -> DataFrame:
+    """Sketch-path profile for the 10^12-row tier: exactly THREE passes
+    over the input, no raw-value shuffle.
+
+    1. ``groupBy(attribute)`` over the melt: fill/lengths, HLL++
+       cardinality (``approx_count_distinct``, rsd 1.5%) and the
+       numeric sketch stats (min/max/mean/pop-stddev +
+       ``percentile_approx`` t-digest-like quantiles) — every
+       aggregate is mergeable, so Spark's partial (map-side) agg
+       collapses each task to one row per attribute before the
+       shuffle (the treeAggregate-style hierarchical merge of the
+       north_star).
+    2. filled-only ``groupBy(attribute, value_lc, data_pattern)``:
+       value_lc keeps the raw value ONLY for attributes whose HLL
+       cardinality is low (bounded group count); everything else
+       groups on the bounded-cardinality pattern string.  This one
+       intermediate feeds the type-flag AND-fold, popular/rare
+       patterns, modes and the cardinality breakdown.
+    3. correlations (one ``agg`` of all ``corr`` pairs on the source).
+
+    Deviations from the always-exact reference (documented): HLL
+    cardinality (~1.5% rel. error), sketch quantiles, and modes /
+    breakdown only for attributes under ``approx_mode_card_limit``.
+    """
+    plen = params.pattern_len
+    meta = _attr_meta_df(df, attrs, sort_prefix, name_prefix)
+    string_attrs = [a.name for a in attrs if a.kind == KIND_STRING]
+    as_is_attrs = [
+        a.name for a in attrs if a.kind in (KIND_NUMERIC, KIND_BOOLEAN, KIND_ARRAY)
+    ]
+    melted = melt(df, attrs)
+    filled_expr = _filled_expr(attrs, params.allow_zero)
+    filled = F.col("filled")
+
+    # ---- pass 1: per-attribute summary (no pattern derivation) ----
+    m1 = melted.withColumn("filled", filled_expr)
+    if params.need_numeric:
+        # len guard: no numeric-flaggable value exceeds ~33 chars (the
+        # 19/20-digit and 15.15 float rules, Profile.ecl:908-935), so
+        # long text never pays a parse attempt
+        m1 = m1.withColumn(
+            "v",
+            F.when(filled & (F.col("len") <= 40), F.expr("try_cast(value AS double)")),
+        )
+    agg_exprs = [
+        F.count(F.lit(1)).alias("rec_count"),
+        F.coalesce(F.sum(F.when(filled, 1)), F.lit(0)).alias("fill_count"),
+    ]
+    if params.need_lengths:
+        agg_exprs += [
+            F.coalesce(F.min(F.when(filled, F.col("len"))), F.lit(0)).alias("min_length"),
+            F.coalesce(F.max(F.when(filled, F.col("len"))), F.lit(0)).alias("max_length"),
+            F.coalesce(
+                F.floor(
+                    F.sum(F.when(filled, F.col("len"))) / F.sum(F.when(filled, 1))
+                ),
+                F.lit(0),
+            ).alias("ave_length"),
+            F.coalesce(
+                F.min(F.when(filled & (F.col("len") > 0), F.col("len"))), F.lit(0)
+            ).alias("min_len_nonzero"),
+        ]
+    # HLL++ sketch, rsd=0.015 (documented deviation: reference is exact)
+    agg_exprs.append(
+        F.approx_count_distinct(F.when(filled, F.col("value")), 0.015).alias(
+            "cardinality"
+        )
+    )
+    if params.need_numeric:
+        agg_exprs += [
+            F.round(F.min("v"), 4).alias("numeric_min"),
+            F.round(F.max("v"), 4).alias("numeric_max"),
+            F.round(F.avg("v"), 4).alias("numeric_mean"),
+            F.round(
+                F.sqrt(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")), 4
+            ).alias("numeric_std_dev"),
+            F.percentile_approx("v", [0.25, 0.5, 0.75], 10_000).alias("_q"),
+        ]
+    summary = m1.groupBy("attribute").agg(*agg_exprs)
+    if params.need_numeric:
+        summary = summary.withColumns(
+            {
+                "numeric_lower_quartile": F.round(F.col("_q")[0], 4),
+                "numeric_median": F.round(F.col("_q")[1], 4),
+                "numeric_upper_quartile": F.round(F.col("_q")[2], 4),
+            }
+        ).drop("_q")
+    # tiny (one row per attribute) but costs a full input pass; the
+    # low-card listing and the final assembly both reuse it
+    summary = summary.persist()
+
+    need_pat_feature = params.has("patterns") and params.max_patterns > 0
+    need_vh = params.has("modes") or (
+        params.has("cardinality_breakdown") and params.lcb_limit > 0
+    )
+    need_pass2 = params.need_flags or need_pat_feature
+
+    low_card: list[str] = []
+    if need_vh:
+        low_card = [
+            r["attribute"]
+            for r in summary.filter(
+                F.col("cardinality") <= params.approx_mode_card_limit
+            )
+            .select("attribute")
+            .collect()
+        ]
+
+    # ---- pass 2: filled-only (attribute, value_lc, pattern) histogram ----
+    typefold = None
+    hist2 = None
+    if need_pass2:
+        att = F.col("attribute")
+        # group at the FINAL (attribute, data_pattern) grain in one
+        # aggregation: top/rare patterns read it with no re-agg, and
+        # the type/unicode folds ride along as numeric aggregates
+        # (AND/OR are associative, so folding per pattern group then
+        # across groups equals the reference's per-value fold,
+        # Profile.ecl:967-992)
+        d2 = (
+            melted.withColumn("filled", filled_expr)
+            .filter(filled)
+            .withColumn("pattern", _pattern_expr(attrs, plen))
+        )
+        flag_aggs = []
+        if params.need_flags:
+            d2 = d2.withColumn(
+                "type_flag",
+                F.when(
+                    att.isin(as_is_attrs) if as_is_attrs else F.lit(False),
+                    F.lit(besttype.AS_IS),
+                ).otherwise(besttype.type_flag(F.col("pattern"), treat_as_is=False)),
+            ).withColumn(
+                "is_uni",
+                (
+                    (att.isin(string_attrs) if string_attrs else F.lit(False))
+                    & is_non_ascii(F.col("value"))
+                ).cast("int"),
+            )
+            flag_aggs = [
+                F.bit_and("type_flag").alias("type_flag"),
+                F.max("is_uni").alias("is_uni"),
+            ]
+        hist2 = (
+            d2.withColumn("data_pattern", finish_pattern(F.col("pattern")))
+            .groupBy("attribute", "data_pattern")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
+                *flag_aggs,
+            )
+            .persist()
+        )
+        # force materialization: the type-fold and pattern top-k
+        # branches run as parallel stages of one job and would
+        # otherwise race past the not-yet-populated cache, each
+        # recomputing the full pass
+        hist2.count()
+        if params.need_flags:
+            typefold = hist2.groupBy("attribute").agg(
+                F.coalesce(F.bit_and("type_flag"), F.lit(0)).alias("type_flags"),
+                F.coalesce(F.max("is_uni"), F.lit(0)).alias("_uni"),
+            )
+
+    # ---- assembly ----
+    base = meta.join(
+        summary.withColumnRenamed("attribute", "_local_name"), "_local_name", "left"
+    )
+    if typefold is not None:
+        base = base.join(
+            F.broadcast(typefold.withColumnRenamed("attribute", "_local_name")),
+            "_local_name",
+            "left",
+        )
+    fill_defaults = {
+        "rec_count": 0,
+        "fill_count": 0,
+        "min_length": 0,
+        "max_length": 0,
+        "ave_length": 0,
+        "type_flags": 0,
+        "min_len_nonzero": 0,
+        "_uni": 0,
+        "cardinality": 0,
+    }
+    base = base.na.fill({k: v for k, v in fill_defaults.items() if k in base.columns})
+    base = _attach_best_type(base, attrs, params, name_prefix)
+    if params.need_numeric:
+        # numeric sketch stats were computed for every castable value;
+        # only attributes judged numeric by the type fold report them
+        # (matches the exact path, which computes them post-fold)
+        for c in (
+            "numeric_min",
+            "numeric_max",
+            "numeric_mean",
+            "numeric_std_dev",
+            "numeric_lower_quartile",
+            "numeric_median",
+            "numeric_upper_quartile",
+        ):
+            base = base.withColumn(c, F.when(F.col("is_numeric"), F.col(c)))
 
     pieces = [base]
-    prefixed = F.concat(F.lit(name_prefix), F.col("attribute"))
-
-    # --- numeric stats (A5/A6) ---
-    if params.need_numeric:
-        num_attr_names = base.filter(F.col("is_numeric")).select(
-            F.col("_local_name").alias("attribute")
+    if need_vh and low_card:
+        # value histogram from a dedicated melt of ONLY the low-card
+        # attributes: scans the cached input without computing any
+        # pattern/flag expression for the high-card columns
+        lc_attrs = [a for a in attrs if a.name in set(low_card)]
+        vh = (
+            melt(df, lc_attrs)
+            .withColumn("filled", _filled_expr(lc_attrs, params.allow_zero))
+            .filter(F.col("filled"))
+            .groupBy("attribute", "value")
+            .agg(F.count(F.lit(1)).alias("rec_count"))
+            .persist()
         )
-        src = stats_src.filter(filled).join(F.broadcast(num_attr_names), "attribute")
-        hnum = src.select(
-            "attribute", F.col("value").cast("double").alias("v"), "cnt"
-        )
-        if exact:
-            numstats = _exact_numeric_stats(hnum)
-        else:
-            numstats = _approx_numeric_stats(hnum)
-        numstats = numstats.select(
-            F.concat(F.lit(name_prefix), F.col("attribute")).alias("attribute"),
-            *[c for c in numstats.columns if c != "attribute"],
-        )
-        pieces.append(numstats)
-
-    # --- modes (J2: top-5 tied for max, count>1) + low-card breakdown ---
-    if params.has("modes") or params.has("cardinality_breakdown"):
-        if exact:
-            vh = (
-                stats_src.filter(filled)
-                .groupBy("attribute", "value")
-                .agg(F.sum("cnt").alias("rec_count"))
-            )
-        else:
-            # approx: exact (attr, value) counts only for attributes
-            # whose HLL cardinality is low — a bounded second pass
-            low_card = [
-                r["attribute"]
-                for r in base.filter(
-                    F.col("cardinality") <= params.approx_mode_card_limit
-                )
-                .select(F.col("_local_name").alias("attribute"))
-                .collect()
-            ]
-            vh = (
-                melted.filter(F.col("attribute").isin(low_card))
-                .withColumn("filled", _filled_expr(attrs, params.allow_zero))
-                .filter(F.col("filled"))
-                .groupBy("attribute", "value")
-                .agg(F.count(F.lit(1)).alias("rec_count"))
-            )
+        # tiny (bounded by approx_mode_card_limit per attribute), but
+        # three consumers (modes max-join x2, breakdown) would each
+        # rescan the input cache without materializing it first
+        vh.count()
         if params.has("modes"):
-            # ties-at-max via broadcast max-join — no whole-attribute
-            # window partition (SURVEY.md hard part #3 / skew note)
-            max_cnt = vh.groupBy("attribute").agg(F.max("rec_count").alias("_mx"))
-            tied = vh.join(F.broadcast(max_cnt), "attribute").filter(
-                (F.col("rec_count") == F.col("_mx")) & (F.col("rec_count") > 1)
-            )
-            w_tied = Window.partitionBy("attribute").orderBy(F.asc("value"))
-            mode_rows = tied.withColumn("_rn", F.row_number().over(w_tied)).filter(
-                F.col("_rn") <= MAX_MODES
-            )
-            modes = mode_rows.groupBy("attribute").agg(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("value").alias("value"),
-                            F.col("rec_count").alias("rec_count"),
-                        )
-                    )
-                ).alias("modes")
-            )
-            pieces.append(
-                modes.select(
-                    F.concat(F.lit(name_prefix), F.col("attribute")).alias("attribute"),
-                    "modes",
-                )
-            )
+            pieces.append(_modes_piece(vh, name_prefix))
         if params.has("cardinality_breakdown") and params.lcb_limit > 0:
             low_attrs = base.filter(
                 (F.col("cardinality") > 0) & (F.col("cardinality") <= params.lcb_limit)
             ).select(F.col("_local_name").alias("attribute"))
-            lcb_rows = vh.join(F.broadcast(low_attrs), "attribute")
-            lcb = lcb_rows.groupBy("attribute").agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                (-F.col("rec_count")).alias("_k"),
-                                F.col("value").alias("value"),
-                                F.col("rec_count").alias("rec_count"),
-                            )
-                        )
-                    ),
-                    lambda s: F.struct(
-                        s["value"].alias("value"), s["rec_count"].alias("rec_count")
-                    ),
-                ).alias("cardinality_breakdown")
-            )
-            pieces.append(
-                lcb.select(
-                    F.concat(F.lit(name_prefix), F.col("attribute")).alias("attribute"),
-                    "cardinality_breakdown",
-                )
-            )
+            pieces.append(_lcb_piece(vh, low_attrs, name_prefix))
+    if need_pat_feature and hist2 is not None:
+        # hist2 already sits at (attribute, data_pattern) grain
+        pat = hist2.select(
+            "attribute", "data_pattern", F.col("cnt").alias("rec_count"), "example"
+        )
+        pieces.extend(_pattern_pieces(pat, params, name_prefix))
 
-    # --- popular / rare text patterns (A8 + J3) ---
-    if params.has("patterns") and params.max_patterns > 0:
-        # persisted: the top-k, bottom-k and anti-join branches would
-        # otherwise each recompute the melt + pattern aggregation
-        pat = (
-            stats_src.filter(filled)
-            .withColumn("data_pattern", finish_pattern(F.col("pattern")))
-            .groupBy("attribute", "data_pattern")
-            .agg(
-                F.sum("cnt").alias("rec_count"),
-                F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
-            )
-            .persist()
-        )
-        k = int(params.max_patterns)
-        salt = F.xxhash64("data_pattern")
-        top = grouped_topk(
-            pat,
-            ["attribute"],
-            [F.desc("rec_count"), F.asc("data_pattern")],
-            k,
-            salt,
-            rank_name="_rn_top",
-        ).drop("_rn_top")
-        rare0 = grouped_topk(
-            pat,
-            ["attribute"],
-            [F.asc("rec_count"), F.asc("data_pattern")],
-            k,
-            salt,
-            rank_name="_rn_rare",
-        ).drop("_rn_rare")
-        rare = rare0.join(
-            top.select("attribute", "data_pattern"),
-            ["attribute", "data_pattern"],
-            "left_anti",
-        )
-        popular = top.groupBy("attribute").agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("rec_count")).alias("_k"),
-                            F.col("data_pattern").alias("data_pattern"),
-                            F.col("rec_count").alias("rec_count"),
-                            F.col("example").alias("example"),
-                        )
-                    )
-                ),
-                lambda s: F.struct(
-                    s["data_pattern"].alias("data_pattern"),
-                    s["rec_count"].alias("rec_count"),
-                    s["example"].alias("example"),
-                ),
-            ).alias("popular_patterns")
-        )
-        rare_agg = rare.groupBy("attribute").agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("rec_count").alias("_k"),
-                            F.col("data_pattern").alias("data_pattern"),
-                            F.col("rec_count").alias("rec_count"),
-                            F.col("example").alias("example"),
-                        )
-                    )
-                ),
-                lambda s: F.struct(
-                    s["data_pattern"].alias("data_pattern"),
-                    s["rec_count"].alias("rec_count"),
-                    s["example"].alias("example"),
-                ),
-            ).alias("rare_patterns")
-        )
-        pieces.append(popular.select(prefixed.alias("attribute"), "popular_patterns"))
-        pieces.append(rare_agg.select(prefixed.alias("attribute"), "rare_patterns"))
-
-    # --- correlations (A12, Profile.ecl:1213-1260) ---
+    # ---- pass 3: correlations ----
     if params.has("correlations"):
         num_given = [a.name for a in attrs if a.kind == KIND_NUMERIC]
         corr_df = _correlations(df, num_given, name_prefix)
@@ -700,7 +955,6 @@ def _profile_flat(
     out = pieces[0]
     for p in pieces[1:]:
         out = out.join(p, "attribute", "left")
-
     return _shape_output(out, params)
 
 
@@ -758,32 +1012,6 @@ def _exact_numeric_stats(hnum: DataFrame) -> DataFrame:
         F.round(
             F.when(F.col("_half") > 0, F.col("_q3")).otherwise(0.0), 4
         ).alias("numeric_upper_quartile"),
-    )
-
-
-def _approx_numeric_stats(hnum: DataFrame) -> DataFrame:
-    """Sketch-based numeric stats for the 10^12-row path: quantiles via
-    ``percentile_approx`` (t-digest-like, mergeable).  Documented
-    deviation from the reference's exact positional quartiles."""
-    g = hnum.groupBy("attribute").agg(
-        F.round(F.min("v"), 4).alias("numeric_min"),
-        F.round(F.max("v"), 4).alias("numeric_max"),
-        F.round(F.sum(F.col("v") * F.col("cnt")) / F.sum("cnt"), 4).alias("numeric_mean"),
-        (F.sum(F.col("v") * F.col("v") * F.col("cnt")) / F.sum("cnt")).alias("_ex2"),
-        (F.sum(F.col("v") * F.col("cnt")) / F.sum("cnt")).alias("_ex"),
-        F.percentile_approx("v", [0.25, 0.5, 0.75], 10_000).alias("_q"),
-    )
-    return g.select(
-        "attribute",
-        "numeric_min",
-        "numeric_max",
-        "numeric_mean",
-        F.round(F.sqrt(F.col("_ex2") - F.col("_ex") * F.col("_ex")), 4).alias(
-            "numeric_std_dev"
-        ),
-        F.round(F.col("_q")[0], 4).alias("numeric_lower_quartile"),
-        F.round(F.col("_q")[1], 4).alias("numeric_median"),
-        F.round(F.col("_q")[2], 4).alias("numeric_upper_quartile"),
     )
 
 
