@@ -33,10 +33,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # transcript conversations for the flagship run (~1.3M turns at 65k)
 N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "65000"))
-# the --scaling evidence run uses a much larger input (~77M turns) so
+# The --scaling evidence run uses a much larger input (~39M turns) so
 # the parallel fraction dominates the fixed planning/scheduling cost —
-# the sandbox stand-in for the N vs 4N executor measurement
-SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "4000000"))
+# the sandbox stand-in for the N vs 4N executor measurement.
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "2000000"))
+# N and 4N core counts.  local[4] vs local[16] by default: a
+# pure-compute calibration (BASELINE.md) shows this Firecracker host
+# scales 4->16 at ~1.0 efficiency but throttles above ~16 busy vCPUs
+# (8->32 tops out at ~0.70 even for a codegen'd hash loop), so 8/32
+# would measure the host, not the engine.
+SCALE_PAIR = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "4,16").split(",")
 
 
 def _sf_from_dir(d: str) -> float:
@@ -174,7 +180,8 @@ def _scaling_runs() -> dict:
     local[32], in fresh single-occupant subprocesses."""
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="64g")
     runs = {}
-    for cpus in ("8", "32"):
+    lo, hi = SCALE_PAIR
+    for cpus in (lo, hi):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--flagship-only", cpus,
              "--scale-input"],
@@ -184,11 +191,11 @@ def _scaling_runs() -> dict:
             env=env,
         )
         runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-    t8, t32 = runs["8"]["sec"], runs["32"]["sec"]
+    ratio = int(hi) / int(lo)
     return {
-        "local8": runs["8"],
-        "local32": runs["32"],
-        "efficiency": round((t8 / t32) / 4.0, 3),
+        f"local{lo}": runs[lo],
+        f"local{hi}": runs[hi],
+        "efficiency": round((runs[lo]["sec"] / runs[hi]["sec"]) / ratio, 3),
     }
 
 
