@@ -1,0 +1,101 @@
+"""Differential tests for the scalar kernels.
+
+The reference implements these as C++ EMBED kernels; we re-express
+them as Spark expressions.  Each test runs a seeded random corpus
+(plus hand-picked edge cases) through BOTH the Spark expression and a
+direct Python transcription of the reference kernel, in one job.
+
+* pattern palette  — /root/reference/Profile.ecl:603-643 (_MapAllStr/_MapAllUni)
+* NthDigit         — /root/reference/Benford.ecl:176-209
+"""
+
+import random
+import unicodedata
+
+from pyspark.sql import functions as F
+
+from datapatterns_spark.functions.benford_digit import nth_digit
+from datapatterns_spark.functions.patterns import finish_pattern, map_pattern
+
+_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " .,-_!?/\\'\"()"
+    "äöüÄÖÜßéÉçÇñÑ"          # Latin-1 letters (Lu/Ll)
+    "ǅǈ"                      # titlecase (Lt)
+    "ʰʷ"                      # modifier letters (Lm)
+    "中日あア한"                # other letters (Lo)
+    "§±µ©"                    # symbols
+)
+
+EDGE_CASES = [
+    "", "0", "00", "0.00", "-0", ".", "..", "0.103", "-42.7", "1e9",
+    "007", "  42  ", "a1b2c3", "no digits here", "....", "0.",
+    ".5", "-.5", "1000000", "0,5", "ß", "Ǆǅǆ", "MiXeD CaSe 123",
+]
+
+
+def _corpus(n=800, seed=7):
+    rng = random.Random(seed)
+    out = list(EDGE_CASES)
+    for _ in range(n):
+        k = rng.randint(0, 24)
+        out.append("".join(rng.choice(_ALPHABET) for _ in range(k)))
+    return out
+
+
+def _py_pattern(s: str) -> str:
+    """Direct transcription of _MapAllUni/_MapAllStr + the 0->9 fixup
+    (Profile.ecl:626-643, 1306)."""
+    out = []
+    for ch in s:
+        cat = unicodedata.category(ch)
+        if cat == "Lu":
+            out.append("A")
+        elif cat in ("Ll", "Lt", "Lm", "Lo"):
+            out.append("a")
+        elif "1" <= ch <= "9":
+            out.append("9")
+        else:
+            out.append(ch)
+    return "".join(out).replace("0", "9")
+
+
+def _py_nth_digit(s: str, pos: int) -> int:
+    """Direct transcription of the NthDigit kernel
+    (Benford.ecl:181-208)."""
+    found = 10
+    digits = 0
+    for ch in s:
+        if ch.isdigit() and ch.isascii() and (digits > 0 or ch != "0"):
+            digits += 1
+            if digits >= pos:
+                return ord(ch) - ord("0")
+            found = 0
+        elif ch == ".":
+            found = 0
+    return found
+
+
+def test_pattern_palette_differential(spark):
+    rows = [(s,) for s in _corpus()]
+    df = spark.createDataFrame(rows, "s string")
+    got = {
+        r["s"]: r["p"]
+        for r in df.select("s", finish_pattern(map_pattern(F.col("s"))).alias("p")).collect()
+    }
+    for s in got:
+        assert got[s] == _py_pattern(s), f"pattern mismatch for {s!r}: {got[s]!r} != {_py_pattern(s)!r}"
+
+
+def test_nth_digit_differential(spark):
+    rows = [(s,) for s in _corpus()]
+    df = spark.createDataFrame(rows, "s string")
+    sel = df.select(
+        "s", *[nth_digit(F.col("s"), p).alias(f"d{p}") for p in (1, 2, 3, 4)]
+    )
+    for r in sel.collect():
+        for p in (1, 2, 3, 4):
+            exp = _py_nth_digit(r["s"], p)
+            assert r[f"d{p}"] == exp, (
+                f"NthDigit({r['s']!r}, {p}) = {r[f'd{p}']} expected {exp}"
+            )
