@@ -206,6 +206,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         verdicts, _ = C.run_checks(li, checks)
         return verdicts.select("check_name", "passed", F.col("metric").alias("psi"))
 
+    def q_drift_ks(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        baseline = [1.0 / 64] * 64
+        checks = [
+            C.drift_ks(
+                "price_ks", "l_extendedprice", baseline,
+                bins=64, lo=900.0, hi=105000.0, threshold=0.1,
+            )
+        ]
+        verdicts, _ = C.run_checks(li, checks)
+        return verdicts.select("check_name", "passed", F.col("metric").alias("ks"))
+
+    def q_validate_allfilled(spark, sf):
+        v = validate(
+            _t(spark, sf, "customer"),
+            "AllFilled:AllFieldsFilled();BalPos:c_acctbal >= 0",
+        )
+        return (
+            v.groupBy(
+                F.concat_ws(",", F.col("validation_results.violations")).alias("violations"),
+                F.col("validation_results.num_violations").alias("num_violations"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def q_validate_fix_swap(spark, sf):
+        from datapatterns_spark.operators.validation import fix as vfix
+
+        v = validate(_t(spark, sf, "part"), "SizeSmall:p_size <= 25")
+        fixed = vfix(v, "SizeSmall: Swap(p_brand, p_type)")
+        return fixed.groupBy(F.col("p_brand").alias("brand")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
     def q_similarity_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
         qs = emb.filter(F.col("vec_id").isin([1, 2, 3]))
@@ -347,6 +381,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         p = profile(_t(spark, sf, "lineitem"), mode="approx")
         return p.select("attribute", "rec_count", "fill_count", "cardinality")
 
+    def q_multimodal_features(spark, sf):
+        from datapatterns_spark.operators import multimodal as MM
+
+        media = MM.make_fake_media_table(spark, n=200)
+        feats = MM.extract_features(media, fake=True)
+        return feats.select(
+            "media_id", "n_bytes", F.round(F.element_at("features", 1), 4).alias("f0")
+        )
+
+    def q_multimodal_frames(spark, sf):
+        from datapatterns_spark.operators import multimodal as MM
+
+        media = MM.make_fake_media_table(spark, n=120)
+        frames = MM.sample_frames(media, every_ms=1000, fake=True)
+        return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
     return {
         "profile_fill": q_profile_fill,
         "profile_numeric_stats": q_profile_numeric,
@@ -360,6 +410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_rules": q_validate,
         "constraint_verdicts": q_constraint_verdicts,
         "drift_psi": q_drift_psi,
+        "drift_ks": q_drift_ks,
+        "validate_allfilled": q_validate_allfilled,
+        "validate_fix_swap": q_validate_fix_swap,
         "similarity_topk": q_similarity_topk,
         "dedup_exact": q_exact_dedup,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -376,6 +429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash,
         "transcript_suite": q_transcript_suite,
         "profile_approx": q_profile_approx,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "ann_ivf_topk": q_ann_ivf,
         "best_record_structure": q_best_record,
         "text_fingerprint": q_text_fingerprint,
@@ -657,6 +712,57 @@ SELECT 'qty_psi' AS check_name,
 FROM j
 """
 
+    # ---- drift KS (uniform baseline, fixed lo/hi, binned ECDFs) ----
+    drift_ks_sql = """
+WITH hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 900.0) / (104100.0 / 64)) AS INT), 0), 63) AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS t FROM hist),
+grid AS (SELECT CAST(range AS INT) AS bin FROM range(64)),
+j AS (
+  SELECT g.bin,
+         COALESCE(h.cnt, 0) * 1.0 / (SELECT t FROM tot) AS frac,
+         1.0 / 64 AS base_frac
+  FROM grid g LEFT JOIN hist h ON g.bin = h.bin),
+cdf AS (
+  SELECT SUM(frac) OVER (ORDER BY bin) AS ca,
+         SUM(base_frac) OVER (ORDER BY bin) AS cb
+  FROM j)
+SELECT 'price_ks' AS check_name,
+       (ROUND(MAX(ABS(ca - cb)), 6) <= 0.1) AS passed,
+       ROUND(MAX(ABS(ca - cb)), 6) AS ks
+FROM cdf
+"""
+
+    # ---- validate with AllFieldsFilled() (Validation.ecl:244-261) ----
+    cust_cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    allfilled = " AND ".join(
+        f"(coalesce(trim(CAST({c} AS VARCHAR)), '') <> '')" for c in cust_cols
+    )
+    af_tests = [("AllFilled", f"({allfilled})"), ("BalPos", "c_acctbal >= 0")]
+    af_names = ",\n         ".join(
+        f"CASE WHEN ({t}) IS DISTINCT FROM TRUE THEN '{n}' END" for n, t in af_tests
+    )
+    af_cnt = " + ".join(
+        f"(CASE WHEN ({t}) IS DISTINCT FROM TRUE THEN 1 ELSE 0 END)" for _, t in af_tests
+    )
+    validate_allfilled_sql = f"""
+WITH v AS (
+  SELECT concat_ws(',',
+         {af_names}) AS violations,
+         CAST({af_cnt} AS INT) AS num_violations
+  FROM customer)
+SELECT violations, num_violations, COUNT(*) AS n FROM v GROUP BY 1, 2
+"""
+
+    # ---- Swap() fix form (Validation.ecl:513-518) ----
+    validate_fix_swap_sql = """
+SELECT CASE WHEN (p_size <= 25) IS DISTINCT FROM TRUE THEN p_type ELSE p_brand END AS brand,
+       COUNT(*) AS n
+FROM part GROUP BY 1
+"""
+
     # ---- similarity top-k ----
     similarity_sql = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (1, 2, 3)),
@@ -878,6 +984,9 @@ SELECT id_a, id_b FROM p WHERE cos6 >= 0.45
         "validate_rules": validate_sql,
         "constraint_verdicts": constraint_sql,
         "drift_psi": drift_sql,
+        "drift_ks": drift_ks_sql,
+        "validate_allfilled": validate_allfilled_sql,
+        "validate_fix_swap": validate_fix_swap_sql,
         "similarity_topk": similarity_sql,
         "dedup_exact": dedup_exact_sql,
         "dedup_ngram_jaccard": ngram_sql,
@@ -892,6 +1001,6 @@ SELECT id_a, id_b FROM p WHERE cos6 >= 0.45
         "normalize_profile": normalize_profile_sql,
         # dedup_minhash_lsh / dedup_simhash / transcript_suite /
         # profile_approx / ann_ivf_topk / best_record_structure /
-        # text_fingerprint: probabilistic, generator-backed, or
-        # hash-function-specific -> rows-only
+        # text_fingerprint / multimodal_*: probabilistic,
+        # generator-backed, or hash-function-specific -> rows-only
     }

@@ -61,7 +61,21 @@ def extract_features(
         ]
     )
 
+    dim = FEATURE_DIM
+
+    # self-contained closure: everything it touches is a local or
+    # stdlib, so cloudpickle ships it by value and workers need no
+    # importable copy of this package
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def feats(payload: bytes) -> list[float]:
+            h = _hl.sha256(payload or b"").digest()
+            return [
+                int.from_bytes(h[2 * i : 2 * i + 2], "big") / 65535.0
+                for i in range(dim)
+            ]
+
         for pdf in it:
             if not fake:
                 raise NotImplementedError(
@@ -71,7 +85,7 @@ def extract_features(
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
-                    "features": [ _fake_features(b) for b in pdf[media_col] ],
+                    "features": [feats(b) for b in pdf[media_col]],
                     "n_bytes": [len(b or b"") for b in pdf[media_col]],
                 }
             )
@@ -99,6 +113,8 @@ def sample_frames(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl  # self-contained: see extract_features
+
         for pdf in it:
             if not fake:
                 raise NotImplementedError(
@@ -113,7 +129,7 @@ def sample_frames(
                     ids.append(mid)
                     times.append(t)
                     frames.append(
-                        hashlib.sha256((payload or b"") + t.to_bytes(8, "big")).digest()
+                        _hl.sha256((payload or b"") + t.to_bytes(8, "big")).digest()
                     )
             yield pd.DataFrame({"media_id": ids, "frame_ms": times, "frame": frames})
 

@@ -30,6 +30,15 @@ def get_spark(
     semantics) rather than errors.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Make the package importable by Python *workers* regardless of the
+    # driver's cwd: pickled pandas-UDF closures resolve module
+    # references by import on the worker side.  (On a real cluster the
+    # same is achieved with ``spark-submit --py-files``.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if pkg_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
