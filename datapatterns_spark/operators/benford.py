@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.benford_digit import nth_digit
+from ..plans.local import lit_df
 from ..plans.schema_walk import walk_schema
 from .profile import _deterministic_sample
 
@@ -78,7 +79,7 @@ def benford(
 
     spark = df.sparkSession
     order_rows = [(a.name, i + 1) for i, a in enumerate(attrs)]
-    order_df = spark.createDataFrame(order_rows, "attribute string, _ord int")
+    order_df = lit_df(spark, order_rows, "attribute string, _ord int")
     # columns where every value lacked a usable digit still get a
     # zero-filled row (ECL's aggregate TABLE over an empty set)
     agg = (
@@ -103,7 +104,8 @@ def benford(
         chi = chi + t
     agg = agg.withColumn("chi_squared", F.round(chi, 3))
 
-    expected_row = spark.createDataFrame(
+    expected_row = lit_df(
+        spark,
         [
             tuple(
                 [f"-- EXPECTED DIGIT {clamped} --"]

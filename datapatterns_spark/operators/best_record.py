@@ -60,4 +60,6 @@ def best_record_structure(
     lines.append("END;")
 
     spark = df.sparkSession
-    return spark.createDataFrame([(ln,) for ln in lines], "txt string")
+    from ..plans.local import lit_df
+
+    return lit_df(spark, [(ln,) for ln in lines], "txt string")

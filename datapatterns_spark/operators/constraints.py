@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from .benford import CRITICAL_1, CRITICAL_N, EXPECTED
 from ..functions.benford_digit import nth_digit
+from ..plans.local import lit_df
 from .validation import expand_helpers
 
 SAMPLE_VIOLATIONS = 5
@@ -186,6 +187,7 @@ def run_checks(
     checks: list[Check],
     partition_col: str | Column | None = None,
     key_cols: list[str] | None = None,
+    partitions: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run every check, returning ``(verdicts, violations)``.
 
@@ -198,14 +200,18 @@ def run_checks(
     ``partition_col`` defaults to a constant (whole-table grain); pass
     an Iceberg partition column (or any expression) for per-partition
     verdicts.  ``key_cols`` identify rows in the violation table.
+    ``partitions``: the expected partition values, if the caller knows
+    them (an Iceberg partition listing is metadata, not a scan) —
+    skips a full-input ``distinct`` pass otherwise needed to emit
+    verdict rows for violation-free partitions.
 
-    Scale shape: ALL row+group checks run in ONE pass over the input —
-    the group-scope windows are planned together, so windows sharing a
-    key prefix (e.g. uniqueness on (conv_id, turn_idx) and ts-monotone
-    on conv_id) reuse a single exchange+sort; ALL stat checks
-    (Benford, PSI, KS) share ONE melt pass reduced to
-    ``(partition, check, bucket)`` counts, with the chi²/PSI/KS math
-    running on that tiny aggregated frame.
+    Scale shape: ALL row+group checks run in ONE pass over the input;
+    a uniqueness check on ``(g, o)`` is rewritten as lag/lead equality
+    over ``Window.partitionBy(g).orderBy(o)`` whenever a monotonic
+    check already uses that exact window, so both ride ONE
+    exchange+sort; ALL stat checks (Benford, PSI, KS) share ONE melt
+    pass reduced to ``(partition, check, bucket)`` counts, with the
+    chi²/PSI/KS math running on that tiny aggregated frame.
     """
     spark = df.sparkSession
     part = (
@@ -236,20 +242,45 @@ def run_checks(
                 ),
             )
         )
+    # windows used by monotonic checks, for exchange-sharing rewrites
+    mono_windows = {
+        (c.params["group"], c.params["order"])
+        for c in group_checks
+        if c.params["op"] == "monotonic"
+    }
     for c in group_checks:
         p = c.params
         if p["op"] == "unique":
-            w = Window.partitionBy(*[F.col(x) for x in p["cols"]])
-            n = F.count(F.lit(1)).over(w)
-            detail = F.concat(
-                F.lit("duplicate key ("),
-                F.concat_ws(",", *[F.col(x).cast("string") for x in p["cols"]]),
-                F.lit(") x"),
-                n.cast("string"),
-            )
+            if len(p["cols"]) == 2 and tuple(p["cols"]) in mono_windows:
+                # a monotonic check already pays for
+                # Exchange(g) + Sort(g, o): detect duplicate (g, o)
+                # keys as lag/lead equality on o over the SAME window
+                # spec, so Spark plans both in one Window operator —
+                # one shuffle instead of two.  (NULL order values are
+                # not flagged here; keys with NULLs take the generic
+                # count-window path below.)
+                g, o = p["cols"]
+                w = Window.partitionBy(g).orderBy(o)
+                oc = F.col(o)
+                dup = (oc == F.lag(oc).over(w)) | (oc == F.lead(oc).over(w))
+                detail = F.concat(
+                    F.lit("duplicate key ("),
+                    F.concat_ws(",", F.col(g).cast("string"), oc.cast("string")),
+                    F.lit(")"),
+                )
+            else:
+                w = Window.partitionBy(*[F.col(x) for x in p["cols"]])
+                n = F.count(F.lit(1)).over(w)
+                dup = n > 1
+                detail = F.concat(
+                    F.lit("duplicate key ("),
+                    F.concat_ws(",", *[F.col(x).cast("string") for x in p["cols"]]),
+                    F.lit(") x"),
+                    n.cast("string"),
+                )
             fail_structs.append(
                 F.when(
-                    n > 1,
+                    dup,
                     F.struct(
                         F.lit(c.name).alias("check_name"), detail.alias("detail")
                     ),
@@ -277,10 +308,12 @@ def run_checks(
 
     if fail_structs:
         arr = F.array_compact(F.array(*fail_structs))
+        # key serialization (to_json) runs AFTER the violation filter,
+        # so only the tiny failing fraction pays for it
         viol = (
-            df.select(part, key_expr, arr.alias("_f"))
+            df.select(part, *[F.col(k) for k in keys], arr.alias("_f"))
             .filter(F.size("_f") > 0)
-            .select("partition", "key", F.explode("_f").alias("_e"))
+            .select("partition", key_expr, F.explode("_f").alias("_e"))
             .select(
                 "partition",
                 "key",
@@ -293,17 +326,22 @@ def run_checks(
         # re-runs the whole check pass
         viol = viol.persist()
     else:
-        viol = spark.createDataFrame(
-            [], "partition string, key string, check_name string, detail string"
+        viol = lit_df(
+            spark, [], "partition string, key string, check_name string, detail string"
         )
 
     # ---- verdict assembly for row+group checks ----
     all_check_names = [c.name for c in row_checks + group_checks]
     verdict_frames: list[DataFrame] = []
-    parts_df = df.select(part).distinct()
+    if partitions is not None:
+        parts_df = lit_df(
+            spark, [(str(p),) for p in partitions], "partition string"
+        )
+    else:
+        parts_df = df.select(part).distinct()
     if all_check_names:
         grid = parts_df.crossJoin(
-            spark.createDataFrame([(n,) for n in all_check_names], "check_name string")
+            lit_df(spark, [(n,) for n in all_check_names], "check_name string")
         )
         agg = viol.groupBy("partition", "check_name").agg(
             F.count(F.lit(1)).alias("violation_count"),
@@ -393,7 +431,7 @@ def _stat_verdict_from_counts(
             for i in range(10)
             if not (i == 0 and digit == 1)
         ]
-        exp_df = spark.createDataFrame(exp_rows, "bucket int, e double")
+        exp_df = lit_df(spark, exp_rows, "bucket int, e double")
         grid = tot.crossJoin(F.broadcast(exp_df))
         joined = grid.join(sub, ["partition", "bucket"], "left").na.fill({"cnt": 0})
         pct = F.round(F.col("cnt") / F.col("_tot") * 100, 1)
@@ -402,7 +440,8 @@ def _stat_verdict_from_counts(
         passed = F.col("metric") <= critical
     else:
         bins = int(p["bins"])
-        base = spark.createDataFrame(
+        base = lit_df(
+            spark,
             [(int(k), float(v)) for k, v in p["baseline"].items()],
             "bucket int, base_frac double",
         )

@@ -26,6 +26,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.local import lit_df
 from .constraints import Check, run_checks
 
 MANIFEST_SCHEMA = (
@@ -38,7 +39,7 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.parquet(f"{path}/manifest")
     except Exception:
-        return spark.createDataFrame([], MANIFEST_SCHEMA)
+        return lit_df(spark, [], MANIFEST_SCHEMA)
 
 
 def completed_partitions(spark: SparkSession, path: str) -> set[str]:
@@ -82,7 +83,11 @@ def run_with_manifest(
         started = time.time()
         sub = df.filter(F.col(partition_col).cast("string").isin(batch))
         verdicts, violations = run_checks(
-            sub, checks, partition_col=partition_col, key_cols=key_cols
+            sub,
+            checks,
+            partition_col=partition_col,
+            key_cols=key_cols,
+            partitions=batch,  # known -> no distinct scan per batch
         )
         verdicts = verdicts.cache()
         verdicts.write.mode("append").parquet(f"{output_path}/verdicts")
@@ -98,7 +103,7 @@ def run_with_manifest(
             (p, "COMPLETE", started, finished, len(checks), int(counts.get(p, 0)), snapshot_id)
             for p in batch
         ]
-        spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).write.mode(
+        lit_df(spark, manifest_rows, MANIFEST_SCHEMA).write.mode(
             "append"
         ).parquet(f"{output_path}/manifest")
         verdicts.unpersist()

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from ..functions import besttype
 from ..functions.patterns import finish_pattern, is_non_ascii, map_pattern
+from ..plans.local import lit_df
 from ..plans.schema_walk import (
     KIND_ARRAY,
     KIND_BINARY,
@@ -246,7 +247,7 @@ def _attr_meta_df(df: DataFrame, attrs: list[AttrInfo], sort_prefix: str, name_p
         for a in attrs
     ]
     schema = "attribute string, _local_name string, given_attribute_type string, _kind string, sort_value string"
-    return spark.createDataFrame(rows, schema)
+    return lit_df(spark, rows, schema)
 
 
 def _empty_array(struct_type: str) -> Column:
@@ -1038,20 +1039,25 @@ def _correlations(df: DataFrame, numeric_names: list[str], name_prefix: str):
         c = round(float(c), 6) if c is not None else 0.0
         by_attr[x].append((y, c))
         by_attr[y].append((x, c))
-    rows = [
-        (
-            name_prefix + attr,
-            [
-                {"attribute": name_prefix + other, "corr": c}
-                for other, c in sorted(lst, key=lambda t: (-t[1], t[0]))
-            ],
+    spark = df.sparkSession
+    # literal JVM-side frame (see plans.local): one struct per attr
+    # with its sorted correlation array embedded as array(struct(...))
+    attr_structs = [
+        F.struct(
+            F.lit(name_prefix + attr).alias("attribute"),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name_prefix + other).alias("attribute"),
+                        F.lit(c).cast("double").alias("corr"),
+                    )
+                    for other, c in sorted(lst, key=lambda t: (-t[1], t[0]))
+                ]
+            ).alias("correlations"),
         )
         for attr, lst in by_attr.items()
     ]
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        rows, f"attribute string, correlations array<{_CORR_STRUCT}>"
-    )
+    return spark.range(1).select(F.inline(F.array(*attr_structs)))
 
 
 def _shape_output(out: DataFrame, params: ProfileParams) -> DataFrame:
