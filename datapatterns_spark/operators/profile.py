@@ -42,6 +42,9 @@ Scale design notes:
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Window
@@ -82,6 +85,22 @@ _PATTERN_STRUCT = "struct<data_pattern:string,rec_count:bigint,example:string>"
 _CORR_STRUCT = "struct<attribute:string,corr:double>"
 
 NUMERIC_FEATURES = ("min_max", "mean", "std_dev", "quartiles")
+
+_PHASE_DEBUG = bool(os.environ.get("DP_PHASE_DEBUG"))
+_phase_t0 = [0.0]
+
+
+def _phase_mark(name: str) -> None:
+    """Env-gated sub-phase wall-clock markers (DP_PHASE_DEBUG=1)."""
+    if _PHASE_DEBUG:
+        now = time.time()
+        if _phase_t0[0]:
+            print(
+                f"[profile-phase] {name}: {now - _phase_t0[0]:.2f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+        _phase_t0[0] = now
 
 
 @dataclass
@@ -737,6 +756,7 @@ def _profile_flat_approx(
     breakdown only for attributes under ``approx_mode_card_limit``.
     """
     plen = params.pattern_len
+    _phase_mark("approx:start")
     meta = _attr_meta_df(df, attrs, sort_prefix, name_prefix)
     string_attrs = [a.name for a in attrs if a.kind == KIND_STRING]
     as_is_attrs = [
@@ -800,8 +820,9 @@ def _profile_flat_approx(
             }
         ).drop("_q")
     # tiny (one row per attribute) but costs a full input pass; the
-    # low-card listing and the final assembly both reuse it
-    summary = summary.persist()
+    # low-card listing and the final assembly both reuse it.  Eager
+    # localCheckpoint = cache + lineage cut (see hist2 note below).
+    summary = summary.localCheckpoint()
 
     need_pat_feature = params.has("patterns") and params.max_patterns > 0
     need_vh = params.has("modes") or (
@@ -819,6 +840,7 @@ def _profile_flat_approx(
             .select("attribute")
             .collect()
         ]
+    _phase_mark("pass1_summary")
 
     # ---- pass 2: filled-only (attribute, value_lc, pattern) histogram ----
     typefold = None
@@ -838,38 +860,59 @@ def _profile_flat_approx(
         )
         flag_aggs = []
         if params.need_flags:
+            # only the (cheap, codegen'd) byte-vs-char length test runs
+            # per row; the best-type regexes run later on the DISTINCT
+            # raw patterns — a frame thousands of times smaller
             d2 = d2.withColumn(
-                "type_flag",
-                F.when(
-                    att.isin(as_is_attrs) if as_is_attrs else F.lit(False),
-                    F.lit(besttype.AS_IS),
-                ).otherwise(besttype.type_flag(F.col("pattern"), treat_as_is=False)),
-            ).withColumn(
                 "is_uni",
                 (
                     (att.isin(string_attrs) if string_attrs else F.lit(False))
                     & is_non_ascii(F.col("value"))
                 ).cast("int"),
             )
-            flag_aggs = [
-                F.bit_and("type_flag").alias("type_flag"),
-                F.max("is_uni").alias("is_uni"),
-            ]
-        hist2 = (
-            d2.withColumn("data_pattern", finish_pattern(F.col("pattern")))
-            .groupBy("attribute", "data_pattern")
+            flag_aggs = [F.max("is_uni").alias("is_uni")]
+        # group on the RAW pattern (keeps '0' for the leading-zero
+        # best-type rule), derive flags + the finished 0->9 pattern on
+        # the aggregated frame, then re-aggregate at the final grain
+        hist_raw = (
+            d2.groupBy("attribute", "pattern")
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
                 F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
                 *flag_aggs,
             )
-            .persist()
         )
-        # force materialization: the type-fold and pattern top-k
-        # branches run as parallel stages of one job and would
-        # otherwise race past the not-yet-populated cache, each
-        # recomputing the full pass
-        hist2.count()
+        if params.need_flags:
+            hist_raw = hist_raw.withColumn(
+                "type_flag",
+                F.when(
+                    att.isin(as_is_attrs) if as_is_attrs else F.lit(False),
+                    F.lit(besttype.AS_IS),
+                ).otherwise(besttype.type_flag(F.col("pattern"), treat_as_is=False)),
+            )
+            flag_aggs2 = [
+                F.bit_and("type_flag").alias("type_flag"),
+                F.max("is_uni").alias("is_uni"),
+            ]
+        else:
+            flag_aggs2 = []
+        hist2 = (
+            hist_raw.withColumn("data_pattern", finish_pattern(F.col("pattern")))
+            .groupBy("attribute", "data_pattern")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.min("example").alias("example"),
+                *flag_aggs2,
+            )
+        )
+        # localCheckpoint (eager) both materializes the shared pass AND
+        # truncates lineage: every downstream consumer (type fold,
+        # pattern top-k, final assembly) plans against a leaf scan
+        # instead of re-running Catalyst over the whole melt subtree —
+        # the driver-side optimizer pass was the measured serial
+        # bottleneck at high parallelism
+        hist2 = hist2.localCheckpoint()
+        _phase_mark("pass2_hist")
         if params.need_flags:
             typefold = hist2.groupBy("attribute").agg(
                 F.coalesce(F.bit_and("type_flag"), F.lit(0)).alias("type_flags"),
@@ -926,12 +969,12 @@ def _profile_flat_approx(
             .filter(F.col("filled"))
             .groupBy("attribute", "value")
             .agg(F.count(F.lit(1)).alias("rec_count"))
-            .persist()
+            # tiny (bounded by approx_mode_card_limit per attribute);
+            # eager localCheckpoint materializes it once for its three
+            # consumers (modes max-join x2, breakdown) and cuts lineage
+            .localCheckpoint()
         )
-        # tiny (bounded by approx_mode_card_limit per attribute), but
-        # three consumers (modes max-join x2, breakdown) would each
-        # rescan the input cache without materializing it first
-        vh.count()
+        _phase_mark("pass3_lowcard_vh")
         if params.has("modes"):
             pieces.append(_modes_piece(vh, name_prefix))
         if params.has("cardinality_breakdown") and params.lcb_limit > 0:

@@ -85,10 +85,12 @@ def test_similarity_broadcasts_queries(spark):
 
 
 def test_profile_reuses_cached_intermediates(spark):
-    """In approx mode the assembly must consume the persisted
-    histogram/summary intermediates (InMemoryTableScan), not re-derive
-    them from the source."""
+    """In approx mode the assembly must consume the materialized
+    histogram/summary intermediates (localCheckpoint -> ExistingRDD
+    scan, or a cache scan), not re-derive them from the source —
+    lineage truncation keeps the driver's Catalyst work per consumer
+    O(tiny plan), which was the measured serial bottleneck."""
     df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     prof = profile(df, field_list=["l_returnflag", "l_quantity"], mode="approx")
     plan = _plan(prof)
-    assert "InMemoryTableScan" in plan
+    assert "ExistingRDD" in plan or "InMemoryTableScan" in plan
