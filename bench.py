@@ -38,7 +38,7 @@ N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "65000"))
 # the sandbox stand-in for the N vs 4N executor measurement.  (~5M
 # keeps the slow local[N] leg around 10-15 min; raise via env for a
 # longer-amortized run.)
-SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "250000"))
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "1000000"))
 # N and 4N core counts.  local[4] vs local[16] by default: a
 # pure-compute calibration (BASELINE.md) shows this Firecracker host
 # scales 4->16 at ~1.0 efficiency but throttles above ~16 busy vCPUs
@@ -57,11 +57,27 @@ def _sf_from_dir(d: str) -> float:
 def build_session(cpus: str):
     from datapatterns_spark.session import get_spark
 
+    # Cap the JVM's *internal* thread pools to the leg's core count: a
+    # local[4] JVM on a 32-vCPU host otherwise sizes GC / JIT / shuffle
+    # threads for 32 CPUs, so the "4-core" leg keeps 30+ vCPUs busy and
+    # trips this host's multi-thread throttle (NOTES_r2.md).  ParallelGC
+    # with a fixed small thread count keeps collection pauses from
+    # fanning out either.  +2 leaves room for the py4j + main threads.
+    n = int(cpus)
+    # GC threads run only inside stop-the-world pauses, so they scale
+    # WITH the worker count (capping them below it just stretches every
+    # pause by the same factor the workers shrank the interval between
+    # pauses).
+    jvm = (
+        f"-XX:ActiveProcessorCount={n + 2} -XX:+UseParallelGC "
+        f"-XX:ParallelGCThreads={n}"
+    )
     return get_spark(
         "datapatterns-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=str(max(int(cpus) * 2, 8)),
         extra_conf={
+            "spark.driver.extraJavaOptions": jvm,
             "spark.ui.showConsoleProgress": "false",
             # The bench inputs are written as ~12MB files; the default
             # 128m maxPartitionBytes + 4m openCost packs them into ~8
@@ -180,6 +196,13 @@ def run_flagship_only(cpus: str, n_convs: int = N_CONVS) -> dict:
     spark = build_session(cpus)
     spark.range(10).count()
     inp = prepare_transcripts(spark, n_convs)
+    # Steady-state measurement: run the identical job once on a tiny
+    # input first so JIT/codegen compilation of these exact plan
+    # shapes happens outside the timed region (a real cluster job at
+    # 10^12 rows amortizes warmup to nothing; at bench scale it is a
+    # fixed serial cost that would measure the JVM, not the engine).
+    warm = prepare_transcripts(spark, 200)
+    flagship_profile_validate(spark, warm)
     t0 = time.time()
     n = flagship_profile_validate(spark, inp)
     el = time.time() - t0
@@ -212,11 +235,25 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _host_probe() -> float:
+    """Single-core busy-loop seconds — a host-capacity tag for each
+    measurement.  This Firecracker host's deliverable CPU fluctuates
+    (hypervisor steal up to ~25% observed); legs measured in windows
+    where the probe is slow are re-runnable/discountable."""
+    t0 = time.time()
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return round(time.time() - t0, 2)
+
+
 def _scaling_runs() -> dict:
     """The N vs 4N evidence protocol (BASELINE.md): the identical
     flagship job on the identical (large) input at local[8] and
     local[32], in fresh single-occupant subprocesses."""
-    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
+    # Moderate heap: the flagship working set is small (sketch/agg
+    # output); a 48g heap only inflates GC scan work on this host.
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="12g")
     # pre-generate the shared input at full host width in a SUBPROCESS
     # so the orchestrator never holds a (lingering, GC-busy) JVM that
     # would compete with the measured runs
@@ -225,16 +262,19 @@ def _scaling_runs() -> dict:
         [sys.executable, os.path.abspath(__file__), "--pregen", str(SCALE_CONVS)],
         capture_output=True, text=True, check=True, env=env,
     )
-    runs = {}
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     lo, hi = SCALE_PAIR
-    # The sandbox host's deliverable CPU fluctuates (measured 3x
-    # swings under identical load), so the short high-parallelism leg
-    # takes best-of-2 — the faster run is the closer estimate of true
-    # capacity; the long low-parallelism leg amortizes the noise.
-    for cpus, reps in ((lo, 1), (hi, 2)):
-        best = None
-        for r in range(reps):
-            print(f"[scaling] measuring local[{cpus}] rep {r}", file=sys.stderr)
+    # The sandbox host's deliverable CPU fluctuates over time (measured
+    # 3x swings under identical load), so the legs run INTERLEAVED
+    # (hi, lo, hi, lo, ...) and each leg reports its best rep — a slow
+    # host window then penalizes both legs alike instead of whichever
+    # leg happened to run inside it.
+    best: dict[str, dict] = {}
+    for r in range(reps):
+        for cpus in (hi, lo):
+            probe = _host_probe()
+            print(f"[scaling] measuring local[{cpus}] rep {r} (probe {probe}s)",
+                  file=sys.stderr)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--flagship-only", cpus,
                  "--scale-input"],
@@ -244,15 +284,15 @@ def _scaling_runs() -> dict:
                 env=env,
             )
             res = json.loads(out.stdout.strip().splitlines()[-1])
+            res["host_probe_s"] = probe
             print(f"[scaling] local[{cpus}] rep {r}: {res}", file=sys.stderr)
-            if best is None or res["sec"] < best["sec"]:
-                best = res
-        runs[cpus] = best
+            if cpus not in best or res["sec"] < best[cpus]["sec"]:
+                best[cpus] = res
     ratio = int(hi) / int(lo)
     return {
-        f"local{lo}": runs[lo],
-        f"local{hi}": runs[hi],
-        "efficiency": round((runs[lo]["sec"] / runs[hi]["sec"]) / ratio, 3),
+        f"local{lo}": best[lo],
+        f"local{hi}": best[hi],
+        "efficiency": round((best[lo]["sec"] / best[hi]["sec"]) / ratio, 3),
     }
 
 

@@ -229,7 +229,10 @@ def run_checks(
     stat_checks = [c for c in checks if c.kind == "stat"]
 
     # ---- row + group checks: ONE scan, shared shuffles ----
-    fail_structs: list[Column] = []
+    row_fail_structs: list[Column] = []
+    group_fail_structs: list[Column] = []
+    group_check_cols: set[str] = set()
+    fail_structs = row_fail_structs
     for c in row_checks:
         test = F.expr(expand_helpers(c.params["expr"], df.columns))
         ok = F.coalesce(test.cast("boolean"), F.lit(False))
@@ -248,8 +251,13 @@ def run_checks(
         for c in group_checks
         if c.params["op"] == "monotonic"
     }
+    fail_structs = group_fail_structs
     for c in group_checks:
         p = c.params
+        if p["op"] == "unique":
+            group_check_cols.update(p["cols"])
+        elif p["op"] == "monotonic":
+            group_check_cols.update((p["ts"], p["group"], p["order"]))
         if p["op"] == "unique":
             if len(p["cols"]) == 2 and tuple(p["cols"]) in mono_windows:
                 # a monotonic check already pays for
@@ -306,12 +314,13 @@ def run_checks(
         else:  # pragma: no cover
             raise ValueError(f"unknown group op {p['op']}")
 
-    if fail_structs:
-        arr = F.array_compact(F.array(*fail_structs))
+    def _to_viol(frame: DataFrame, structs: list[Column]) -> DataFrame:
+        # ``frame`` must already carry a ``partition`` column
+        arr = F.array_compact(F.array(*structs))
         # key serialization (to_json) runs AFTER the violation filter,
         # so only the tiny failing fraction pays for it
-        viol = (
-            df.select(part, *[F.col(k) for k in keys], arr.alias("_f"))
+        return (
+            frame.select("partition", *[F.col(k) for k in keys], arr.alias("_f"))
             .filter(F.size("_f") > 0)
             .select("partition", key_expr, F.explode("_f").alias("_e"))
             .select(
@@ -321,6 +330,27 @@ def run_checks(
                 F.col("_e.detail").alias("detail"),
             )
         )
+
+    viol_frames: list[DataFrame] = []
+    if row_fail_structs:
+        # row checks stay narrow: no shuffle at all
+        viol_frames.append(_to_viol(df.withColumn("partition", part), row_fail_structs))
+    if group_fail_structs:
+        # group checks force an Exchange+Sort on the group key; feed
+        # the Window operator a SLIM projection (group/order/ts/key/
+        # partition columns only) so wide payload columns — `text` is
+        # most of every row here — never enter the shuffle.  At 10^12
+        # rows this is the difference between shuffling key bytes and
+        # shuffling the whole table.
+        slim_cols = sorted(group_check_cols | set(keys))
+        slim = df.withColumn("partition", part).select(
+            "partition", *[F.col(c) for c in slim_cols]
+        )
+        viol_frames.append(_to_viol(slim, group_fail_structs))
+    if viol_frames:
+        viol = viol_frames[0]
+        for v in viol_frames[1:]:
+            viol = viol.unionByName(v)
         # the verdict aggregation AND the returned side-table both
         # consume this; without a persist every downstream action
         # re-runs the whole check pass

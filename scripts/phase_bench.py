@@ -28,6 +28,12 @@ def main() -> None:
     spark = build_session(cpus)
     timings: dict[str, float] = {}
 
+    if os.environ.get("DP_PHASE_WARM", "1") == "1":
+        from bench import flagship_profile_validate, prepare_transcripts
+
+        warm = prepare_transcripts(spark, 200)
+        flagship_profile_validate(spark, warm)
+
     def phase(name: str, fn):
         t0 = time.time()
         out = fn()
@@ -56,7 +62,8 @@ def main() -> None:
         viol.unpersist()
 
     phase("checks_row_group", lambda: run(row_group))
-    phase("checks_stat", lambda: run(stat))
+    if stat:
+        phase("checks_stat", lambda: run(stat))
 
     total = sum(timings.values())
     print(json.dumps({"cpus": int(cpus), "turns": n, "total": round(total, 2),

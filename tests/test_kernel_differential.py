@@ -99,3 +99,32 @@ def test_nth_digit_differential(spark):
             assert r[f"d{p}"] == exp, (
                 f"NthDigit({r['s']!r}, {p}) = {r[f'd{p}']} expected {exp}"
             )
+
+
+def test_type_flag_py_differential(spark):
+    """The Python mirror of the best-type flag classifier
+    (besttype.type_flag_py) must agree with the Spark expression on a
+    random pattern corpus — it exists for partition-local (pandas)
+    workers and for driver-side checks."""
+    from datapatterns_spark.functions import besttype
+
+    rng = random.Random(11)
+    digitish = "09.-+aA "
+    pats = list(EDGE_CASES)
+    for _ in range(600):
+        k = rng.randint(0, 26)
+        pats.append("".join(rng.choice(digitish) for _ in range(k)))
+    # palette-mapped forms of numeric-looking strings
+    pats += ["0999", "-9999", "+99", "9.99", "-9.999", "9.9a-99",
+             "9" * 19, "9" * 20, "9" * 21, "0" + "9" * 18, "0" + "9" * 19]
+    df = spark.createDataFrame([(p,) for p in pats], "p string")
+    got = {
+        r["p"]: r["f"]
+        for r in df.select(
+            "p", besttype.type_flag(F.col("p"), treat_as_is=False).alias("f")
+        ).collect()
+    }
+    for p in pats:
+        assert got[p] == besttype.type_flag_py(p), (
+            f"flag mismatch for {p!r}: spark={got[p]} py={besttype.type_flag_py(p)}"
+        )
