@@ -767,6 +767,13 @@ def _profile_flat_approx(
     filled = F.col("filled")
 
     # ---- pass 1: per-attribute summary (no pattern derivation) ----
+    # NOTE: a "one wide aggregate over the unmelted frame" variant
+    # (one expression set per column, no melt) was A/B-tested and is
+    # 11-14x SLOWER: mixing many imperative aggregates (HLL +
+    # percentile sketches) in one Aggregate drops the whole operator
+    # out of whole-stage codegen into interpreted evaluation of every
+    # per-column expression.  The melt keeps the row-shaping in
+    # codegen and the ObjectHashAggregate narrow.
     m1 = melted.withColumn("filled", filled_expr)
     if params.need_numeric:
         # len guard: no numeric-flaggable value exceeds ~33 chars (the
@@ -821,7 +828,7 @@ def _profile_flat_approx(
         ).drop("_q")
     # tiny (one row per attribute) but costs a full input pass; the
     # low-card listing and the final assembly both reuse it.  Eager
-    # localCheckpoint = cache + lineage cut (see hist2 note below).
+    # localCheckpoint = cache + lineage cut (see candidates note).
     summary = summary.localCheckpoint()
 
     need_pat_feature = params.has("patterns") and params.max_patterns > 0
@@ -853,58 +860,62 @@ def _profile_flat_approx(
         # (AND/OR are associative, so folding per pattern group then
         # across groups equals the reference's per-value fold,
         # Profile.ecl:967-992)
+        # group directly at the FINAL (attribute, finished-pattern)
+        # grain in ONE aggregation level.  The 0->9 finish
+        # (Profile.ecl:1306) destroys exactly one fact the best-type
+        # classifier needs from the raw pattern — "did the value have
+        # a leading literal zero over an otherwise all-digit body"
+        # (_LEADING_ZERO, Profile.ecl:908) — so that predicate rides
+        # along as a per-row flag: a raw pattern matches
+        # ^0[09]{1,18}$ iff its value matches ^0[0-9]{1,18}$, every
+        # other flag regex uses the [09] class and therefore matches
+        # the raw pattern iff it matches the finished one.  The fold
+        # "AND over raw-pattern groups" is then exactly
+        # when(any(lz), AS_IS).otherwise(type_flag(finished)).
+        # (Differentially tested against the two-level formulation.)
         d2 = (
             melted.withColumn("filled", filled_expr)
             .filter(filled)
-            .withColumn("pattern", _pattern_expr(attrs, plen))
+            .withColumn("pattern", finish_pattern(_pattern_expr(attrs, plen)))
         )
         flag_aggs = []
         if params.need_flags:
-            # only the (cheap, codegen'd) byte-vs-char length test runs
-            # per row; the best-type regexes run later on the DISTINCT
-            # raw patterns — a frame thousands of times smaller
+            # only cheap codegen'd per-row tests here (byte-vs-char
+            # length, anchored leading-zero probe that fails at char 1
+            # for text); the best-type regexes run on the DISTINCT
+            # finished patterns — a frame thousands of times smaller
             d2 = d2.withColumn(
                 "is_uni",
                 (
                     (att.isin(string_attrs) if string_attrs else F.lit(False))
                     & is_non_ascii(F.col("value"))
                 ).cast("int"),
+            ).withColumn(
+                "lz", F.col("value").rlike("^0[0-9]{1,18}$").cast("int")
             )
-            flag_aggs = [F.max("is_uni").alias("is_uni")]
-        # group on the RAW pattern (keeps '0' for the leading-zero
-        # best-type rule), derive flags + the finished 0->9 pattern on
-        # the aggregated frame, then re-aggregate at the final grain
-        hist_raw = (
-            d2.groupBy("attribute", "pattern")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
-                *flag_aggs,
-            )
+            flag_aggs = [
+                F.max("is_uni").alias("is_uni"),
+                F.max("lz").alias("lz"),
+            ]
+        hist2 = d2.groupBy(
+            "attribute", F.col("pattern").alias("data_pattern")
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
+            *flag_aggs,
         )
         if params.need_flags:
-            hist_raw = hist_raw.withColumn(
+            hist2 = hist2.withColumn(
                 "type_flag",
                 F.when(
                     att.isin(as_is_attrs) if as_is_attrs else F.lit(False),
                     F.lit(besttype.AS_IS),
-                ).otherwise(besttype.type_flag(F.col("pattern"), treat_as_is=False)),
+                )
+                .when(F.col("lz") == 1, F.lit(besttype.AS_IS))
+                .otherwise(
+                    besttype.type_flag(F.col("data_pattern"), treat_as_is=False)
+                ),
             )
-            flag_aggs2 = [
-                F.bit_and("type_flag").alias("type_flag"),
-                F.max("is_uni").alias("is_uni"),
-            ]
-        else:
-            flag_aggs2 = []
-        hist2 = (
-            hist_raw.withColumn("data_pattern", finish_pattern(F.col("pattern")))
-            .groupBy("attribute", "data_pattern")
-            .agg(
-                F.sum("cnt").alias("cnt"),
-                F.min("example").alias("example"),
-                *flag_aggs2,
-            )
-        )
         # localCheckpoint (eager) both materializes the shared pass AND
         # truncates lineage: every downstream consumer (type fold,
         # pattern top-k, final assembly) plans against a leaf scan
