@@ -339,6 +339,29 @@ def profile(
     return out.orderBy("sort_value").drop("sort_value", "_local_name", "_kind")
 
 
+# Melt width at which a reused intermediate's lineage gets truncated
+# (localCheckpoint) instead of cached (persist).  Catalyst re-optimizing
+# the melt expression tree per consumer is a serial driver cost that
+# grows with attribute count — measured dominant at the 39-type fixture,
+# negligible at a handful of columns, where keeping lineage preserves
+# scan pushdown visibility and lets AQE keep re-planning downstream.
+_LINEAGE_CUT_MIN_ATTRS = 12
+
+
+def _materialize(df: DataFrame, n_attrs: int) -> DataFrame:
+    """Eagerly materialize a reused profile intermediate.
+
+    Eager either way — lazy caching would let the final job's parallel
+    branches race past an unpopulated cache and recompute the shared
+    melt + groupBy.  Wide melts additionally cut lineage (see
+    ``_LINEAGE_CUT_MIN_ATTRS``)."""
+    if n_attrs >= _LINEAGE_CUT_MIN_ATTRS:
+        return df.localCheckpoint()
+    df = df.persist()
+    df.count()
+    return df
+
+
 def _profile_flat(
     df: DataFrame,
     attrs: list[AttrInfo],
@@ -401,11 +424,11 @@ def _profile_flat(
             melted.groupBy("attribute", "value", "len")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        hist = derive(hist, params.need_flags, need_pattern).persist()
-        # force materialization: summary/numeric/modes/pattern branches
-        # run as parallel stages of the final job and would race past
-        # the unpopulated cache, each recomputing the melt + groupBy
-        hist.count()
+        # materialized eagerly; at high column counts additionally
+        # lineage-truncated — each consumer then plans against a leaf
+        # scan instead of re-running Catalyst over the melt expression
+        # tree, a measured driver-side serial cost (see _materialize)
+        hist = _materialize(derive(hist, params.need_flags, need_pattern), len(attrs))
         stats_src = hist
     else:
         # fill/lengths/type-folds only: aggregate the melt directly
@@ -468,9 +491,8 @@ def _profile_flat(
     base = _attach_best_type(base, attrs, params, name_prefix)
     # base is one tiny row per attribute but costs a full input pass;
     # numeric-attr selection, low-card gating and the final assembly
-    # all reuse it
-    base = base.persist()
-    base.count()  # see hist: avoid parallel-stage cache races
+    # all reuse it (see hist note)
+    base = _materialize(base, len(attrs))
 
     pieces = [base]
     prefixed = F.concat(F.lit(name_prefix), F.col("attribute"))
@@ -827,9 +849,8 @@ def _profile_flat_approx(
             }
         ).drop("_q")
     # tiny (one row per attribute) but costs a full input pass; the
-    # low-card listing and the final assembly both reuse it.  Eager
-    # localCheckpoint = cache + lineage cut (see candidates note).
-    summary = summary.localCheckpoint()
+    # low-card listing and the final assembly both reuse it.
+    summary = _materialize(summary, len(attrs))
 
     need_pat_feature = params.has("patterns") and params.max_patterns > 0
     need_vh = params.has("modes") or (
@@ -916,13 +937,12 @@ def _profile_flat_approx(
                     besttype.type_flag(F.col("data_pattern"), treat_as_is=False)
                 ),
             )
-        # localCheckpoint (eager) both materializes the shared pass AND
-        # truncates lineage: every downstream consumer (type fold,
-        # pattern top-k, final assembly) plans against a leaf scan
-        # instead of re-running Catalyst over the whole melt subtree —
-        # the driver-side optimizer pass was the measured serial
-        # bottleneck at high parallelism
-        hist2 = hist2.localCheckpoint()
+        # materialize the shared pass once for its consumers (type
+        # fold, pattern top-k, final assembly); wide melts also cut
+        # lineage — the per-consumer Catalyst re-optimization of the
+        # melt subtree was the measured serial bottleneck at high
+        # parallelism (see _materialize)
+        hist2 = _materialize(hist2, len(attrs))
         _phase_mark("pass2_hist")
         if params.need_flags:
             typefold = hist2.groupBy("attribute").agg(
@@ -972,7 +992,14 @@ def _profile_flat_approx(
     if need_vh and low_card:
         # value histogram from a dedicated melt of ONLY the low-card
         # attributes: scans the cached input without computing any
-        # pattern/flag expression for the high-card columns
+        # pattern/flag expression for the high-card columns.
+        # NOTE: fusing this into pass 2 (value_lc riding the pattern
+        # aggregate's grouping key) was A/B-tested and LOSES at both
+        # local[4] (+2.1s) and local[16] (+1.0s): this dedicated melt
+        # reads only the low-card columns (parquet column pruning — a
+        # few % of the input bytes), while the fusion widens the
+        # full-width pass-2 hash key per row and adds two serial
+        # checkpoint jobs for the derived frames.
         lc_attrs = [a for a in attrs if a.name in set(low_card)]
         vh = (
             melt(df, lc_attrs)
@@ -981,10 +1008,10 @@ def _profile_flat_approx(
             .groupBy("attribute", "value")
             .agg(F.count(F.lit(1)).alias("rec_count"))
             # tiny (bounded by approx_mode_card_limit per attribute);
-            # eager localCheckpoint materializes it once for its three
-            # consumers (modes max-join x2, breakdown) and cuts lineage
-            .localCheckpoint()
+            # materialized once for its three consumers (modes
+            # max-join x2, breakdown)
         )
+        vh = _materialize(vh, len(attrs))
         _phase_mark("pass3_lowcard_vh")
         if params.has("modes"):
             pieces.append(_modes_piece(vh, name_prefix))
