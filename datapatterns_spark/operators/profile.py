@@ -114,6 +114,10 @@ class ProfileParams:
     allow_zero: bool = False  # zero numerics are nil unless set
     mode: str = "exact"  # "exact" | "approx"
     approx_mode_card_limit: int = 10_000  # approx: modes only for low-card attrs
+    # approx: attributes with more estimated distinct patterns than
+    # this take the partition-local candidate path instead of the
+    # exact pattern histogram (near-unique pattern spaces = free text)
+    approx_pattern_limit: int = 200_000
     extras: dict = field(default_factory=dict)
 
     @property
@@ -748,6 +752,416 @@ def _pattern_pieces(
 
 
 def _profile_flat_approx(
+    df: DataFrame,
+    attrs: list[AttrInfo],
+    params: ProfileParams,
+    name_prefix: str,
+    sort_prefix: str,
+) -> DataFrame:
+    """Sketch-path profile for the 10^12-row tier.
+
+    Default is the v2 plan below; ``DP_APPROX_PLAN=v1`` selects the
+    previous three-pass plan (kept for A/B comparison)."""
+    if os.environ.get("DP_APPROX_PLAN", "v2") == "v1":
+        return _profile_flat_approx_v1(df, attrs, params, name_prefix, sort_prefix)
+    return _profile_flat_approx_v2(df, attrs, params, name_prefix, sort_prefix)
+
+
+def _heavy_pattern_candidates(
+    df: DataFrame, heavy_attrs: list[AttrInfo], params: ProfileParams, plen: int
+) -> DataFrame:
+    """Frequent/rare-pattern top-k for attributes whose pattern space
+    is near-unique (free text) — no shuffle of the pattern space.
+
+    Measured on the flagship transcript input: ``text`` has 18.3M
+    distinct finished patterns over 19.2M rows — free text's pattern
+    signature is close to injective, so an exact ``groupBy(attribute,
+    data_pattern)`` shuffles ~one group per input row (at 10^12 rows, a
+    ~data-sized shuffle) to answer a top-/bottom-k question.  Instead:
+
+    1. **candidate generation** (Misra-Gries/Space-Saving flavored):
+       each task counts its partition's patterns exactly as int64
+       ``xxhash64`` keys — only (attribute, hash) pairs cross into the
+       vectorized pandas stage (one ``value_counts`` per partition, no
+       per-row Python, ~8 bytes/row through Arrow) — and emits its local
+       top-m / bottom-m hashes per attribute (m = 4*maxPatterns, min
+       400).  The union is merged by key and trimmed to the global
+       top/bottom 2m.
+    2. **resolution**: one column-pruned re-scan recomputes each row's
+       pattern hash and keeps only rows matching the <= 4m winning
+       hashes per attribute (broadcast semi-join on 8-byte keys), then
+       a bounded ``groupBy`` yields the EXACT global count, the pattern
+       string and the min example for every candidate.
+
+    Accuracy (documented approx-mode deviation — exact mode keeps the
+    reference's full histogram, Profile.ecl:1300-1338): resolved counts
+    and examples are exact; only candidate *coverage* is approximate —
+    a global top-k pattern is missed only if it ranks below the local
+    top-m in every partition, and a global rare-k (count-1) pattern is
+    always somebody's local bottom-m candidate, though the hash-order
+    tie-break at the local cut can differ from the reference's
+    pattern-order tie-break among equal counts.  Candidate selection
+    depends on the input partitioning (stable for a given file layout);
+    64-bit hash collisions are negligible at this key count (~1e-5 at
+    20M patterns).
+    """
+    m = max(4 * int(params.max_patterns), 400)
+
+    def hashed_src() -> DataFrame:
+        return (
+            melt(df, heavy_attrs)
+            .withColumn("filled", _filled_expr(heavy_attrs, params.allow_zero))
+            .filter(F.col("filled"))
+            .select(
+                "attribute",
+                finish_pattern(_pattern_expr(heavy_attrs, plen)).alias("data_pattern"),
+                F.substring(F.col("value"), 1, plen).alias("example"),
+            )
+            .withColumn("ph", F.xxhash64("data_pattern"))
+        )
+
+    def candidates(frames):
+        import pandas as pd
+
+        chunks = [pdf for pdf in frames]
+        if not chunks:
+            return
+        full = pd.concat(chunks, ignore_index=True)
+        outs = []
+        for attr, g in full.groupby("attribute", sort=False):
+            vc = g["ph"].value_counts()  # vectorized int64 hash count
+            loc = pd.concat([vc.head(m), vc.tail(m)])
+            loc = loc[~loc.index.duplicated()]
+            outs.append(
+                pd.DataFrame(
+                    {"attribute": attr, "ph": loc.index.values, "cnt": loc.values}
+                )
+            )
+        yield pd.concat(outs, ignore_index=True)
+
+    cand = (
+        hashed_src()
+        .select("attribute", "ph")
+        .mapInPandas(candidates, "attribute string, ph long, cnt long")
+    )
+    merged = cand.groupBy("attribute", "ph").agg(F.sum("cnt").alias("cnt"))
+    # trim to the global top/bottom 2m per attribute (tiny frame:
+    # <= partitions x 2m x attrs rows)
+    w_top = Window.partitionBy("attribute").orderBy(F.desc("cnt"), F.asc("ph"))
+    w_bot = Window.partitionBy("attribute").orderBy(F.asc("cnt"), F.asc("ph"))
+    winners = (
+        merged.withColumn("_rt", F.row_number().over(w_top))
+        .withColumn("_rb", F.row_number().over(w_bot))
+        .filter((F.col("_rt") <= 2 * m) | (F.col("_rb") <= 2 * m))
+        .select("attribute", "ph")
+    )
+    # resolution scan: exact count + pattern string + min example for
+    # every winning hash, bounded output (<= 4m per attribute)
+    return (
+        hashed_src()
+        .join(F.broadcast(winners), ["attribute", "ph"], "left_semi")
+        .groupBy("attribute", "data_pattern")
+        .agg(
+            F.count(F.lit(1)).alias("rec_count"),
+            F.min("example").alias("example"),
+        )
+    )
+
+
+def _profile_flat_approx_v2(
+    df: DataFrame,
+    attrs: list[AttrInfo],
+    params: ProfileParams,
+    name_prefix: str,
+    sort_prefix: str,
+) -> DataFrame:
+    """Sketch-path profile v2: ONE full-width pass over the input, then
+    only bounded or column-pruned follow-ups.
+
+    1. **pass 1 (full width, no raw-value shuffle)**: the melt
+       aggregates straight to attribute grain — fill/lengths, HLL++
+       cardinality, numeric sketch stats (min/max/mean/pop-stddev +
+       ``percentile_approx``), AND the per-attribute type/unicode
+       folds, which v1 paid a second full pass for.  The per-row
+       type-flag ladder is gated so it is near-free on real data:
+       values longer than 40 chars cannot match any numeric rule
+       (19/20-digit, 15.15-float, exp — Profile.ecl:908-935) and get
+       flag 0 from a length test alone; a one-regex first-char probe
+       (``[0-9+-.]`` at position 1) zeroes everything non-numeric before
+       the full ladder runs.  The same pass estimates each attribute's
+       *pattern* cardinality (HLL over a 1/16-sampled short-value pattern +
+       count of long values) to drive step 2's plan choice.
+    2. **patterns, split by pattern-space size** (driver decision from
+       pass-1 estimates, mirroring the reference's own lcbLimit gating
+       idea, Profile.ecl:178-183): attributes under
+       ``approx_pattern_limit`` distinct patterns take the exact
+       ``groupBy(attribute, data_pattern)`` histogram (bounded shuffle,
+       column-pruned scan — for transcripts this reads the small
+       columns only); near-unique-pattern attributes (free text) take
+       the partition-local candidate path
+       (:func:`_heavy_pattern_candidates`) with NO pattern shuffle.
+    3. low-card value histogram for modes/breakdown (bounded pass) and
+       correlations (one agg of all ``corr`` pairs), as v1.
+
+    Deviations from the always-exact reference (documented): HLL
+    cardinality (rsd 1.5%), sketch quantiles, modes/breakdown only
+    under ``approx_mode_card_limit``, and top/rare patterns for
+    near-unique pattern spaces are candidate-merged (see
+    :func:`_heavy_pattern_candidates`).
+    """
+    plen = params.pattern_len
+    _phase_mark("approx:start")
+    meta = _attr_meta_df(df, attrs, sort_prefix, name_prefix)
+    string_attrs = [a.name for a in attrs if a.kind == KIND_STRING]
+    as_is_attrs = [
+        a.name for a in attrs if a.kind in (KIND_NUMERIC, KIND_BOOLEAN, KIND_ARRAY)
+    ]
+    att = F.col("attribute")
+    filled = F.col("filled")
+    short = F.col("len") <= 40
+    need_pat_feature = params.has("patterns") and params.max_patterns > 0
+
+    # ---- pass 1: one full-width melt -> attribute-grain aggregate ----
+    # NOTE: a "one wide aggregate over the unmelted frame" variant was
+    # A/B-tested in round 1 and is 11-14x SLOWER (drops out of
+    # whole-stage codegen); the melt keeps row-shaping in codegen.
+    m1 = melted = melt(df, attrs).withColumn(
+        "filled", _filled_expr(attrs, params.allow_zero)
+    )
+    if need_pat_feature:
+        # pattern-cardinality estimate from a 1/16 deterministic hash
+        # sample: a distinct-in-sample count estimates min(true pattern
+        # cardinality, sample size), which classifies the pattern space
+        # reliably whenever sample size >> approx_pattern_limit — true
+        # at the scale tier this mode targets; under that, the exact
+        # histogram is the right plan anyway and misclassification only
+        # picks the other (still correct) path.  Sampling keeps the
+        # pattern mapping off 15/16 of the pass-1 rows (measured ~11s
+        # of pass-1 wall at local[16] on 19M turns).
+        sampled = F.pmod(F.xxhash64("value"), F.lit(16)) == 0
+        m1 = m1.withColumn(
+            "_pat_s", F.when(filled & short & sampled, _pattern_expr(attrs, plen))
+        )
+    if params.need_flags:
+        # flag-ladder pattern, gated to numeric-looking short values
+        # (length test + one first-char regex) and projected ONCE per
+        # row — inlining it into type_flag's CaseWhen would re-derive
+        # it in every rlike branch (no CSE across conditional branches)
+        gate = (
+            filled
+            & short
+            & ~(att.isin(as_is_attrs) if as_is_attrs else F.lit(False))
+            & F.col("value").rlike("^[0-9+\\-.]")
+        )
+        m1 = m1.withColumn("_pat_f", F.when(gate, _pattern_expr(attrs, plen)))
+    if params.need_numeric:
+        # len guard: no numeric-flaggable value exceeds ~33 chars, so
+        # long text never pays a parse attempt
+        m1 = m1.withColumn(
+            "v", F.when(filled & short, F.expr("try_cast(value AS double)"))
+        )
+    agg_exprs = [
+        F.count(F.lit(1)).alias("rec_count"),
+        F.coalesce(F.sum(F.when(filled, 1)), F.lit(0)).alias("fill_count"),
+    ]
+    if params.need_lengths:
+        agg_exprs += [
+            F.coalesce(F.min(F.when(filled, F.col("len"))), F.lit(0)).alias("min_length"),
+            F.coalesce(F.max(F.when(filled, F.col("len"))), F.lit(0)).alias("max_length"),
+            F.coalesce(
+                F.floor(
+                    F.sum(F.when(filled, F.col("len"))) / F.sum(F.when(filled, 1))
+                ),
+                F.lit(0),
+            ).alias("ave_length"),
+            F.coalesce(
+                F.min(F.when(filled & (F.col("len") > 0), F.col("len"))), F.lit(0)
+            ).alias("min_len_nonzero"),
+        ]
+    if params.need_cardinality:
+        # HLL++ sketch, rsd=0.015 (documented deviation: reference is exact)
+        agg_exprs.append(
+            F.approx_count_distinct(F.when(filled, F.col("value")), 0.015).alias(
+                "cardinality"
+            )
+        )
+    if params.need_flags:
+        # per-row AND/OR folds (Profile.ecl:967-992), gated as per the
+        # docstring so the regex ladder runs only on numeric-looking
+        # short values
+        flag = (
+            F.when(~filled, F.lit(None).cast("int"))
+            .when(
+                att.isin(as_is_attrs) if as_is_attrs else F.lit(False),
+                F.lit(besttype.AS_IS),
+            )
+            .when(F.col("_pat_f").isNull(), F.lit(0))
+            .otherwise(besttype.type_flag(F.col("_pat_f"), treat_as_is=False))
+        )
+        is_uni = F.when(
+            filled
+            & (att.isin(string_attrs) if string_attrs else F.lit(False)),
+            is_non_ascii(F.col("value")).cast("int"),
+        )
+        agg_exprs += [
+            F.coalesce(F.bit_and(flag), F.lit(0)).alias("type_flags"),
+            F.coalesce(F.max(is_uni), F.lit(0)).alias("_uni"),
+        ]
+    if need_pat_feature:
+        agg_exprs += [
+            F.approx_count_distinct(F.col("_pat_s"), 0.05).alias("_pat_card_short"),
+            F.coalesce(F.sum(F.when(filled & ~short, 1)), F.lit(0)).alias("_n_long"),
+        ]
+    if params.need_numeric:
+        agg_exprs += [
+            F.round(F.min("v"), 4).alias("numeric_min"),
+            F.round(F.max("v"), 4).alias("numeric_max"),
+            F.round(F.avg("v"), 4).alias("numeric_mean"),
+            F.round(
+                F.sqrt(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")), 4
+            ).alias("numeric_std_dev"),
+            F.percentile_approx("v", [0.25, 0.5, 0.75], 10_000).alias("_q"),
+        ]
+    summary = m1.groupBy("attribute").agg(*agg_exprs)
+    if params.need_numeric:
+        summary = summary.withColumns(
+            {
+                "numeric_lower_quartile": F.round(F.col("_q")[0], 4),
+                "numeric_median": F.round(F.col("_q")[1], 4),
+                "numeric_upper_quartile": F.round(F.col("_q")[2], 4),
+            }
+        ).drop("_q")
+
+    # ---- assembly base (tiny, one row per attribute) ----
+    base = meta.join(
+        summary.withColumnRenamed("attribute", "_local_name"), "_local_name", "left"
+    )
+    fill_defaults = {
+        "rec_count": 0,
+        "fill_count": 0,
+        "min_length": 0,
+        "max_length": 0,
+        "ave_length": 0,
+        "type_flags": 0,
+        "min_len_nonzero": 0,
+        "_uni": 0,
+        "cardinality": 0,
+        "_pat_card_short": 0,
+        "_n_long": 0,
+    }
+    base = base.na.fill({k: v for k, v in fill_defaults.items() if k in base.columns})
+    base = _attach_best_type(base, attrs, params, name_prefix)
+    if params.need_numeric:
+        # sketch stats were computed for every castable value; only
+        # attributes judged numeric by the type fold report them
+        for c in (
+            "numeric_min",
+            "numeric_max",
+            "numeric_mean",
+            "numeric_std_dev",
+            "numeric_lower_quartile",
+            "numeric_median",
+            "numeric_upper_quartile",
+        ):
+            base = base.withColumn(c, F.when(F.col("is_numeric"), F.col(c)))
+    # one full input pass behind it; the gating collect and the final
+    # assembly both reuse it (lineage handling per _materialize)
+    base = _materialize(base, len(attrs))
+    _phase_mark("pass1_summary")
+
+    need_vh = params.has("modes") or (
+        params.has("cardinality_breakdown") and params.lcb_limit > 0
+    )
+    # ONE driver-side collect gates the follow-up passes
+    low_card: list[str] = []
+    heavy: set[str] = set()
+    if need_vh or need_pat_feature:
+        sel = ["_local_name", "cardinality"]
+        if need_pat_feature:
+            sel += ["_pat_card_short", "_n_long"]
+        for r in base.select(*sel).collect():
+            if need_vh and r["cardinality"] <= params.approx_mode_card_limit:
+                low_card.append(r["_local_name"])
+            if (
+                need_pat_feature
+                and r["_pat_card_short"] + r["_n_long"] > params.approx_pattern_limit
+            ):
+                heavy.add(r["_local_name"])
+
+    pieces = [base]
+
+    # ---- popular / rare patterns (split by pattern-space size) ----
+    if need_pat_feature:
+        pat_frames = []
+        light_attrs = [a for a in attrs if a.name not in heavy]
+        heavy_attrs = [a for a in attrs if a.name in heavy]
+        if light_attrs:
+            # exact histogram over a column-pruned melt: group count
+            # bounded by approx_pattern_limit per attribute
+            lp = (
+                melt(df, light_attrs)
+                .withColumn("filled", _filled_expr(light_attrs, params.allow_zero))
+                .filter(F.col("filled"))
+                .withColumn(
+                    "data_pattern", finish_pattern(_pattern_expr(light_attrs, plen))
+                )
+                .groupBy("attribute", "data_pattern")
+                .agg(
+                    F.count(F.lit(1)).alias("rec_count"),
+                    F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
+                )
+            )
+            pat_frames.append(lp)
+        if heavy_attrs:
+            pat_frames.append(
+                _heavy_pattern_candidates(df, heavy_attrs, params, plen)
+            )
+        pat = pat_frames[0]
+        for p in pat_frames[1:]:
+            pat = pat.unionByName(p)
+        # three consumers (top-k, bottom-k, anti-join) branch from it
+        pat = _materialize(pat, len(attrs))
+        _phase_mark("pattern_hist")
+        pieces.extend(_pattern_pieces(pat, params, name_prefix))
+
+    # ---- low-card value histogram: modes + cardinality breakdown ----
+    if need_vh and low_card:
+        # dedicated melt of ONLY the low-card attributes: reads just
+        # those columns (parquet column pruning), no pattern/flag work
+        lc_attrs = [a for a in attrs if a.name in set(low_card)]
+        vh = (
+            melt(df, lc_attrs)
+            .withColumn("filled", _filled_expr(lc_attrs, params.allow_zero))
+            .filter(F.col("filled"))
+            .groupBy("attribute", "value")
+            .agg(F.count(F.lit(1)).alias("rec_count"))
+        )
+        # bounded by approx_mode_card_limit per attribute; materialized
+        # once for its consumers (modes max-join x2, breakdown)
+        vh = _materialize(vh, len(attrs))
+        _phase_mark("lowcard_vh")
+        if params.has("modes"):
+            pieces.append(_modes_piece(vh, name_prefix))
+        if params.has("cardinality_breakdown") and params.lcb_limit > 0:
+            low_attrs = base.filter(
+                (F.col("cardinality") > 0) & (F.col("cardinality") <= params.lcb_limit)
+            ).select(F.col("_local_name").alias("attribute"))
+            pieces.append(_lcb_piece(vh, low_attrs, name_prefix))
+
+    # ---- correlations ----
+    if params.has("correlations"):
+        num_given = [a.name for a in attrs if a.kind == KIND_NUMERIC]
+        corr_df = _correlations(df, num_given, name_prefix)
+        if corr_df is not None:
+            pieces.append(corr_df)
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.join(p, "attribute", "left")
+    return _shape_output(out, params)
+
+
+def _profile_flat_approx_v1(
     df: DataFrame,
     attrs: list[AttrInfo],
     params: ProfileParams,

@@ -175,3 +175,23 @@ def test_manifest_resume(spark, tmp_path):
     a = sorted(map(tuple, verdicts.select("partition", "check_name", "passed", "violation_count").collect()))
     b = sorted(map(tuple, v2.select("partition", "check_name", "passed", "violation_count").collect()))
     assert a == b
+
+
+def test_per_turn_text_equality_under_stable_ordering(spark):
+    """BASELINE.json input_hint invariant: per-turn text equality under
+    stable (conv_id, turn_idx) ordering — two independent builds of the
+    same table agree text-for-text, and a validation pass returns rows
+    whose per-turn text is byte-identical to its input.  (The generator
+    plants duplicate (conv_id, turn_idx) keys, so text joins the sort
+    key to keep the order total.)"""
+    from datapatterns_spark.operators.validation import validate
+
+    order = ["conv_id", "turn_idx", "text"]
+    a = generate_transcripts(spark, n_conversations=120, seed=7, violation_rate=0.01)
+    b = generate_transcripts(spark, n_conversations=120, seed=7, violation_rate=0.01)
+    ta = [r["text"] for r in a.orderBy(*order).select("text").collect()]
+    tb = [r["text"] for r in b.orderBy(*order).select("text").collect()]
+    assert ta == tb
+    v = validate(a, "RoleFilled:length(trim(role)) > 0").drop("validation_results")
+    tv = [r["text"] for r in v.orderBy(*order).select("text").collect()]
+    assert tv == ta
