@@ -251,9 +251,12 @@ def _scaling_runs() -> dict:
     """The N vs 4N evidence protocol (BASELINE.md): the identical
     flagship job on the identical (large) input at local[8] and
     local[32], in fresh single-occupant subprocesses."""
-    # Moderate heap: the flagship working set is small (sketch/agg
-    # output); a 48g heap only inflates GC scan work on this host.
-    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="12g")
+    # Memory scales WITH the leg's core count (1g/core, min 4g): a 4N-
+    # executor cluster brings 4x the total memory of an N-executor one,
+    # so a fixed heap across legs would starve the wide leg's tasks
+    # (measured: the 16-thread leg on 38.5M turns ran 302s with a 12g
+    # shared heap vs 217s with room — spill/GC, not compute).
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="12g")  # pregen only
     # pre-generate the shared input at full host width in a SUBPROCESS
     # so the orchestrator never holds a (lingering, GC-busy) JVM that
     # would compete with the measured runs
@@ -272,6 +275,7 @@ def _scaling_runs() -> dict:
     best: dict[str, dict] = {}
     for r in range(reps):
         for cpus in (hi, lo):
+            leg_env = dict(env, SPARK_GRAFT_DRIVER_MEM=f"{max(int(cpus), 4)}g")
             probe = _host_probe()
             print(f"[scaling] measuring local[{cpus}] rep {r} (probe {probe}s)",
                   file=sys.stderr)
@@ -281,7 +285,7 @@ def _scaling_runs() -> dict:
                 capture_output=True,
                 text=True,
                 check=True,
-                env=env,
+                env=leg_env,
             )
             res = json.loads(out.stdout.strip().splitlines()[-1])
             res["host_probe_s"] = probe

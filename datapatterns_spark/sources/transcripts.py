@@ -175,14 +175,42 @@ def generate_drifted_transcripts(
     return df.withColumn("role", shifted_role).withColumn("text", scaled_text)
 
 
+# Stored baseline profile of turn_idx (the drift reference snapshot:
+# 50k conversations, seed 42 — the generator's per-turn distribution is
+# scale-invariant, so the constants hold at any table size; bin 31/63
+# is the clamped tail of the ~0.1% hot conversations).  Regenerate with
+# scripts/make_drift_baseline.py.
+_TURN_PSI_BASELINE = [  # 32 bins, lo=0, hi=64
+    0.102759, 0.102752, 0.100793, 0.093055, 0.085198, 0.077357, 0.069320, 0.061202,
+    0.053204, 0.045319, 0.037507, 0.029800, 0.021986, 0.014072, 0.006035, 0.000125,
+    0.000125, 0.000125, 0.000125, 0.000125, 0.000125, 0.000125, 0.000125, 0.000125,
+    0.000125, 0.000125, 0.000125, 0.000125, 0.000125, 0.000125, 0.000126, 0.097634,
+]
+_TURN_KS_BASELINE = [  # 64 bins, lo=0, hi=64
+    0.051382, 0.051377, 0.051376, 0.051376, 0.051377, 0.049416, 0.047480, 0.045576,
+    0.043587, 0.041610, 0.039672, 0.037684, 0.035692, 0.033628, 0.031586, 0.029616,
+    0.027606, 0.025598, 0.023641, 0.021678, 0.019721, 0.017787, 0.015881, 0.013919,
+    0.011993, 0.009993, 0.008022, 0.006050, 0.003999, 0.002036, 0.000063, 0.000063,
+    0.000063, 0.000063, 0.000063, 0.000063, 0.000063, 0.000063, 0.000063, 0.000063,
+    0.000063, 0.000063, 0.000063, 0.000063, 0.000063, 0.000063, 0.000063, 0.000063,
+    0.000063, 0.000063, 0.000063, 0.000063, 0.000063, 0.000063, 0.000063, 0.000063,
+    0.000063, 0.000063, 0.000063, 0.000063, 0.000063, 0.000064, 0.000062, 0.097572,
+]
+
+
 def transcript_check_suite(
     ts_table: str = "ts",
+    include_stats: bool = True,
 ) -> list:
     """The flagship check suite for the transcript workload
-    (BASELINE.json north_star)."""
+    (BASELINE.json north_star): uniqueness, referential domains,
+    row rules, ts monotonicity, plus the stat-check layer the
+    north_star names — distribution drift (PSI + KS vs the stored
+    baseline profile above) and Benford first-digit conformance.
+    All stat checks share ONE melt pass in run_checks."""
     from ..operators import constraints as C
 
-    return [
+    checks = [
         C.unique("unique_turn", ["conv_id", "turn_idx"]),
         C.in_domain("role_domain", "role", ROLE_DOMAIN),
         C.in_domain("tool_domain", "tool", TOOL_DOMAIN),
@@ -193,3 +221,19 @@ def transcript_check_suite(
         C.row_rule("text_not_null", "text IS NOT NULL"),
         C.monotonic("ts_monotonic", "ts", "conv_id", "turn_idx"),
     ]
+    if include_stats:
+        checks += [
+            C.drift_psi(
+                "turn_psi", "turn_idx", _TURN_PSI_BASELINE,
+                bins=32, lo=0.0, hi=64.0, threshold=0.10,
+            ),
+            C.drift_ks(
+                "turn_ks", "turn_idx", _TURN_KS_BASELINE,
+                bins=64, lo=0.0, hi=64.0, threshold=0.05,
+            ),
+            # Benford conformance emitted as a verdict: sequential turn
+            # indices are NOT Benford-distributed, so this check reports
+            # a true non-conformance (metric = chi-squared)
+            C.benford_conformance("turn_benford", "turn_idx", digit=1),
+        ]
+    return checks
