@@ -123,6 +123,8 @@ def flagship_profile_validate(spark, input_path: str) -> int:
     """The BASELINE.json metric workload: full Profile (approx/sketch
     mode — the 10^12-row path) + all transcript constraint checks over
     the stored transcript table.  Returns the number of turns."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from datapatterns_spark.operators import constraints as C
     from datapatterns_spark.operators.profile import profile
     from datapatterns_spark.sources.transcripts import transcript_check_suite
@@ -130,18 +132,28 @@ def flagship_profile_validate(spark, input_path: str) -> int:
     df = spark.read.parquet(input_path)
     n = df.count()
 
-    prof = profile(df.drop("part"), mode="approx")
-    prof.collect()
+    def run_profile():
+        profile(df.drop("part"), mode="approx").collect()
 
-    verdicts, violations = C.run_checks(
-        df,
-        transcript_check_suite(),
-        partition_col="part",
-        key_cols=["conv_id", "turn_idx"],
-        partitions=[str(i) for i in range(N_PARTS)],
-    )
-    verdicts.collect()
-    violations.count()
+    def run_validate():
+        verdicts, violations = C.run_checks(
+            df,
+            transcript_check_suite(),
+            partition_col="part",
+            key_cols=["conv_id", "turn_idx"],
+            partitions=[str(i) for i in range(N_PARTS)],
+        )
+        verdicts.collect()
+        violations.count()
+
+    # Profile and validation are independent consumers of the same
+    # table: submit them concurrently so one branch's driver-side
+    # barriers (plan building, gating collects, broadcast builds)
+    # overlap the other's cluster work instead of idling executors.
+    with ThreadPoolExecutor(2) as ex:
+        fp, fv = ex.submit(run_profile), ex.submit(run_validate)
+        fp.result()
+        fv.result()
     return n
 
 

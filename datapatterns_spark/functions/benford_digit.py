@@ -16,8 +16,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def nth_digit(col: Column, pos: int) -> Column:
-    """The ``pos``-th significant digit of the string form of ``col``."""
+def nth_digit(col: Column, pos: int, integral: bool = False) -> Column:
+    """The ``pos``-th significant digit of the string form of ``col``.
+
+    ``integral=True`` is a fast path for integer-typed columns: their
+    canonical string form has no sign-free zeros/points to scan, so the
+    digit is a plain ``substring`` of ``abs(value)`` — no regex in the
+    per-row path (the generic path costs three ``regexp_replace`` per
+    value, measured dominant in the Benford stat check at bench scale).
+    Semantics are identical to the generic path for integer inputs:
+    leading zeros impossible, implied trailing zeros -> 0, value 0 or
+    NULL -> sentinel 10.
+    """
+    if integral:
+        s = F.abs(col).cast("string")
+        return (
+            F.when(col.isNull() | (col == 0), F.lit(10))
+            .when(F.length(s) >= pos, F.substring(s, pos, 1).cast("int"))
+            .otherwise(F.lit(0))
+        )
     s = F.coalesce(col.cast("string"), F.lit(""))
     # keep only the characters the reference's scanner reacts to
     cleaned = F.regexp_replace(s, "[^0-9.]", "")

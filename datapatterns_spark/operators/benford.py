@@ -38,6 +38,10 @@ CRITICAL_N = 21.666
 
 DIGIT_NAMES = ["zero", "one", "two", "three", "four", "five", "six", "seven", "eight", "nine"]
 
+# Spark simpleString names of integer types — these take nth_digit's
+# regex-free substring fast path
+INTEGRAL_TYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
+
 
 def benford(
     df: DataFrame,
@@ -61,7 +65,9 @@ def benford(
     structs = [
         F.struct(
             F.lit(a.name).alias("attribute"),
-            nth_digit(F.col(a.name), clamped).alias("n"),
+            nth_digit(
+                F.col(a.name), clamped, integral=a.given_type in INTEGRAL_TYPES
+            ).alias("n"),
         )
         for a in attrs
     ]

@@ -26,12 +26,13 @@ AQE skew handling; the group key is expected to be high-cardinality
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .benford import CRITICAL_1, CRITICAL_N, EXPECTED
+from .benford import CRITICAL_1, CRITICAL_N, EXPECTED, INTEGRAL_TYPES
 from ..functions.benford_digit import nth_digit
 from ..plans.local import lit_df
 from .validation import expand_helpers
@@ -205,13 +206,16 @@ def run_checks(
     skips a full-input ``distinct`` pass otherwise needed to emit
     verdict rows for violation-free partitions.
 
-    Scale shape: ALL row+group checks run in ONE pass over the input;
+    Scale shape: ALL row checks AND ALL stat checks (Benford, PSI, KS)
+    fuse into ONE narrow pass over the input, reduced by a single
+    ``groupBy(partition, check, bucket, key, detail)`` whose group
+    count is bounded by bin spaces + the failing fraction; the
+    chi²/PSI/KS math runs on that tiny aggregated frame.  Group checks
+    share ONE exchange+sort on the group key over a slim projection —
     a uniqueness check on ``(g, o)`` is rewritten as lag/lead equality
     over ``Window.partitionBy(g).orderBy(o)`` whenever a monotonic
-    check already uses that exact window, so both ride ONE
-    exchange+sort; ALL stat checks (Benford, PSI, KS) share ONE melt
-    pass reduced to ``(partition, check, bucket)`` counts, with the
-    chi²/PSI/KS math running on that tiny aggregated frame.
+    check already uses that exact window, so both ride the same Window
+    operator.  The two passes are materialized concurrently.
     """
     spark = df.sparkSession
     part = (
@@ -228,23 +232,77 @@ def run_checks(
     group_checks = [c for c in checks if c.kind == "group"]
     stat_checks = [c for c in checks if c.kind == "stat"]
 
-    # ---- row + group checks: ONE scan, shared shuffles ----
-    row_fail_structs: list[Column] = []
-    group_fail_structs: list[Column] = []
-    group_check_cols: set[str] = set()
-    fail_structs = row_fail_structs
+    # ---- fused row+stat pass: ONE scan, ONE aggregation ----
+    # Row-rule violations and stat-check bin counts reduce through the
+    # same ``groupBy(partition, check, bucket, key, detail)`` (bucket
+    # NULL for violations, key/detail NULL for bins): violating rows
+    # are rare so their groups stay tiny, bin groups are bounded by the
+    # bucket spaces — map-side partial aggregation collapses both
+    # before the shuffle, and the stat checks stop paying a second
+    # full-input pass of their own.
+    dtypes = dict(df.dtypes)
+    fused_entries: list[Column] = []
     for c in row_checks:
         test = F.expr(expand_helpers(c.params["expr"], df.columns))
         ok = F.coalesce(test.cast("boolean"), F.lit(False))
-        fail_structs.append(
+        fused_entries.append(
             F.when(
                 ~ok,
                 F.struct(
                     F.lit(c.name).alias("check_name"),
+                    F.lit(None).cast("int").alias("bucket"),
+                    # key serialization runs only on the failing branch
+                    key_expr,
                     F.lit("row rule failed").alias("detail"),
                 ),
             )
         )
+    for c in stat_checks:
+        p = c.params
+        if p["op"] == "benford":
+            digit = min(max(int(p["digit"]), 1), 4)
+            b = nth_digit(
+                F.col(p["col"]),
+                digit,
+                integral=dtypes.get(p["col"]) in INTEGRAL_TYPES,
+            )
+            cond = b.isNotNull() & (b != 10)
+        else:
+            bins = int(p["bins"])
+            if p.get("categorical"):
+                b = _cat_bin_expr(p["col"], bins)
+            else:
+                b = _bin_expr(p["col"], bins, float(p["lo"]), float(p["hi"]))
+            cond = F.col(p["col"]).isNotNull()
+        fused_entries.append(
+            F.when(
+                cond,
+                F.struct(
+                    F.lit(c.name).alias("check_name"),
+                    b.cast("int").alias("bucket"),
+                    F.lit(None).cast("string").alias("key"),
+                    F.lit(None).cast("string").alias("detail"),
+                ),
+            )
+        )
+    fused = None
+    if fused_entries:
+        fused = (
+            df.select(part, F.array_compact(F.array(*fused_entries)).alias("_e"))
+            .select("partition", F.explode("_e").alias("_x"))
+            .groupBy(
+                "partition",
+                F.col("_x.check_name").alias("check_name"),
+                F.col("_x.bucket").alias("bucket"),
+                F.col("_x.key").alias("key"),
+                F.col("_x.detail").alias("detail"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    # ---- group checks: shared shuffle on the group key ----
+    group_fail_structs: list[Column] = []
+    group_check_cols: set[str] = set()
     # windows used by monotonic checks, for exchange-sharing rewrites
     mono_windows = {
         (c.params["group"], c.params["order"])
@@ -331,10 +389,7 @@ def run_checks(
             )
         )
 
-    viol_frames: list[DataFrame] = []
-    if row_fail_structs:
-        # row checks stay narrow: no shuffle at all
-        viol_frames.append(_to_viol(df.withColumn("partition", part), row_fail_structs))
+    gviol = None
     if group_fail_structs:
         # group checks force an Exchange+Sort on the group key; feed
         # the Window operator a SLIM projection (group/order/ts/key/
@@ -346,15 +401,44 @@ def run_checks(
         slim = df.withColumn("partition", part).select(
             "partition", *[F.col(c) for c in slim_cols]
         )
-        viol_frames.append(_to_viol(slim, group_fail_structs))
+        gviol = _to_viol(slim, group_fail_structs)
+
+    # Materialize the (at most two) input passes CONCURRENTLY: the
+    # fused narrow scan and the group-key shuffle are independent
+    # jobs, so overlapping them keeps executors busy through either
+    # job's driver-side barriers.  Both results are tiny (bounded bin
+    # counts + the failing fraction) and reused by the verdict
+    # aggregation and the returned side-table.
+    to_mat = [f for f in (fused, gviol) if f is not None]
+    if len(to_mat) > 1:
+        with ThreadPoolExecutor(len(to_mat)) as ex:
+            list(ex.map(lambda f: f.persist().count(), to_mat))
+    else:
+        for f in to_mat:
+            f.persist().count()
+
+    viol_frames: list[DataFrame] = []
+    if fused is not None and row_checks:
+        # restore per-row multiplicity: rows sharing (key, detail) were
+        # collapsed by the fused aggregation
+        row_viol = (
+            fused.filter(F.col("bucket").isNull())
+            .select(
+                "partition",
+                "key",
+                "check_name",
+                "detail",
+                F.explode(F.sequence(F.lit(1), F.col("cnt"))).alias("_i"),
+            )
+            .drop("_i")
+        )
+        viol_frames.append(row_viol)
+    if gviol is not None:
+        viol_frames.append(gviol)
     if viol_frames:
         viol = viol_frames[0]
         for v in viol_frames[1:]:
             viol = viol.unionByName(v)
-        # the verdict aggregation AND the returned side-table both
-        # consume this; without a persist every downstream action
-        # re-runs the whole check pass
-        viol = viol.persist()
     else:
         viol = lit_df(
             spark, [], "partition string, key string, check_name string, detail string"
@@ -395,42 +479,11 @@ def run_checks(
         )
         verdict_frames.append(verdicts)
 
-    # ---- stat checks: ONE melt pass -> (partition, check, bucket) ----
+    # ---- stat verdicts from the fused pass's bin counts ----
     if stat_checks:
-        entries: list[Column] = []
-        for c in stat_checks:
-            p = c.params
-            if p["op"] == "benford":
-                digit = min(max(int(p["digit"]), 1), 4)
-                b = nth_digit(F.col(p["col"]), digit)
-                cond = b.isNotNull() & (b != 10)
-            else:
-                bins = int(p["bins"])
-                if p.get("categorical"):
-                    b = _cat_bin_expr(p["col"], bins)
-                else:
-                    b = _bin_expr(p["col"], bins, float(p["lo"]), float(p["hi"]))
-                cond = F.col(p["col"]).isNotNull()
-            entries.append(
-                F.when(
-                    cond,
-                    F.struct(
-                        F.lit(c.name).alias("c"), b.cast("int").alias("b")
-                    ),
-                )
-            )
-        stat_counts = (
-            df.select(part, F.array_compact(F.array(*entries)).alias("_s"))
-            .select("partition", F.explode("_s").alias("_e"))
-            .groupBy(
-                "partition",
-                F.col("_e.c").alias("check_name"),
-                F.col("_e.b").alias("bucket"),
-            )
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .persist()
+        stat_counts = fused.filter(F.col("bucket").isNotNull()).select(
+            "partition", "check_name", "bucket", "cnt"
         )
-        stat_counts.count()  # materialize once; every stat verdict reuses it
         for c in stat_checks:
             verdict_frames.append(_stat_verdict_from_counts(spark, stat_counts, c))
 

@@ -45,6 +45,7 @@ from __future__ import annotations
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Window
@@ -768,10 +769,15 @@ def _profile_flat_approx(
 
 
 def _heavy_pattern_candidates(
-    df: DataFrame, heavy_attrs: list[AttrInfo], params: ProfileParams, plen: int
+    df: DataFrame,
+    heavy_attrs: list[AttrInfo],
+    params: ProfileParams,
+    plen: int,
+    total_rows: int,
 ) -> DataFrame:
     """Frequent/rare-pattern top-k for attributes whose pattern space
-    is near-unique (free text) — no shuffle of the pattern space.
+    is near-unique (free text) — no full-pattern-space shuffle, and no
+    Python anywhere in the path.
 
     Measured on the flagship transcript input: ``text`` has 18.3M
     distinct finished patterns over 19.2M rows — free text's pattern
@@ -779,14 +785,14 @@ def _heavy_pattern_candidates(
     data_pattern)`` shuffles ~one group per input row (at 10^12 rows, a
     ~data-sized shuffle) to answer a top-/bottom-k question.  Instead:
 
-    1. **candidate generation** (Misra-Gries/Space-Saving flavored):
-       each task counts its partition's patterns exactly as int64
-       ``xxhash64`` keys — only (attribute, hash) pairs cross into the
-       vectorized pandas stage (one ``value_counts`` per partition, no
-       per-row Python, ~8 bytes/row through Arrow) — and emits its local
-       top-m / bottom-m hashes per attribute (m = 4*maxPatterns, min
-       400).  The union is merged by key and trimmed to the global
-       top/bottom 2m.
+    1. **candidate generation** over a seeded 1/S Bernoulli sample,
+       with S sized so the sampled row count stays near a fixed budget
+       at ANY input scale (bounded shuffle; only the sampled fraction
+       pays the pattern mapping): the sample is counted exactly per
+       64-bit pattern hash, and the global top-2m / bottom-2m hashes
+       per attribute survive as candidates (m = 4*maxPatterns, min
+       400; per-group top-k via the salted two-phase ``grouped_topk``,
+       never a whole-attribute window partition).
     2. **resolution**: one column-pruned re-scan recomputes each row's
        pattern hash and keeps only rows matching the <= 4m winning
        hashes per attribute (broadcast semi-join on 8-byte keys), then
@@ -795,70 +801,67 @@ def _heavy_pattern_candidates(
 
     Accuracy (documented approx-mode deviation — exact mode keeps the
     reference's full histogram, Profile.ecl:1300-1338): resolved counts
-    and examples are exact; only candidate *coverage* is approximate —
-    a global top-k pattern is missed only if it ranks below the local
-    top-m in every partition, and a global rare-k (count-1) pattern is
-    always somebody's local bottom-m candidate, though the hash-order
-    tie-break at the local cut can differ from the reference's
-    pattern-order tie-break among equal counts.  Candidate selection
-    depends on the input partitioning (stable for a given file layout);
-    64-bit hash collisions are negligible at this key count (~1e-5 at
-    20M patterns).
+    and examples are exact; only candidate *coverage* is sample-based —
+    a true top-k pattern is missed only if its sampled count falls
+    below the 2m-th sampled candidate, vanishingly unlikely while its
+    true count >> S (any pattern heavy enough to rank top-k in a
+    near-unique space); rare-k candidates resolve to exact counts,
+    with selection among the (abundant) equal-count ties
+    sample-dependent — the same hash-order vs pattern-order tie-break
+    caveat as before.  64-bit hash collisions are negligible at this
+    key count (~1e-5 at 20M patterns).
     """
     m = max(4 * int(params.max_patterns), 400)
+    # Sample modulus: bound the candidate shuffle near a fixed row
+    # budget regardless of input size; >= 16 keeps the pattern mapping
+    # off >90% of rows even on small inputs.
+    budget = 4_000_000
+    s_mod = max(16, int(total_rows) // budget + 1)
 
-    def hashed_src() -> DataFrame:
+    def src() -> DataFrame:
         return (
             melt(df, heavy_attrs)
             .withColumn("filled", _filled_expr(heavy_attrs, params.allow_zero))
             .filter(F.col("filled"))
-            .select(
-                "attribute",
-                finish_pattern(_pattern_expr(heavy_attrs, plen)).alias("data_pattern"),
-                F.substring(F.col("value"), 1, plen).alias("example"),
-            )
-            .withColumn("ph", F.xxhash64("data_pattern"))
         )
 
-    def candidates(frames):
-        import pandas as pd
-
-        chunks = [pdf for pdf in frames]
-        if not chunks:
-            return
-        full = pd.concat(chunks, ignore_index=True)
-        outs = []
-        for attr, g in full.groupby("attribute", sort=False):
-            vc = g["ph"].value_counts()  # vectorized int64 hash count
-            loc = pd.concat([vc.head(m), vc.tail(m)])
-            loc = loc[~loc.index.duplicated()]
-            outs.append(
-                pd.DataFrame(
-                    {"attribute": attr, "ph": loc.index.values, "cnt": loc.values}
-                )
-            )
-        yield pd.concat(outs, ignore_index=True)
-
+    # bounded (<= ~budget rows) exact per-hash counts of the sample;
+    # eagerly materialized: the top and bottom trims both consume it.
+    # The gate is a seeded per-row Bernoulli (NOT a value-hash gate: a
+    # top pattern backed by one hot repeated value would be sampled
+    # all-or-nothing by its value hash); selection is deterministic for
+    # a given input partitioning — the same caveat as the previous
+    # partition-local candidate design.
     cand = (
-        hashed_src()
-        .select("attribute", "ph")
-        .mapInPandas(candidates, "attribute string, ph long, cnt long")
+        src()
+        .filter(F.rand(42) < 1.0 / s_mod)
+        .select(
+            "attribute",
+            F.xxhash64(finish_pattern(_pattern_expr(heavy_attrs, plen))).alias("ph"),
+        )
+        .groupBy("attribute", "ph")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
-    merged = cand.groupBy("attribute", "ph").agg(F.sum("cnt").alias("cnt"))
-    # trim to the global top/bottom 2m per attribute (tiny frame:
-    # <= partitions x 2m x attrs rows)
-    w_top = Window.partitionBy("attribute").orderBy(F.desc("cnt"), F.asc("ph"))
-    w_bot = Window.partitionBy("attribute").orderBy(F.asc("cnt"), F.asc("ph"))
-    winners = (
-        merged.withColumn("_rt", F.row_number().over(w_top))
-        .withColumn("_rb", F.row_number().over(w_bot))
-        .filter((F.col("_rt") <= 2 * m) | (F.col("_rb") <= 2 * m))
-        .select("attribute", "ph")
-    )
+    top = grouped_topk(
+        cand, ["attribute"], [F.desc("cnt"), F.asc("ph")], 2 * m,
+        F.col("ph"), rank_name="_rt",
+    ).select("attribute", "ph")
+    bot = grouped_topk(
+        cand, ["attribute"], [F.asc("cnt"), F.asc("ph")], 2 * m,
+        F.col("ph"), rank_name="_rb",
+    ).select("attribute", "ph")
+    winners = top.unionByName(bot).distinct()
     # resolution scan: exact count + pattern string + min example for
     # every winning hash, bounded output (<= 4m per attribute)
     return (
-        hashed_src()
+        src()
+        .select(
+            "attribute",
+            finish_pattern(_pattern_expr(heavy_attrs, plen)).alias("data_pattern"),
+            F.substring(F.col("value"), 1, plen).alias("example"),
+        )
+        .withColumn("ph", F.xxhash64("data_pattern"))
         .join(F.broadcast(winners), ["attribute", "ph"], "left_semi")
         .groupBy("attribute", "data_pattern")
         .agg(
@@ -1075,11 +1078,13 @@ def _profile_flat_approx_v2(
     # ONE driver-side collect gates the follow-up passes
     low_card: list[str] = []
     heavy: set[str] = set()
+    total_rows = 0
     if need_vh or need_pat_feature:
-        sel = ["_local_name", "cardinality"]
+        sel = ["_local_name", "cardinality", "rec_count"]
         if need_pat_feature:
             sel += ["_pat_card_short", "_n_long"]
         for r in base.select(*sel).collect():
+            total_rows = max(total_rows, r["rec_count"])
             if need_vh and r["cardinality"] <= params.approx_mode_card_limit:
                 low_card.append(r["_local_name"])
             if (
@@ -1091,6 +1096,7 @@ def _profile_flat_approx_v2(
     pieces = [base]
 
     # ---- popular / rare patterns (split by pattern-space size) ----
+    pat = None
     if need_pat_feature:
         pat_frames = []
         light_attrs = [a for a in attrs if a.name not in heavy]
@@ -1114,17 +1120,14 @@ def _profile_flat_approx_v2(
             pat_frames.append(lp)
         if heavy_attrs:
             pat_frames.append(
-                _heavy_pattern_candidates(df, heavy_attrs, params, plen)
+                _heavy_pattern_candidates(df, heavy_attrs, params, plen, total_rows)
             )
         pat = pat_frames[0]
         for p in pat_frames[1:]:
             pat = pat.unionByName(p)
-        # three consumers (top-k, bottom-k, anti-join) branch from it
-        pat = _materialize(pat, len(attrs))
-        _phase_mark("pattern_hist")
-        pieces.extend(_pattern_pieces(pat, params, name_prefix))
 
     # ---- low-card value histogram: modes + cardinality breakdown ----
+    vh = None
     if need_vh and low_card:
         # dedicated melt of ONLY the low-card attributes: reads just
         # those columns (parquet column pruning), no pattern/flag work
@@ -1136,10 +1139,28 @@ def _profile_flat_approx_v2(
             .groupBy("attribute", "value")
             .agg(F.count(F.lit(1)).alias("rec_count"))
         )
-        # bounded by approx_mode_card_limit per attribute; materialized
-        # once for its consumers (modes max-join x2, breakdown)
+
+    # Materialize the two bounded follow-up passes CONCURRENTLY: the
+    # pattern histogram (column-pruned text-heavy scan) and the
+    # low-card value histogram (column-pruned small-column scan) are
+    # independent jobs; overlapping them keeps executors busy through
+    # either job's driver-side barriers.  Both are reused by several
+    # consumers (top-k/bottom-k/anti-join; modes max-join x2 +
+    # breakdown), hence the eager materialization either way.
+    if pat is not None and vh is not None:
+        with ThreadPoolExecutor(2) as ex:
+            f_pat = ex.submit(_materialize, pat, len(attrs))
+            f_vh = ex.submit(_materialize, vh, len(attrs))
+            pat, vh = f_pat.result(), f_vh.result()
+    elif pat is not None:
+        pat = _materialize(pat, len(attrs))
+    elif vh is not None:
         vh = _materialize(vh, len(attrs))
-        _phase_mark("lowcard_vh")
+    _phase_mark("followup_hists")
+
+    if pat is not None:
+        pieces.extend(_pattern_pieces(pat, params, name_prefix))
+    if vh is not None:
         if params.has("modes"):
             pieces.append(_modes_piece(vh, name_prefix))
         if params.has("cardinality_breakdown") and params.lcb_limit > 0:

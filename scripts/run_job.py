@@ -85,27 +85,36 @@ def main() -> None:
 
     n = df.count()
 
-    prof = profile(df.drop(args.partition_col), mode="approx")
-    write_table(prof.drop("cardinality_breakdown", "modes",
-                          "popular_patterns", "rare_patterns",
-                          "correlations"),
-                f"{args.output}/profile_scalars")
-    write_table(prof, f"{args.output}/profile")
+    def run_profile():
+        prof = profile(df.drop(args.partition_col), mode="approx")
+        write_table(prof.drop("cardinality_breakdown", "modes",
+                              "popular_patterns", "rare_patterns",
+                              "correlations"),
+                    f"{args.output}/profile_scalars")
+        write_table(prof, f"{args.output}/profile")
 
     if not args.resume:
         # fresh run: a stale manifest would wrongly skip partitions
         import shutil
         for sub in ("manifest", "verdicts", "violations"):
             shutil.rmtree(f"{args.output}/{sub}", ignore_errors=True)
-    verdicts = run_with_manifest(
-        df,
-        transcript_check_suite(),
-        partition_col=args.partition_col,
-        output_path=args.output,
-        key_cols=["conv_id", "turn_idx"],
-        batch_size=args.batch_size,
-        snapshot_id=snap,
-    )
+
+    # profile and validation are independent consumers of the table:
+    # run them as concurrent job submissions (see bench.py note)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_prof = ex.submit(run_profile)
+        verdicts = run_with_manifest(
+            df,
+            transcript_check_suite(),
+            partition_col=args.partition_col,
+            output_path=args.output,
+            key_cols=["conv_id", "turn_idx"],
+            batch_size=args.batch_size,
+            snapshot_id=snap,
+        )
+        f_prof.result()
     n_fail = verdicts.filter(~F.col("passed")).count()
     el = time.time() - t0
     print(

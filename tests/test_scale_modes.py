@@ -65,3 +65,70 @@ def test_fill_and_lengths_identical_across_modes(spark, lineitem):
     exact = _by_attr(profile(lineitem, features=feats, mode="exact"))
     approx = _by_attr(profile(lineitem, features=feats, mode="approx"))
     assert exact == approx
+
+
+def test_heavy_pattern_candidate_path(spark):
+    """The near-unique pattern space path (sampled candidates + exact
+    resolution) must surface dominant patterns with EXACT counts and
+    keep rare/popular disjoint."""
+    from pyspark.sql import functions as F
+
+    from datapatterns_spark.operators.profile import (
+        ProfileParams,
+        _profile_flat,
+    )
+    from datapatterns_spark.plans.schema_walk import walk_schema
+
+    # 800 rows of one dominant pattern, 400 of a second, plus ~1000
+    # rows spread over 23*13=299 distinct short letter/digit-run
+    # patterns (each unique pattern stays under the 100-char pattern
+    # truncation)
+    df = spark.range(2200).select(
+        F.when(F.col("id") < 800, F.lit("AB12"))
+        .when((F.col("id") >= 800) & (F.col("id") < 1200), F.lit("zz zz"))
+        .otherwise(
+            F.concat(
+                F.repeat(F.lit("X"), (F.col("id") % 23 + 1).cast("int")),
+                F.repeat(F.lit("7"), (F.col("id") % 13 + 1).cast("int")),
+            )
+        )
+        .alias("t")
+    )
+    attrs, _ = walk_schema(df.schema, None)
+    # max_patterns well under the sampled candidate count (the 1/16
+    # sample of 2200 rows yields ~60 distinct candidates), so the
+    # popular/rare split has candidates left for the rare side
+    params = ProfileParams(
+        features=("patterns", "fill_rate"),
+        mode="approx",
+        approx_pattern_limit=100,
+        max_patterns=10,
+    )
+    out = _profile_flat(df, attrs, params, "", "").collect()[0].asDict(recursive=True)
+    pats = {p["data_pattern"]: p["rec_count"] for p in out["popular_patterns"]}
+    # exact resolved counts for the dominant patterns (800 "AB12" rows
+    # plus the 3 generated "XX77" values share pattern AA99)
+    assert pats["AA99"] == 803
+    assert pats["aa aa"] == 400
+    # rare patterns disjoint from popular ones (anti-join J3)
+    rare = {p["data_pattern"] for p in out["rare_patterns"]}
+    assert rare.isdisjoint(set(pats))
+    assert len(rare) > 0
+
+
+def test_nth_digit_integral_fast_path_matches_generic(spark):
+    from pyspark.sql import functions as F
+
+    from datapatterns_spark.functions.benford_digit import nth_digit
+
+    df = spark.range(-5000, 5000).select(F.col("id").cast("long").alias("v"))
+    for pos in (1, 2, 3, 4):
+        mismatch = (
+            df.select(
+                nth_digit(F.col("v"), pos).alias("slow"),
+                nth_digit(F.col("v"), pos, integral=True).alias("fast"),
+            )
+            .filter(F.col("slow") != F.col("fast"))
+            .count()
+        )
+        assert mismatch == 0, pos
