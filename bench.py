@@ -208,12 +208,17 @@ def run_flagship_only(cpus: str, n_convs: int = N_CONVS) -> dict:
     spark = build_session(cpus)
     spark.range(10).count()
     inp = prepare_transcripts(spark, n_convs)
-    # Steady-state measurement: run the identical job once on a tiny
+    # Steady-state measurement: run the identical job on a smaller
     # input first so JIT/codegen compilation of these exact plan
     # shapes happens outside the timed region (a real cluster job at
     # 10^12 rows amortizes warmup to nothing; at bench scale it is a
     # fixed serial cost that would measure the JVM, not the engine).
-    warm = prepare_transcripts(spark, 200)
+    # The warm input must be big enough that AQE makes the SAME
+    # physical choices as the measured run — a tiny (200-conv) warm
+    # leaves every stage whose AQE-replanned shape differs to compile
+    # INSIDE the timed region (measured: a fresh plan shape costs
+    # 6-23s of driver-side codegen+JIT, the dominant non-scaling term).
+    warm = prepare_transcripts(spark, int(os.environ.get("SPARK_GRAFT_WARM_CONVS", "65000")))
     flagship_profile_validate(spark, warm)
     t0 = time.time()
     n = flagship_profile_validate(spark, inp)

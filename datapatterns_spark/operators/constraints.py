@@ -26,8 +26,10 @@ AQE skew handling; the group key is expected to be high-cardinality
 
 from __future__ import annotations
 
+import math
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field as dc_field
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -444,125 +446,131 @@ def run_checks(
             spark, [], "partition string, key string, check_name string, detail string"
         )
 
-    # ---- verdict assembly for row+group checks ----
+    # ---- verdict assembly (driver-side) ----
+    # Every verdict input is bounded — (partition x check) violation
+    # aggregates and (partition x check x bucket) stat bin counts — so
+    # the verdict math runs in plain Python on ONE collect each and the
+    # result is re-embedded as a JVM-literal frame.  The previous
+    # formulation (crossJoin grid + per-check join/window frames,
+    # SURVEY A14's chi² included) was measured as ~26s of
+    # parallelism-independent driver/tiny-stage time per run — the
+    # single largest non-scaling term in the 4-vs-16-core flagship.
     all_check_names = [c.name for c in row_checks + group_checks]
-    verdict_frames: list[DataFrame] = []
+    verdict_rows: list[tuple] = []
     if partitions is not None:
-        parts_df = lit_df(
-            spark, [(str(p),) for p in partitions], "partition string"
-        )
+        part_values = [str(p) for p in partitions]
     else:
-        parts_df = df.select(part).distinct()
+        part_values = [r[0] for r in df.select(part).distinct().collect()]
     if all_check_names:
-        grid = parts_df.crossJoin(
-            lit_df(spark, [(n,) for n in all_check_names], "check_name string")
-        )
-        agg = viol.groupBy("partition", "check_name").agg(
-            F.count(F.lit(1)).alias("violation_count"),
-            F.slice(F.collect_list("detail"), 1, SAMPLE_VIOLATIONS).alias(
-                "sample_violations"
-            ),
-        )
-        verdicts = (
-            grid.join(agg, ["partition", "check_name"], "left")
-            .na.fill({"violation_count": 0})
-            .select(
-                "partition",
-                "check_name",
-                (F.col("violation_count") == 0).alias("passed"),
-                "violation_count",
-                F.lit(None).cast("double").alias("metric"),
-                F.coalesce(
-                    F.col("sample_violations"), F.expr("cast(array() as array<string>)")
-                ).alias("sample_violations"),
+        agg_rows = (
+            viol.groupBy("partition", "check_name")
+            .agg(
+                F.count(F.lit(1)).alias("violation_count"),
+                F.slice(F.collect_list("detail"), 1, SAMPLE_VIOLATIONS).alias(
+                    "sample_violations"
+                ),
             )
+            .collect()
         )
-        verdict_frames.append(verdicts)
+        vmap = {(r["partition"], r["check_name"]): r for r in agg_rows}
+        for prt in part_values:
+            for name in all_check_names:
+                r = vmap.get((prt, name))
+                vc = int(r["violation_count"]) if r is not None else 0
+                sv = list(r["sample_violations"]) if r is not None else []
+                verdict_rows.append((prt, name, vc == 0, vc, None, sv))
 
     # ---- stat verdicts from the fused pass's bin counts ----
     if stat_checks:
-        stat_counts = fused.filter(F.col("bucket").isNotNull()).select(
-            "partition", "check_name", "bucket", "cnt"
+        crows = (
+            fused.filter(F.col("bucket").isNotNull())
+            .select("partition", "check_name", "bucket", "cnt")
+            .collect()
         )
+        counts: dict[str, dict[str, dict[int, int]]] = {}
+        for r in crows:
+            counts.setdefault(r["check_name"], {}).setdefault(r["partition"], {})[
+                int(r["bucket"])
+            ] = int(r["cnt"])
         for c in stat_checks:
-            verdict_frames.append(_stat_verdict_from_counts(spark, stat_counts, c))
+            verdict_rows.extend(_stat_verdict_rows(counts.get(c.name, {}), c))
 
-    if not verdict_frames:
+    if not verdict_rows and not (all_check_names or stat_checks):
         raise ValueError("no checks supplied")
-    verdicts = verdict_frames[0]
-    for v in verdict_frames[1:]:
-        verdicts = verdicts.unionByName(v)
-    return verdicts.orderBy("partition", "check_name"), viol
+    verdict_rows.sort(key=lambda t: (t[0], t[1]))
+    verdicts = lit_df(
+        spark,
+        verdict_rows,
+        "partition string, check_name string, passed boolean, "
+        "violation_count long, metric double, sample_violations array<string>",
+    )
+    return verdicts, viol
 
 
-def _stat_verdict_from_counts(
-    spark: SparkSession, stat_counts: DataFrame, c: Check
-) -> DataFrame:
-    """Finish one stat check from the shared (partition, check, bucket)
-    count frame — all arithmetic over a frame bounded by
-    n_partitions x n_buckets."""
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark's ROUND on doubles: decimal HALF_UP on the double's
+    shortest decimal representation (Python's round() is HALF_EVEN and
+    would diverge at .5 boundaries)."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
+    )
+
+
+def _stat_verdict_rows(
+    per_part: dict[str, dict[int, int]], c: Check
+) -> list[tuple]:
+    """Finish one stat check in plain Python from its collected
+    (partition -> bucket -> count) bin counts — every input is bounded
+    by n_partitions x n_buckets, so the chi²/PSI/KS math is driver
+    arithmetic (SURVEY A14), not a Spark plan.  Partitions with no
+    in-scope rows emit no verdict row (as before)."""
     p = c.params
-    sub = stat_counts.filter(F.col("check_name") == c.name).drop("check_name")
-    tot = sub.groupBy("partition").agg(F.sum("cnt").alias("_tot"))
-
+    rows: list[tuple] = []
     if p["op"] == "benford":
         digit = min(max(int(p["digit"]), 1), 4)
         expected = EXPECTED[digit]
         critical = CRITICAL_1 if digit == 1 else CRITICAL_N
-        exp_rows = [
-            (i, float(expected[i]))
-            for i in range(10)
-            if not (i == 0 and digit == 1)
-        ]
-        exp_df = lit_df(spark, exp_rows, "bucket int, e double")
-        grid = tot.crossJoin(F.broadcast(exp_df))
-        joined = grid.join(sub, ["partition", "bucket"], "left").na.fill({"cnt": 0})
-        pct = F.round(F.col("cnt") / F.col("_tot") * 100, 1)
-        term = (pct - F.col("e")) * (pct - F.col("e")) / F.col("e")
-        g = joined.groupBy("partition").agg(F.round(F.sum(term), 3).alias("metric"))
-        passed = F.col("metric") <= critical
-    else:
-        bins = int(p["bins"])
-        base = lit_df(
-            spark,
-            [(int(k), float(v)) for k, v in p["baseline"].items()],
-            "bucket int, base_frac double",
-        )
-        bin_grid = spark.range(bins).select(F.col("id").cast("int").alias("bucket"))
-        grid = tot.crossJoin(bin_grid)
-        joined = (
-            grid.join(sub, ["partition", "bucket"], "left")
-            .join(F.broadcast(base), "bucket", "left")
-            .na.fill({"cnt": 0, "base_frac": 0.0})
-            .withColumn("frac", F.col("cnt") / F.col("_tot"))
-        )
-        eps = 1e-6
+        buckets = [i for i in range(10) if not (i == 0 and digit == 1)]
+        for prt, bc in per_part.items():
+            tot = sum(bc.values())
+            if not tot:
+                continue
+            chi = sum(
+                (_round_half_up(bc.get(b, 0) / tot * 100, 1) - expected[b]) ** 2
+                / expected[b]
+                for b in buckets
+            )
+            metric = _round_half_up(chi, 3)
+            rows.append((prt, c.name, metric <= critical, 0, metric, []))
+        return rows
+
+    bins = int(p["bins"])
+    baseline = {int(k): float(v) for k, v in p["baseline"].items()}
+    threshold = float(p["threshold"])
+    eps = 1e-6
+    for prt, bc in per_part.items():
+        tot = sum(bc.values())
+        if not tot:
+            continue
+        fracs = [bc.get(b, 0) / tot for b in range(bins)]
+        base = [baseline.get(b, 0.0) for b in range(bins)]
         if p["op"] == "psi":
-            a = F.greatest(F.col("frac"), F.lit(eps))
-            bfr = F.greatest(F.col("base_frac"), F.lit(eps))
-            term = (a - bfr) * F.log(a / bfr)
-            g = joined.groupBy("partition").agg(
-                F.round(F.sum(term), 6).alias("metric")
+            metric = _round_half_up(
+                sum(
+                    (max(f, eps) - max(bf, eps)) * math.log(max(f, eps) / max(bf, eps))
+                    for f, bf in zip(fracs, base)
+                ),
+                6,
             )
         elif p["op"] == "ks":
-            wb = Window.partitionBy("partition").orderBy("bucket")
-            cdf = joined.withColumn("cdf_a", F.sum("frac").over(wb)).withColumn(
-                "cdf_b", F.sum("base_frac").over(wb)
-            )
-            g = cdf.groupBy("partition").agg(
-                F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias(
-                    "metric"
-                )
-            )
+            cdf_a = cdf_b = 0.0
+            worst = 0.0
+            for f, bf in zip(fracs, base):
+                cdf_a += f
+                cdf_b += bf
+                worst = max(worst, abs(cdf_a - cdf_b))
+            metric = _round_half_up(worst, 6)
         else:  # pragma: no cover
             raise ValueError(f"unknown stat op {p['op']}")
-        passed = F.col("metric") <= float(p["threshold"])
-
-    return g.select(
-        "partition",
-        F.lit(c.name).alias("check_name"),
-        passed.alias("passed"),
-        F.lit(0).cast("long").alias("violation_count"),
-        F.col("metric").cast("double"),
-        F.expr("cast(array() as array<string>)").alias("sample_violations"),
-    )
+        rows.append((prt, c.name, metric <= threshold, 0, metric, []))
+    return rows

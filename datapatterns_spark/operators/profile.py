@@ -825,8 +825,7 @@ def _heavy_pattern_candidates(
             .filter(F.col("filled"))
         )
 
-    # bounded (<= ~budget rows) exact per-hash counts of the sample;
-    # eagerly materialized: the top and bottom trims both consume it.
+    # bounded (<= ~budget rows) exact per-hash counts of the sample.
     # The gate is a seeded per-row Bernoulli (NOT a value-hash gate: a
     # top pattern backed by one hot repeated value would be sampled
     # all-or-nothing by its value hash); selection is deterministic for
@@ -841,17 +840,33 @@ def _heavy_pattern_candidates(
         )
         .groupBy("attribute", "ph")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()
     )
-    top = grouped_topk(
-        cand, ["attribute"], [F.desc("cnt"), F.asc("ph")], 2 * m,
-        F.col("ph"), rank_name="_rt",
-    ).select("attribute", "ph")
-    bot = grouped_topk(
-        cand, ["attribute"], [F.asc("cnt"), F.asc("ph")], 2 * m,
-        F.col("ph"), rank_name="_rb",
-    ).select("attribute", "ph")
-    winners = top.unionByName(bot).distinct()
+    # Top-2m AND bottom-2m in ONE pass over cand: both rankings ride a
+    # single Exchange on (attribute, salt) — the two Sort+Window pairs
+    # share the partitioning — then a final ranking over the
+    # <= 2*buckets*2m survivors per attribute.  Phase-1 keeps 2m per
+    # salt bucket, so the global top/bottom-2m always survive to
+    # phase 2 (a whole attribute is never one window partition).  The
+    # previous formulation (localCheckpoint + two grouped_topk trees)
+    # paid an extra checkpoint job + barrier — parallelism-independent
+    # time on the flagship.
+    buckets = 64
+    salt = F.pmod(F.col("ph"), F.lit(buckets))
+    w1d = Window.partitionBy("attribute", salt).orderBy(F.desc("cnt"), F.asc("ph"))
+    w1a = Window.partitionBy("attribute", salt).orderBy(F.asc("cnt"), F.asc("ph"))
+    survivors = (
+        cand.withColumn("_rd", F.row_number().over(w1d))
+        .withColumn("_ra", F.row_number().over(w1a))
+        .filter((F.col("_rd") <= 2 * m) | (F.col("_ra") <= 2 * m))
+    )
+    w2d = Window.partitionBy("attribute").orderBy(F.desc("cnt"), F.asc("ph"))
+    w2a = Window.partitionBy("attribute").orderBy(F.asc("cnt"), F.asc("ph"))
+    winners = (
+        survivors.withColumn("_fd", F.row_number().over(w2d))
+        .withColumn("_fa", F.row_number().over(w2a))
+        .filter((F.col("_fd") <= 2 * m) | (F.col("_fa") <= 2 * m))
+        .select("attribute", "ph")
+    )
     # resolution scan: exact count + pattern string + min example for
     # every winning hash, bounded output (<= 4m per attribute)
     return (
@@ -1067,23 +1082,25 @@ def _profile_flat_approx_v2(
             "numeric_upper_quartile",
         ):
             base = base.withColumn(c, F.when(F.col("is_numeric"), F.col(c)))
-    # one full input pass behind it; the gating collect and the final
-    # assembly both reuse it (lineage handling per _materialize)
-    base = _materialize(base, len(attrs))
+    # ONE driver-side collect materializes the whole pass-1 result (one
+    # tiny row per attribute) AND gates the follow-up passes; the rows
+    # are re-embedded as a JVM-literal frame (plans.local) so every
+    # downstream consumer plans against a LocalRelation — no persist /
+    # checkpoint job, no second gating collect, no Catalyst re-walk of
+    # the melt subtree per consumer (each was a measured
+    # parallelism-independent cost in the 4-vs-16-core flagship).
+    base_rows = base.collect()
+    base = lit_df(df.sparkSession, [tuple(r) for r in base_rows], base.schema)
     _phase_mark("pass1_summary")
 
     need_vh = params.has("modes") or (
         params.has("cardinality_breakdown") and params.lcb_limit > 0
     )
-    # ONE driver-side collect gates the follow-up passes
     low_card: list[str] = []
     heavy: set[str] = set()
     total_rows = 0
     if need_vh or need_pat_feature:
-        sel = ["_local_name", "cardinality", "rec_count"]
-        if need_pat_feature:
-            sel += ["_pat_card_short", "_n_long"]
-        for r in base.select(*sel).collect():
+        for r in base_rows:
             total_rows = max(total_rows, r["rec_count"])
             if need_vh and r["cardinality"] <= params.approx_mode_card_limit:
                 low_card.append(r["_local_name"])

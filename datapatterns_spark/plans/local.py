@@ -41,13 +41,14 @@ def lit_df(
         return spark.range(0).select(
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
         )
+    def cell(v, f: T.StructField):
+        # F.lit([]) cannot infer an element type; emit a typed empty
+        # array literal instead
+        if isinstance(v, (list, tuple)) and len(v) == 0:
+            return F.array().cast(f.dataType).alias(f.name)
+        return F.lit(v).cast(f.dataType).alias(f.name)
+
     structs = [
-        F.struct(
-            *[
-                F.lit(v).cast(f.dataType).alias(f.name)
-                for f, v in zip(st.fields, row)
-            ]
-        )
-        for row in rows
+        F.struct(*[cell(v, f) for f, v in zip(st.fields, row)]) for row in rows
     ]
     return spark.range(1).select(F.inline(F.array(*structs)))

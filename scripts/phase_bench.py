@@ -31,7 +31,9 @@ def main() -> None:
     if os.environ.get("DP_PHASE_WARM", "1") == "1":
         from bench import flagship_profile_validate, prepare_transcripts
 
-        warm = prepare_transcripts(spark, 200)
+        warm = prepare_transcripts(
+            spark, int(os.environ.get("SPARK_GRAFT_WARM_CONVS", "65000"))
+        )
         flagship_profile_validate(spark, warm)
 
     def phase(name: str, fn):
