@@ -208,11 +208,11 @@ def run_checks(
     skips a full-input ``distinct`` pass otherwise needed to emit
     verdict rows for violation-free partitions.
 
-    Scale shape: ALL row checks AND ALL stat checks (Benford, PSI, KS)
-    fuse into ONE narrow pass over the input, reduced by a single
-    ``groupBy(partition, check, bucket, key, detail)`` whose group
-    count is bounded by bin spaces + the failing fraction; the
-    chi²/PSI/KS math runs on that tiny aggregated frame.  Group checks
+    Scale shape: ALL row checks share ONE narrow pass whose explode
+    fans out only failing rows; ALL stat checks (Benford, PSI, KS)
+    share ONE zero-fan-out ``groupBy(partition)`` of per-bucket
+    conditional counters (the chi²/PSI/KS math then runs driver-side
+    on n_partitions x n_buckets ints).  Group checks
     share ONE exchange+sort on the group key over a slim projection —
     a uniqueness check on ``(g, o)`` is rewritten as lag/lead equality
     over ``Window.partitionBy(g).orderBy(o)`` whenever a monotonic
@@ -234,15 +234,11 @@ def run_checks(
     group_checks = [c for c in checks if c.kind == "group"]
     stat_checks = [c for c in checks if c.kind == "stat"]
 
-    # ---- fused row+stat pass: ONE scan, ONE aggregation ----
-    # Row-rule violations and stat-check bin counts reduce through the
-    # same ``groupBy(partition, check, bucket, key, detail)`` (bucket
-    # NULL for violations, key/detail NULL for bins): violating rows
-    # are rare so their groups stay tiny, bin groups are bounded by the
-    # bucket spaces — map-side partial aggregation collapses both
-    # before the shuffle, and the stat checks stop paying a second
-    # full-input pass of their own.
-    dtypes = dict(df.dtypes)
+    # ---- row-check pass: ONE scan; fan-out only on failing rows ----
+    # Each rule contributes a struct ONLY when it fails; passing rows
+    # collapse to an empty array that ``explode`` drops, so the pass is
+    # narrow scan -> (rare) explode -> tiny aggregation regardless of
+    # input size.
     fused_entries: list[Column] = []
     for c in row_checks:
         test = F.expr(expand_helpers(c.params["expr"], df.columns))
@@ -252,38 +248,9 @@ def run_checks(
                 ~ok,
                 F.struct(
                     F.lit(c.name).alias("check_name"),
-                    F.lit(None).cast("int").alias("bucket"),
                     # key serialization runs only on the failing branch
                     key_expr,
                     F.lit("row rule failed").alias("detail"),
-                ),
-            )
-        )
-    for c in stat_checks:
-        p = c.params
-        if p["op"] == "benford":
-            digit = min(max(int(p["digit"]), 1), 4)
-            b = nth_digit(
-                F.col(p["col"]),
-                digit,
-                integral=dtypes.get(p["col"]) in INTEGRAL_TYPES,
-            )
-            cond = b.isNotNull() & (b != 10)
-        else:
-            bins = int(p["bins"])
-            if p.get("categorical"):
-                b = _cat_bin_expr(p["col"], bins)
-            else:
-                b = _bin_expr(p["col"], bins, float(p["lo"]), float(p["hi"]))
-            cond = F.col(p["col"]).isNotNull()
-        fused_entries.append(
-            F.when(
-                cond,
-                F.struct(
-                    F.lit(c.name).alias("check_name"),
-                    b.cast("int").alias("bucket"),
-                    F.lit(None).cast("string").alias("key"),
-                    F.lit(None).cast("string").alias("detail"),
                 ),
             )
         )
@@ -295,11 +262,52 @@ def run_checks(
             .groupBy(
                 "partition",
                 F.col("_x.check_name").alias("check_name"),
-                F.col("_x.bucket").alias("bucket"),
                 F.col("_x.key").alias("key"),
                 F.col("_x.detail").alias("detail"),
             )
             .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    # ---- stat pass: wide conditional aggregation, ZERO fan-out ----
+    # Benford / PSI / KS need per-(partition, check, bucket) counts.  A
+    # melt/explode formulation emits one row per (row x stat check) —
+    # at 10^12 rows that triples the pass and shuffles string-keyed
+    # groups.  Bucket spaces are small and known at plan time, so the
+    # counts become ONE ``groupBy(partition)`` with a conditional
+    # counter per bucket: all codegen, partial-agg collapses each task
+    # to n_partitions rows, and the result is n_partitions x ~100 ints.
+    dtypes = dict(df.dtypes)
+    stat_agg = None
+    stat_buckets: list[tuple[str, int]] = []  # (check_name, bucket) per counter
+    if stat_checks:
+        bucket_cols: list[Column] = []
+        counters: list[Column] = []
+        for i, c in enumerate(stat_checks):
+            p = c.params
+            if p["op"] == "benford":
+                digit = min(max(int(p["digit"]), 1), 4)
+                b = nth_digit(
+                    F.col(p["col"]),
+                    digit,
+                    integral=dtypes.get(p["col"]) in INTEGRAL_TYPES,
+                )
+                cond = b.isNotNull() & (b != 10)
+                nbuckets = 10
+            else:
+                nbuckets = int(p["bins"])
+                if p.get("categorical"):
+                    b = _cat_bin_expr(p["col"], nbuckets)
+                else:
+                    b = _bin_expr(p["col"], nbuckets, float(p["lo"]), float(p["hi"]))
+                cond = F.col(p["col"]).isNotNull()
+            bucket_cols.append(F.when(cond, b.cast("int")).alias(f"_b{i}"))
+            for bb in range(nbuckets):
+                counters.append(
+                    F.count(F.when(F.col(f"_b{i}") == bb, 1)).alias(f"_c{i}_{bb}")
+                )
+                stat_buckets.append((c.name, bb))
+        stat_agg = (
+            df.select(part, *bucket_cols).groupBy("partition").agg(*counters)
         )
 
     # ---- group checks: shared shuffle on the group key ----
@@ -405,27 +413,29 @@ def run_checks(
         )
         gviol = _to_viol(slim, group_fail_structs)
 
-    # Materialize the (at most two) input passes CONCURRENTLY: the
-    # fused narrow scan and the group-key shuffle are independent
-    # jobs, so overlapping them keeps executors busy through either
-    # job's driver-side barriers.  Both results are tiny (bounded bin
-    # counts + the failing fraction) and reused by the verdict
-    # aggregation and the returned side-table.
-    to_mat = [f for f in (fused, gviol) if f is not None]
-    if len(to_mat) > 1:
-        with ThreadPoolExecutor(len(to_mat)) as ex:
-            list(ex.map(lambda f: f.persist().count(), to_mat))
+    # Materialize the (at most three) input passes CONCURRENTLY: the
+    # row-check scan, the stat counter aggregation, and the group-key
+    # shuffle are independent jobs, so overlapping them keeps executors
+    # busy through any one job's driver-side barriers.  All results are
+    # tiny (the failing fraction + n_partitions counter rows) and
+    # reused by the verdict aggregation and the returned side-table.
+    stat_rows: list = []
+    jobs = [lambda f=f: f.persist().count() for f in (fused, gviol) if f is not None]
+    if stat_agg is not None:
+        jobs.append(lambda: stat_rows.extend(stat_agg.collect()))
+    if len(jobs) > 1:
+        with ThreadPoolExecutor(len(jobs)) as ex:
+            list(ex.map(lambda j: j(), jobs))
     else:
-        for f in to_mat:
-            f.persist().count()
+        for j in jobs:
+            j()
 
     viol_frames: list[DataFrame] = []
-    if fused is not None and row_checks:
+    if fused is not None:
         # restore per-row multiplicity: rows sharing (key, detail) were
         # collapsed by the fused aggregation
         row_viol = (
-            fused.filter(F.col("bucket").isNull())
-            .select(
+            fused.select(
                 "partition",
                 "key",
                 "check_name",
@@ -480,18 +490,14 @@ def run_checks(
                 sv = list(r["sample_violations"]) if r is not None else []
                 verdict_rows.append((prt, name, vc == 0, vc, None, sv))
 
-    # ---- stat verdicts from the fused pass's bin counts ----
+    # ---- stat verdicts from the wide counter rows ----
     if stat_checks:
-        crows = (
-            fused.filter(F.col("bucket").isNotNull())
-            .select("partition", "check_name", "bucket", "cnt")
-            .collect()
-        )
         counts: dict[str, dict[str, dict[int, int]]] = {}
-        for r in crows:
-            counts.setdefault(r["check_name"], {}).setdefault(r["partition"], {})[
-                int(r["bucket"])
-            ] = int(r["cnt"])
+        for r in stat_rows:
+            prt = r["partition"]
+            for (cname, bb), cnt in zip(stat_buckets, list(r)[1:]):
+                if cnt:
+                    counts.setdefault(cname, {}).setdefault(prt, {})[bb] = int(cnt)
         for c in stat_checks:
             verdict_rows.extend(_stat_verdict_rows(counts.get(c.name, {}), c))
 
