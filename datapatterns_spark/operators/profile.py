@@ -193,6 +193,43 @@ def melt(df: DataFrame, attrs: list[AttrInfo]) -> DataFrame:
     return df.select(F.inline(F.array(*structs)))
 
 
+# Pass-1 value cap for the slim melt: every pass-1 consumer of the
+# value string (pattern mapping, type-flag ladder, numeric parse,
+# numeric filled test) is gated to trimmed length <= 40, so 48 chars
+# (sign + 38-digit decimal + point headroom) lose nothing.
+_SLIM_VALUE_CAP = 48
+
+
+def melt_slim(df: DataFrame, attrs: list[AttrInfo]) -> DataFrame:
+    """One scan -> (attribute, value[:48], len, vhash, uni) rows.
+
+    The approx pass-1 aggregate never needs long value bytes row-wise:
+    distinctness reduces to ``xxhash64`` of the full value (identical
+    HLL estimate — approx_count_distinct hashes its input anyway, and
+    64-bit collisions are ~n²/2⁻⁶⁴), the non-ASCII probe reduces to a
+    precomputed bit, and everything else is gated to short values.
+    Truncating here keeps free-text bytes out of the inline/explode
+    copies and the aggregate's memory traffic — the scan's full-value
+    work (hash + length probe) happens once per row, pre-melt."""
+    structs = []
+    for a in attrs:
+        v = _value_expr(a)
+        structs.append(
+            F.struct(
+                F.lit(a.name).alias("attribute"),
+                F.substring(v, 1, _SLIM_VALUE_CAP).alias("value"),
+                _len_expr(a).cast("int").alias("len"),
+                F.xxhash64(v).alias("vhash"),
+                (
+                    is_non_ascii(v).cast("int")
+                    if a.kind == KIND_STRING
+                    else F.lit(None).cast("int")
+                ).alias("uni"),
+            )
+        )
+    return df.select(F.inline(F.array(*structs)))
+
+
 def _filled_expr(attrs: list[AttrInfo], allow_zero: bool) -> Column:
     """Per-attribute filled semantics (Profile.ecl:830-844)."""
     numeric = [a.name for a in attrs if a.kind == KIND_NUMERIC]
@@ -896,7 +933,11 @@ def _profile_flat_approx_v2(
     """Sketch-path profile v2: ONE full-width pass over the input, then
     only bounded or column-pruned follow-ups.
 
-    1. **pass 1 (full width, no raw-value shuffle)**: the melt
+    1. **pass 1 (full width, no raw-value shuffle, slim melt)**: the
+       :func:`melt_slim` melt carries at most 48 value chars per row —
+       distinctness rides a precomputed 64-bit value hash and the
+       non-ASCII probe a precomputed bit, so free-text bytes never
+       enter the explode/aggregate path.  The melt
        aggregates straight to attribute grain — fill/lengths, HLL++
        cardinality, numeric sketch stats (min/max/mean/pop-stddev +
        ``percentile_approx``), AND the per-attribute type/unicode
@@ -930,7 +971,6 @@ def _profile_flat_approx_v2(
     plen = params.pattern_len
     _phase_mark("approx:start")
     meta = _attr_meta_df(df, attrs, sort_prefix, name_prefix)
-    string_attrs = [a.name for a in attrs if a.kind == KIND_STRING]
     as_is_attrs = [
         a.name for a in attrs if a.kind in (KIND_NUMERIC, KIND_BOOLEAN, KIND_ARRAY)
     ]
@@ -943,7 +983,7 @@ def _profile_flat_approx_v2(
     # NOTE: a "one wide aggregate over the unmelted frame" variant was
     # A/B-tested in round 1 and is 11-14x SLOWER (drops out of
     # whole-stage codegen); the melt keeps row-shaping in codegen.
-    m1 = melted = melt(df, attrs).withColumn(
+    m1 = melt_slim(df, attrs).withColumn(
         "filled", _filled_expr(attrs, params.allow_zero)
     )
     if need_pat_feature:
@@ -956,7 +996,7 @@ def _profile_flat_approx_v2(
         # picks the other (still correct) path.  Sampling keeps the
         # pattern mapping off 15/16 of the pass-1 rows (measured ~11s
         # of pass-1 wall at local[16] on 19M turns).
-        sampled = F.pmod(F.xxhash64("value"), F.lit(16)) == 0
+        sampled = F.pmod(F.col("vhash"), F.lit(16)) == 0
         m1 = m1.withColumn(
             "_pat_s", F.when(filled & short & sampled, _pattern_expr(attrs, plen))
         )
@@ -1007,9 +1047,11 @@ def _profile_flat_approx_v2(
             ).alias("min_len_nonzero"),
         ]
     if params.need_cardinality:
-        # HLL++ sketch, rsd=0.015 (documented deviation: reference is exact)
+        # HLL++ sketch, rsd=0.015 (documented deviation: reference is
+        # exact); fed the 64-bit value hash, not the value — identical
+        # estimate (see melt_slim)
         agg_exprs.append(
-            F.approx_count_distinct(F.when(filled, F.col("value")), 0.015).alias(
+            F.approx_count_distinct(F.when(filled, F.col("vhash")), 0.015).alias(
                 "cardinality"
             )
         )
@@ -1026,11 +1068,7 @@ def _profile_flat_approx_v2(
             .when(F.col("_pat_f").isNull(), F.lit(0))
             .otherwise(besttype.type_flag(F.col("_pat_f"), treat_as_is=False))
         )
-        is_uni = F.when(
-            filled
-            & (att.isin(string_attrs) if string_attrs else F.lit(False)),
-            is_non_ascii(F.col("value")).cast("int"),
-        )
+        is_uni = F.when(filled, F.col("uni"))  # precomputed in melt_slim
         agg_exprs += [
             F.coalesce(F.bit_and(flag), F.lit(0)).alias("type_flags"),
             F.coalesce(F.max(is_uni), F.lit(0)).alias("_uni"),
