@@ -150,10 +150,14 @@ def flagship_profile_validate(spark, input_path: str) -> int:
     # table: submit them concurrently so one branch's driver-side
     # barriers (plan building, gating collects, broadcast builds)
     # overlap the other's cluster work instead of idling executors.
-    with ThreadPoolExecutor(2) as ex:
-        fp, fv = ex.submit(run_profile), ex.submit(run_validate)
-        fp.result()
-        fv.result()
+    if os.environ.get("DP_FLAGSHIP_SERIAL"):
+        run_profile()
+        run_validate()
+    else:
+        with ThreadPoolExecutor(2) as ex:
+            fp, fv = ex.submit(run_profile), ex.submit(run_validate)
+            fp.result()
+            fv.result()
     return n
 
 

@@ -180,17 +180,49 @@ def _len_expr(a: AttrInfo) -> Column:
     return F.length(_value_expr(a))
 
 
+def _melt_base(df: DataFrame, attrs: list[AttrInfo]) -> tuple[DataFrame, list[Column], list[Column]]:
+    """Project each attribute's canonical string form ONCE, then hand
+    (projected frame, per-attr value col, per-attr len col) to a melt.
+
+    The melt's ``inline(array(struct(...)))`` generator gets no
+    subexpression elimination, so any value expression mentioned k
+    times inside the structs (value, its length, its hash, ...) would
+    be evaluated k times per row — for a timestamp that is k full
+    datetime->string formats, for free text k trims.  A Project under
+    the Generate evaluates each value exactly once per row; the structs
+    then reference plain columns."""
+    vals: list[Column] = []
+    lens: list[Column] = []
+    proj: list[Column] = []
+    for i, a in enumerate(attrs):
+        proj.append(_value_expr(a).alias(f"_v{i}"))
+        if a.kind in (KIND_ARRAY, KIND_BINARY, KIND_BOOLEAN):
+            # length is NOT the string form's length for these kinds
+            # (element count / byte count / constant 1)
+            proj.append(_len_expr(a).cast("int").alias(f"_l{i}"))
+    base = df.select(*proj)
+    for i, a in enumerate(attrs):
+        v = F.col(f"_v{i}")
+        vals.append(v)
+        if a.kind in (KIND_ARRAY, KIND_BINARY, KIND_BOOLEAN):
+            lens.append(F.col(f"_l{i}"))
+        else:
+            lens.append(F.length(v).cast("int"))
+    return base, vals, lens
+
+
 def melt(df: DataFrame, attrs: list[AttrInfo]) -> DataFrame:
     """One scan -> (attribute, value, len) rows for every column."""
+    base, vals, lens = _melt_base(df, attrs)
     structs = [
         F.struct(
             F.lit(a.name).alias("attribute"),
-            _value_expr(a).alias("value"),
-            _len_expr(a).cast("int").alias("len"),
+            v.alias("value"),
+            ln.alias("len"),
         )
-        for a in attrs
+        for a, v, ln in zip(attrs, vals, lens)
     ]
-    return df.select(F.inline(F.array(*structs)))
+    return base.select(F.inline(F.array(*structs)))
 
 
 # Pass-1 value cap for the slim melt: every pass-1 consumer of the
@@ -210,24 +242,26 @@ def melt_slim(df: DataFrame, attrs: list[AttrInfo]) -> DataFrame:
     precomputed bit, and everything else is gated to short values.
     Truncating here keeps free-text bytes out of the inline/explode
     copies and the aggregate's memory traffic — the scan's full-value
-    work (hash + length probe) happens once per row, pre-melt."""
+    work (hash + length probe) happens once per row, pre-melt (the
+    shared :func:`_melt_base` projection guarantees once)."""
+    base, vals, lens = _melt_base(df, attrs)
     structs = []
-    for a in attrs:
-        v = _value_expr(a)
+    for a, v, ln in zip(attrs, vals, lens):
         structs.append(
             F.struct(
                 F.lit(a.name).alias("attribute"),
                 F.substring(v, 1, _SLIM_VALUE_CAP).alias("value"),
-                _len_expr(a).cast("int").alias("len"),
+                ln.alias("len"),
                 F.xxhash64(v).alias("vhash"),
                 (
-                    is_non_ascii(v).cast("int")
+                    # len already holds length(v) for strings
+                    (F.octet_length(v) != ln).cast("int")
                     if a.kind == KIND_STRING
                     else F.lit(None).cast("int")
                 ).alias("uni"),
             )
         )
-    return df.select(F.inline(F.array(*structs)))
+    return base.select(F.inline(F.array(*structs)))
 
 
 def _filled_expr(attrs: list[AttrInfo], allow_zero: bool) -> Column:
