@@ -221,8 +221,14 @@ def run_flagship_only(cpus: str, n_convs: int = N_CONVS) -> dict:
     # physical choices as the measured run — a tiny (200-conv) warm
     # leaves every stage whose AQE-replanned shape differs to compile
     # INSIDE the timed region (measured: a fresh plan shape costs
-    # 6-23s of driver-side codegen+JIT, the dominant non-scaling term).
-    warm = prepare_transcripts(spark, int(os.environ.get("SPARK_GRAFT_WARM_CONVS", "65000")))
+    # 6-23s of driver-side codegen+JIT, the dominant non-scaling term;
+    # warming the 2M-conv scale leg at 250k instead of 65k convs saved
+    # a further ~7s at local[16]).  Default: 1/8 of the measured input,
+    # floor 65k.
+    warm_default = max(65000, n_convs // 8)
+    warm = prepare_transcripts(
+        spark, int(os.environ.get("SPARK_GRAFT_WARM_CONVS", str(warm_default)))
+    )
     flagship_profile_validate(spark, warm)
     t0 = time.time()
     n = flagship_profile_validate(spark, inp)
