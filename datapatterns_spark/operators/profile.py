@@ -1196,8 +1196,8 @@ def _profile_flat_approx_v2(
 
     # ---- popular / rare patterns (split by pattern-space size) ----
     pat = None
+    lp = heavy_pat = None
     if need_pat_feature:
-        pat_frames = []
         light_attrs = [a for a in attrs if a.name not in heavy]
         heavy_attrs = [a for a in attrs if a.name in heavy]
         if light_attrs:
@@ -1216,14 +1216,10 @@ def _profile_flat_approx_v2(
                     F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
                 )
             )
-            pat_frames.append(lp)
         if heavy_attrs:
-            pat_frames.append(
-                _heavy_pattern_candidates(df, heavy_attrs, params, plen, total_rows)
+            heavy_pat = _heavy_pattern_candidates(
+                df, heavy_attrs, params, plen, total_rows
             )
-        pat = pat_frames[0]
-        for p in pat_frames[1:]:
-            pat = pat.unionByName(p)
 
     # ---- low-card value histogram: modes + cardinality breakdown ----
     vh = None
@@ -1239,22 +1235,30 @@ def _profile_flat_approx_v2(
             .agg(F.count(F.lit(1)).alias("rec_count"))
         )
 
-    # Materialize the two bounded follow-up passes CONCURRENTLY: the
-    # pattern histogram (column-pruned text-heavy scan) and the
-    # low-card value histogram (column-pruned small-column scan) are
-    # independent jobs; overlapping them keeps executors busy through
-    # either job's driver-side barriers.  Both are reused by several
-    # consumers (top-k/bottom-k/anti-join; modes max-join x2 +
-    # breakdown), hence the eager materialization either way.
-    if pat is not None and vh is not None:
-        with ThreadPoolExecutor(2) as ex:
-            f_pat = ex.submit(_materialize, pat, len(attrs))
-            f_vh = ex.submit(_materialize, vh, len(attrs))
-            pat, vh = f_pat.result(), f_vh.result()
-    elif pat is not None:
-        pat = _materialize(pat, len(attrs))
-    elif vh is not None:
-        vh = _materialize(vh, len(attrs))
+    # Materialize the (at most three) bounded follow-up passes
+    # CONCURRENTLY as separate jobs: the light-attr pattern histogram,
+    # the heavy-attr candidate path (whose sample/top-k/resolution
+    # stages have their own driver barriers), and the low-card value
+    # histogram are independent; overlapping them keeps executors busy
+    # through any one job's driver-side barriers.  All results are tiny
+    # and reused by several consumers (top-k/bottom-k/anti-join; modes
+    # max-join x2 + breakdown), hence the eager materialization either
+    # way.  (A fused tagged-explode single pass was A/B-tested: the
+    # per-row struct+array+explode machinery is 5x slower than two
+    # direct aggregations — same lesson as the stat-check counters.)
+    mats = {k: f for k, f in (("lp", lp), ("hv", heavy_pat), ("vh", vh)) if f is not None}
+    if len(mats) > 1:
+        with ThreadPoolExecutor(len(mats)) as ex:
+            futs = {k: ex.submit(_materialize, f, len(attrs)) for k, f in mats.items()}
+            mats = {k: f.result() for k, f in futs.items()}
+    else:
+        mats = {k: _materialize(f, len(attrs)) for k, f in mats.items()}
+    lp, heavy_pat, vh = mats.get("lp"), mats.get("hv"), mats.get("vh")
+    pat_frames = [f for f in (lp, heavy_pat) if f is not None]
+    if pat_frames:
+        pat = pat_frames[0]
+        for p in pat_frames[1:]:
+            pat = pat.unionByName(p)
     _phase_mark("followup_hists")
 
     if pat is not None:
