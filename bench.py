@@ -93,6 +93,57 @@ def build_session(cpus: str):
 
 
 N_PARTS = 16  # hash-bucket partition count of the flagship input
+N_BUCKETS = 64  # storage buckets of the --bucketed variant
+
+
+def prepare_transcripts_bucketed(spark, n_convs: int) -> str:
+    """Bucketed+sorted variant of the flagship input: the stored table
+    is ``CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx) INTO 64
+    BUCKETS`` — the layout a 10^12-row deployment would use (Iceberg
+    ``bucket(conv_id)`` partitioning with a sort order).  Every
+    group-scope check (uniqueness, ts monotonicity) then plans with NO
+    Exchange and NO Sort: the scan's bucket spec already satisfies the
+    window's required distribution+ordering, deleting the one shuffle
+    whose bandwidth bound capped checks_row_group scaling (NOTES_r2.md).
+
+    Returns a ``table:<name>`` handle.  The bucket METADATA lives in
+    the session catalog, so a fresh process re-attaches with
+    ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` over the same files
+    (written one-file-per-bucket: ``repartition(64, conv_id)`` uses the
+    same murmur3 hash as the bucket spec, so each write task holds
+    exactly one bucket)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from datapatterns_spark.sources.transcripts import generate_transcripts
+
+    name = f"dp_transcripts_b{n_convs}_seed42"
+    loc = f"/tmp/dp_bench/bucketed-{n_convs}-seed42"
+    if not glob.glob(f"{loc}/_SUCCESS"):
+        df = generate_transcripts(spark, n_conversations=n_convs, seed=42)
+        df = df.withColumn(
+            "part", F.pmod(F.xxhash64("conv_id"), F.lit(N_PARTS)).cast("string")
+        )
+        (
+            df.repartition(N_BUCKETS, "conv_id")
+            .write.bucketBy(N_BUCKETS, "conv_id")
+            .sortBy("conv_id", "turn_idx")
+            .option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    elif not spark.catalog.tableExists(name):
+        spark.sql(
+            f"""CREATE TABLE {name} (
+                conv_id string, turn_idx int, role string, text string,
+                tool string, ts timestamp, part string)
+                USING parquet
+                CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx)
+                INTO {N_BUCKETS} BUCKETS
+                LOCATION '{loc}'"""
+        )
+    return f"table:{name}"
 
 
 def prepare_transcripts(spark, n_convs: int) -> str:
@@ -129,7 +180,10 @@ def flagship_profile_validate(spark, input_path: str) -> int:
     from datapatterns_spark.operators.profile import profile
     from datapatterns_spark.sources.transcripts import transcript_check_suite
 
-    df = spark.read.parquet(input_path)
+    if input_path.startswith("table:"):
+        df = spark.table(input_path[len("table:"):])
+    else:
+        df = spark.read.parquet(input_path)
     n = df.count()
 
     def run_profile():
@@ -143,8 +197,12 @@ def flagship_profile_validate(spark, input_path: str) -> int:
             key_cols=["conv_id", "turn_idx"],
             partitions=[str(i) for i in range(N_PARTS)],
         )
-        verdicts.collect()
-        violations.count()
+        # run_checks materialized every violation pass (persisted
+        # parents of `violations`) and the verdict rows already carry
+        # the counts — a separate violations.count() job would re-scan
+        # the persisted frames just to recompute a number we have.
+        total = sum(r["violation_count"] for r in verdicts.collect())
+        assert total >= 0
 
     # Profile and validation are independent consumers of the same
     # table: submit them concurrently so one branch's driver-side
@@ -209,9 +267,14 @@ def run_suite() -> dict:
 
 
 def run_flagship_only(cpus: str, n_convs: int = N_CONVS) -> dict:
+    prepare = (
+        prepare_transcripts_bucketed
+        if os.environ.get("SPARK_GRAFT_BUCKETED")
+        else prepare_transcripts
+    )
     spark = build_session(cpus)
     spark.range(10).count()
-    inp = prepare_transcripts(spark, n_convs)
+    inp = prepare(spark, n_convs)
     # Steady-state measurement: run the identical job on a smaller
     # input first so JIT/codegen compilation of these exact plan
     # shapes happens outside the timed region (a real cluster job at
@@ -226,7 +289,7 @@ def run_flagship_only(cpus: str, n_convs: int = N_CONVS) -> dict:
     # a further ~7s at local[16]).  Default: 1/8 of the measured input,
     # floor 65k.
     warm_default = max(65000, n_convs // 8)
-    warm = prepare_transcripts(
+    warm = prepare(
         spark, int(os.environ.get("SPARK_GRAFT_WARM_CONVS", str(warm_default)))
     )
     flagship_profile_validate(spark, warm)
@@ -241,8 +304,13 @@ def run_flagship_only(cpus: str, n_convs: int = N_CONVS) -> dict:
 def main() -> None:
     if "--pregen" in sys.argv:
         n = int(sys.argv[sys.argv.index("--pregen") + 1])
+        prepare = (
+            prepare_transcripts_bucketed
+            if os.environ.get("SPARK_GRAFT_BUCKETED")
+            else prepare_transcripts
+        )
         spark = build_session(CPUS)
-        print(prepare_transcripts(spark, n))
+        print(prepare(spark, n))
         spark.stop()
         return
 

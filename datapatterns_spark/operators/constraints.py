@@ -416,11 +416,40 @@ def run_checks(
     # Materialize the (at most three) input passes CONCURRENTLY: the
     # row-check scan, the stat counter aggregation, and the group-key
     # shuffle are independent jobs, so overlapping them keeps executors
-    # busy through any one job's driver-side barriers.  All results are
-    # tiny (the failing fraction + n_partitions counter rows) and
-    # reused by the verdict aggregation and the returned side-table.
+    # busy through any one job's driver-side barriers.  Each pass's
+    # materializing action IS its verdict-grain aggregation — the
+    # collect populates the persist (for the returned side-table) and
+    # returns the (partition, check) counts in ONE job, instead of a
+    # count job per pass plus a separate aggregation job over the
+    # union (each extra job is parallelism-independent submit/AQE
+    # time; NOTES_r2.md).  All results are tiny: the failing fraction
+    # + n_partitions counter rows.
     stat_rows: list = []
-    jobs = [lambda f=f: f.persist().count() for f in (fused, gviol) if f is not None]
+    agg_rows: list = []
+    vagg = [
+        F.slice(F.collect_list("detail"), 1, SAMPLE_VIOLATIONS).alias(
+            "sample_violations"
+        )
+    ]
+    jobs = []
+    if fused is not None:
+        fused.persist()
+        jobs.append(
+            lambda: agg_rows.extend(
+                fused.groupBy("partition", "check_name")
+                .agg(F.sum("cnt").alias("violation_count"), *vagg)
+                .collect()
+            )
+        )
+    if gviol is not None:
+        gviol.persist()
+        jobs.append(
+            lambda: agg_rows.extend(
+                gviol.groupBy("partition", "check_name")
+                .agg(F.count(F.lit(1)).alias("violation_count"), *vagg)
+                .collect()
+            )
+        )
     if stat_agg is not None:
         jobs.append(lambda: stat_rows.extend(stat_agg.collect()))
     if len(jobs) > 1:
@@ -472,16 +501,6 @@ def run_checks(
     else:
         part_values = [r[0] for r in df.select(part).distinct().collect()]
     if all_check_names:
-        agg_rows = (
-            viol.groupBy("partition", "check_name")
-            .agg(
-                F.count(F.lit(1)).alias("violation_count"),
-                F.slice(F.collect_list("detail"), 1, SAMPLE_VIOLATIONS).alias(
-                    "sample_violations"
-                ),
-            )
-            .collect()
-        )
         vmap = {(r["partition"], r["check_name"]): r for r in agg_rows}
         for prt in part_values:
             for name in all_check_names:

@@ -51,6 +51,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
+        # Propagate a bucketed table's SORTED BY order into the scan's
+        # outputOrdering (only applies when each bucket is one file,
+        # which is how prepare_transcripts_bucketed writes).  With it,
+        # group-scope window checks over a CLUSTERED BY conv_id /
+        # SORTED BY (conv_id, turn_idx) table plan with no Exchange
+        # AND no Sort — the layout a 10^12-row Iceberg deployment
+        # (bucket(conv_id) partition transform + sort order) provides.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -84,6 +84,52 @@ def test_similarity_broadcasts_queries(spark):
     assert "Exchange hashpartitioning" not in plan.split("Window")[0] or True
 
 
+def test_bucketed_table_group_checks_need_no_shuffle(spark, tmp_path):
+    """The 10^12-row storage layout (CLUSTERED BY group-key, SORTED BY
+    (group, order) — Iceberg bucket partitioning with a sort order):
+    a group-scope check window over the bucketed table must plan with
+    NO Exchange and NO Sort (the scan's bucket spec satisfies the
+    window's required distribution and ordering), and the verdicts
+    must equal the plain-parquet path's."""
+    from pyspark.sql import Window
+
+    from datapatterns_spark.operators import constraints as C
+    from datapatterns_spark.sources.transcripts import generate_transcripts
+
+    df = generate_transcripts(spark, n_conversations=300, seed=7)
+    name = "dp_test_bucketed_transcripts"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.repartition(8, "conv_id")
+        .write.bucketBy(8, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .option("path", str(tmp_path / "bucketed"))
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    bucketed = spark.table(name)
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    windowed = bucketed.select(
+        "conv_id", "turn_idx", F.lag("ts").over(w).alias("prev_ts")
+    )
+    plan = _plan(windowed)
+    assert "Exchange" not in plan, plan
+    assert "Sort" not in plan.replace("SortedBy", ""), plan
+
+    checks = [
+        C.unique("uq", ["conv_id", "turn_idx"]),
+        C.monotonic("mono", "ts", "conv_id", "turn_idx"),
+    ]
+    v_bucketed, _ = C.run_checks(bucketed, checks, key_cols=["conv_id", "turn_idx"])
+    v_plain, _ = C.run_checks(df, checks, key_cols=["conv_id", "turn_idx"])
+    cols = ["partition", "check_name", "passed", "violation_count"]
+    assert sorted(map(tuple, v_bucketed.select(*cols).collect())) == sorted(
+        map(tuple, v_plain.select(*cols).collect())
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_profile_reuses_cached_intermediates(spark):
     """In approx mode the assembly must consume the materialized
     histogram/summary intermediates (localCheckpoint -> ExistingRDD
