@@ -1197,8 +1197,23 @@ def _profile_flat_approx_v2(
     # ---- popular / rare patterns (split by pattern-space size) ----
     pat = None
     lp = heavy_pat = None
+    derive_names: set[str] = set()
     if need_pat_feature:
-        light_attrs = [a for a in attrs if a.name not in heavy]
+        # Attributes whose full VALUE histogram is being computed anyway
+        # (cardinality <= approx_mode_card_limit -> the vh pass) need no
+        # per-row pattern work at all: the pattern is a pure function of
+        # the value, so the exact pattern histogram is a tiny
+        # re-aggregation of vh's <= card_limit rows per attribute
+        # (sum of value counts per pattern; min-example over distinct
+        # values == min over all rows).  This drops those columns from
+        # the light-pattern melt entirely — one fewer full scan +
+        # 19M-row pattern mapping per such attribute at bench scale,
+        # and a whole parquet column decode saved at 10^12 rows.
+        if need_vh:
+            derive_names = set(low_card) - heavy
+        light_attrs = [
+            a for a in attrs if a.name not in heavy and a.name not in derive_names
+        ]
         heavy_attrs = [a for a in attrs if a.name in heavy]
         if light_attrs:
             # exact histogram over a column-pruned melt: group count
@@ -1255,6 +1270,21 @@ def _profile_flat_approx_v2(
         mats = {k: _materialize(f, len(attrs)) for k, f in mats.items()}
     lp, heavy_pat, vh = mats.get("lp"), mats.get("hv"), mats.get("vh")
     pat_frames = [f for f in (lp, heavy_pat) if f is not None]
+    if vh is not None and derive_names:
+        # exact pattern histogram for vh-covered attributes, derived
+        # from the materialized value histogram (tiny; no extra scan)
+        derive_attrs = [a for a in attrs if a.name in derive_names]
+        pat_frames.append(
+            vh.filter(F.col("attribute").isin(sorted(derive_names)))
+            .withColumn(
+                "data_pattern", finish_pattern(_pattern_expr(derive_attrs, plen))
+            )
+            .groupBy("attribute", "data_pattern")
+            .agg(
+                F.sum("rec_count").alias("rec_count"),
+                F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
+            )
+        )
     if pat_frames:
         pat = pat_frames[0]
         for p in pat_frames[1:]:

@@ -43,7 +43,15 @@ def main() -> None:
         print(f"[phase] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return out
 
-    df = spark.read.parquet(path)
+    if path.startswith("table:"):
+        # Re-attach the bucketed table's CLUSTERED BY metadata in this
+        # fresh process (the catalog is per-session).
+        from bench import prepare_transcripts_bucketed
+
+        n_convs = int(path.split("_b")[-1].split("_")[0])
+        df = spark.table(prepare_transcripts_bucketed(spark, n_convs)[len("table:"):])
+    else:
+        df = spark.read.parquet(path)
     n = phase("count", lambda: df.count())
 
     prof_df = df.drop("part")
