@@ -42,6 +42,7 @@ Scale design notes:
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 import sys
 import time
@@ -60,6 +61,7 @@ from ..plans.schema_walk import (
     KIND_BOOLEAN,
     KIND_NUMERIC,
     KIND_STRING,
+    KIND_TEMPORAL,
     AttrInfo,
     walk_schema,
 )
@@ -231,34 +233,209 @@ def melt(df: DataFrame, attrs: list[AttrInfo]) -> DataFrame:
 # (sign + 38-digit decimal + point headroom) lose nothing.
 _SLIM_VALUE_CAP = 48
 
+# Finished-pattern template for temporal renderings: every character
+# of a timestamp/date string form is a digit (-> '9' after the final
+# '0'->'9' fix-up) or a literal separator, so the FINISHED pattern is a
+# pure function of the rendered LENGTH — a prefix of this template.
+_TS_TEMPLATE = "9999-99-99 99:99:99.999999"
 
-def melt_slim(df: DataFrame, attrs: list[AttrInfo]) -> DataFrame:
-    """One scan -> (attribute, value[:48], len, vhash, uni) rows.
+# Fast-path validity bounds: the arithmetic rendered-length rule holds
+# while the (session-timezone-adjusted) year has exactly 4 digits.  A
+# 2-day margin inside [0001-01-01, 9999-12-31] covers any timezone
+# offset, so rows between these literals render with a 4-digit year in
+# EVERY session timezone; rows outside fall back to formatting (and the
+# filters on the native column are parquet-stats prunable).
+_TS_LO = _dt.datetime(1, 1, 3)
+_TS_HI = _dt.datetime(9999, 12, 29)
+_DATE_LO = _dt.date(1, 1, 3)
+_DATE_HI = _dt.date(9999, 12, 29)
 
-    The approx pass-1 aggregate never needs long value bytes row-wise:
-    distinctness reduces to ``xxhash64`` of the full value (identical
-    HLL estimate — approx_count_distinct hashes its input anyway, and
-    64-bit collisions are ~n²/2⁻⁶⁴), the non-ASCII probe reduces to a
-    precomputed bit, and everything else is gated to short values.
-    Truncating here keeps free-text bytes out of the inline/explode
-    copies and the aggregate's memory traffic — the scan's full-value
-    work (hash + length probe) happens once per row, pre-melt (the
-    shared :func:`_melt_base` projection guarantees once)."""
-    base, vals, lens = _melt_base(df, attrs)
+# Max decimal digits of each integral Spark type (for the digit-count
+# comparison ladder).
+_INT_MAX_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
+
+
+def _is_fast_temporal(a: AttrInfo) -> bool:
+    """Temporal attributes whose rendered length is computable without
+    formatting (TimestampType / DateType; NTZ lacks ``unix_micros``)."""
+    return a.kind == KIND_TEMPORAL and a.given_type in ("timestamp", "date")
+
+
+def _temporal_bounds(a: AttrInfo) -> tuple:
+    return (_DATE_LO, _DATE_HI) if a.given_type == "date" else (_TS_LO, _TS_HI)
+
+
+def _temporal_len_arith(a: AttrInfo) -> Column:
+    """Rendered string length of an in-range temporal value, from the
+    native micros/days — no datetime->string format.  TimestampType
+    renders ``yyyy-MM-dd HH:mm:ss[.SSSSSS]`` with the fraction trimmed
+    of trailing zeros (19 or 21..26 chars; timezone offsets are whole
+    seconds in the tz database, so the fraction — hence the length —
+    is session-timezone independent); DateType renders 10 chars."""
+    if a.given_type == "date":
+        return F.lit(10)
+    frac = F.pmod(F.unix_micros(F.col(a.name)), F.lit(1_000_000))
+    tz = (
+        F.when(F.pmod(frac, 100_000) == 0, 5)
+        .when(F.pmod(frac, 10_000) == 0, 4)
+        .when(F.pmod(frac, 1_000) == 0, 3)
+        .when(F.pmod(frac, 100) == 0, 2)
+        .when(F.pmod(frac, 10) == 0, 1)
+        .otherwise(0)
+    )
+    return F.when(frac == 0, F.lit(19)).otherwise(F.lit(26) - tz)
+
+
+def _int_len_expr(c: Column, max_digits: int) -> Column:
+    """Length of an integral value's decimal rendering (digit count +
+    sign) as a comparison ladder — no string form, and no ``abs()``
+    (which would overflow ANSI-mode on ``Long.MIN_VALUE``)."""
+    e = F.when(c.between(-9, 9), 1)
+    for d in range(2, max_digits):
+        hi = 10**d - 1
+        e = e.when(c.between(-hi, hi), d)
+    e = e.otherwise(max_digits)
+    return (e + F.when(c < 0, 1).otherwise(0)).cast("int")
+
+
+def melt_slim(df: DataFrame, attrs: list[AttrInfo], allow_zero: bool = False) -> DataFrame:
+    """One scan -> (attribute, value, len, vhash, uni, fil, nv) rows.
+
+    The approx pass-1 aggregate needs, per row: the length of the
+    canonical string form, a 64-bit distinctness hash, a filled bit,
+    the numeric value, and the value STRING only where a downstream
+    consumer is gated on (pattern sample / numeric-looking short
+    values).  Per-kind fast paths keep string-form work off rows that
+    never consume it:
+
+    * **strings**: trim once, hash + length + 48-char value cap —
+      distinctness rides ``xxhash64`` of the full value (identical HLL
+      estimate: ``approx_count_distinct`` hashes its input anyway) and
+      the non-ASCII probe is a precomputed bit, so free-text bytes
+      never enter the explode/aggregate path;
+    * **numeric**: native hash (the decimal rendering is injective, so
+      distinct-over-hash is identical), native filled bit ``fil``
+      (NULL/zero semantics, Profile.ecl:830-844), native double value
+      ``nv`` (== ``try_cast`` of the rendering, without the render or
+      the parse), and the string form only on the 1/16
+      pattern-cardinality sample; integral types also take a
+      comparison-ladder digit count instead of rendering for length;
+    * **boolean**: constant length 1, hash of ``coalesce(c, false)``
+      (the canonical form maps NULL -> 'false'), no string at all;
+    * **timestamp/date**: arithmetic rendered-length from the native
+      value (:func:`_temporal_len_arith`), native hash (injective
+      rendering), and NO string form while the year has 4 digits (any
+      session timezone — out-of-range rows, none in practice, fall
+      back to formatting).  The type-flag ladder is provably ``AS_IS``
+      for any temporal rendering (every numeric rule rejects '-'/':'),
+      so the flag/parse consumers never need the string either.
+
+    ``fil`` is the filled bit for kinds whose filled test needs the
+    native value; NULL for kinds where filled == (len > 0).  ``nv`` is
+    the numeric value for KIND_NUMERIC rows, already filled-gated."""
+    proj: list[Column] = []
+    per_attr: list[dict] = []
+    for i, a in enumerate(attrs):
+        c = F.col(a.name)
+        p: dict = {"attr": a}
+        if a.kind == KIND_NUMERIC:
+            filled_nat = (
+                c.isNotNull()
+                if allow_zero
+                else (c.isNotNull() & (c.cast("double") != 0))
+            )
+            # carry the native column through (free — a reference, not
+            # a computation): the struct stage casts it lazily (nv when
+            # filled, string form only on the 1/16 sample)
+            proj.append(c.alias(f"_c{i}"))
+            proj.append(F.xxhash64(c).alias(f"_h{i}"))
+            proj.append(filled_nat.cast("int").alias(f"_f{i}"))
+            if a.given_type in _INT_MAX_DIGITS:
+                proj.append(
+                    F.when(c.isNull(), 0)
+                    .otherwise(_int_len_expr(c, _INT_MAX_DIGITS[a.given_type]))
+                    .alias(f"_l{i}")
+                )
+            else:
+                # float/double/decimal: rendering length has no cheap
+                # arithmetic form — keep the string for length only
+                proj.append(_value_expr(a).alias(f"_v{i}"))
+                p["float_form"] = True
+        elif a.kind == KIND_BOOLEAN:
+            proj.append(F.xxhash64(F.coalesce(c, F.lit(False))).alias(f"_h{i}"))
+        elif _is_fast_temporal(a):
+            lo, hi = _temporal_bounds(a)
+            in_range = c.between(F.lit(lo), F.lit(hi))
+            proj.append(c.alias(f"_c{i}"))
+            proj.append(in_range.alias(f"_r{i}"))
+            proj.append(
+                F.when(c.isNull(), 0)
+                .when(in_range, _temporal_len_arith(a))
+                .otherwise(F.length(c.cast("string")))
+                .cast("int")
+                .alias(f"_l{i}")
+            )
+            proj.append(F.xxhash64(c).alias(f"_h{i}"))
+        else:
+            # strings, arrays, binary, non-fast temporal: generic
+            # string-form path (projected ONCE — the generator gets no
+            # subexpression elimination)
+            proj.append(_value_expr(a).alias(f"_v{i}"))
+            if a.kind in (KIND_ARRAY, KIND_BINARY):
+                proj.append(_len_expr(a).cast("int").alias(f"_l{i}"))
+        per_attr.append(p)
+    base = df.select(*proj)
+
+    null_s = F.lit(None).cast("string")
+    null_i = F.lit(None).cast("int")
+    null_d = F.lit(None).cast("double")
     structs = []
-    for a, v, ln in zip(attrs, vals, lens):
+    for i, p in enumerate(per_attr):
+        a = p["attr"]
+        if a.kind == KIND_NUMERIC:
+            cn = F.col(f"_c{i}")
+            h = F.col(f"_h{i}")
+            fil = F.col(f"_f{i}")
+            nv = F.when(fil == 1, cn.cast("double"))
+            if p.get("float_form"):
+                v = F.col(f"_v{i}")
+                value = F.when(F.pmod(h, F.lit(16)) == 0, v)
+                ln = F.length(v).cast("int")
+            else:
+                # string form only on the pattern-cardinality sample
+                # (same predicate as pass-1's `sampled` gate on vhash)
+                value = F.when(F.pmod(h, F.lit(16)) == 0, cn.cast("string"))
+                ln = F.col(f"_l{i}")
+            s = (value, ln, h, null_i, fil, nv)
+        elif a.kind == KIND_BOOLEAN:
+            s = (null_s, F.lit(1).cast("int"), F.col(f"_h{i}"), null_i,
+                 F.lit(1).cast("int"), null_d)
+        elif _is_fast_temporal(a):
+            cn = F.col(f"_c{i}")
+            value = F.when(cn.isNotNull() & ~F.col(f"_r{i}"), cn.cast("string"))
+            s = (value, F.col(f"_l{i}"), F.col(f"_h{i}"), null_i, null_i, null_d)
+        else:
+            v = F.col(f"_v{i}")
+            if a.kind in (KIND_ARRAY, KIND_BINARY):
+                ln = F.col(f"_l{i}")
+            else:
+                ln = F.length(v).cast("int")
+            uni = (
+                (F.octet_length(v) != ln).cast("int")
+                if a.kind == KIND_STRING
+                else null_i
+            )
+            s = (F.substring(v, 1, _SLIM_VALUE_CAP), ln, F.xxhash64(v), uni,
+                 null_i, null_d)
         structs.append(
             F.struct(
                 F.lit(a.name).alias("attribute"),
-                F.substring(v, 1, _SLIM_VALUE_CAP).alias("value"),
-                ln.alias("len"),
-                F.xxhash64(v).alias("vhash"),
-                (
-                    # len already holds length(v) for strings
-                    (F.octet_length(v) != ln).cast("int")
-                    if a.kind == KIND_STRING
-                    else F.lit(None).cast("int")
-                ).alias("uni"),
+                s[0].alias("value"),
+                s[1].alias("len"),
+                s[2].alias("vhash"),
+                s[3].alias("uni"),
+                s[4].alias("fil"),
+                s[5].alias("nv"),
             )
         )
     return base.select(F.inline(F.array(*structs)))
@@ -839,6 +1016,146 @@ def _profile_flat_approx(
     return _profile_flat_approx_v2(df, attrs, params, name_prefix, sort_prefix)
 
 
+def _lowcard_value_hist(
+    df: DataFrame, attrs: list[AttrInfo], allow_zero: bool
+) -> DataFrame:
+    """``(attribute, value, rec_count)`` histogram for low-cardinality
+    attributes — a union of per-attribute direct aggregations instead
+    of one melted scan.  Each branch is a column-pruned scan feeding a
+    ``groupBy`` on the NATIVE value; numeric/boolean/temporal render
+    their canonical string form AFTER the aggregate (over the bounded
+    distinct rows), so the per-row cast the melt paid is gone, and the
+    union's branches schedule as concurrent stages of one job.  Output
+    is identical to the melted version: value = the attribute's
+    canonical (trimmed) string form, filled rows only
+    (Profile.ecl:830-844 semantics per kind)."""
+    cnt = F.count(F.lit(1)).alias("rec_count")
+    branches = []
+    for a in attrs:
+        c = F.col(a.name)
+        alit = F.lit(a.name).alias("attribute")
+        if a.kind == KIND_NUMERIC:
+            filt = (
+                c.isNotNull()
+                if allow_zero
+                else (c.isNotNull() & (c.cast("double") != 0))
+            )
+            b = (
+                df.filter(filt)
+                .groupBy(c.alias("_nat"))
+                .agg(cnt)
+                .select(alit, F.col("_nat").cast("string").alias("value"), "rec_count")
+            )
+        elif a.kind == KIND_BOOLEAN:
+            # canonical form maps NULL -> 'false'; always filled
+            b = (
+                df.groupBy(F.coalesce(c, F.lit(False)).alias("_nat"))
+                .agg(cnt)
+                .select(
+                    alit,
+                    F.when(F.col("_nat"), "true").otherwise("false").alias("value"),
+                    "rec_count",
+                )
+            )
+        elif a.kind == KIND_TEMPORAL:
+            b = (
+                df.filter(c.isNotNull())
+                .groupBy(c.alias("_nat"))
+                .agg(cnt)
+                .select(alit, F.col("_nat").cast("string").alias("value"), "rec_count")
+            )
+        else:
+            b = (
+                df.select(_value_expr(a).alias("value"), _len_expr(a).alias("_l"))
+                .filter(F.col("_l") > 0)
+                .groupBy("value")
+                .agg(cnt)
+                .select(alit, "value", "rec_count")
+            )
+        branches.append(b)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _light_pattern_hist(
+    df: DataFrame, attrs: list[AttrInfo], allow_zero: bool, plen: int
+) -> DataFrame:
+    """``(attribute, data_pattern, rec_count, example)`` exact pattern
+    histogram for bounded-pattern-space attributes — per-attribute
+    direct branches instead of one melted scan (same shuffle volume,
+    no Generate copy of every row, column-pruned scans per branch).
+
+    Timestamp/date attributes take an arithmetic fast path: the
+    finished pattern of a temporal rendering is a pure function of its
+    LENGTH (every char is a digit -> '9' or a literal separator), so
+    the branch aggregates on :func:`_temporal_len_arith` — no per-row
+    formatting or pattern mapping — derives the pattern from the
+    template, and renders the example from ``min(native)`` per group
+    (within one rendered length, ISO strings order chronologically, so
+    ``min(render) == render(min)``).  Rows outside the 4-digit-year
+    range take a formatted fallback branch whose native-column filter
+    is parquet-stats prunable (zero scan cost in practice)."""
+    cnt = F.count(F.lit(1)).alias("rec_count")
+    branches = []
+    for a in attrs:
+        c = F.col(a.name)
+        alit = F.lit(a.name).alias("attribute")
+        if _is_fast_temporal(a):
+            lo, hi = _temporal_bounds(a)
+            in_range = c.between(F.lit(lo), F.lit(hi))
+            branches.append(
+                df.filter(c.isNotNull() & in_range)
+                .groupBy(_temporal_len_arith(a).cast("int").alias("_l"))
+                .agg(cnt, F.min(c).alias("_m"))
+                .select(
+                    alit,
+                    F.substring(
+                        F.lit(_TS_TEMPLATE), F.lit(1), F.col("_l")
+                    ).alias("data_pattern"),
+                    "rec_count",
+                    F.substring(F.col("_m").cast("string"), 1, plen).alias("example"),
+                )
+            )
+            src = df.filter(c.isNotNull() & ~in_range).select(
+                _value_expr(a).alias("value")
+            )
+        elif a.kind == KIND_NUMERIC:
+            filt = (
+                c.isNotNull()
+                if allow_zero
+                else (c.isNotNull() & (c.cast("double") != 0))
+            )
+            src = df.filter(filt).select(_value_expr(a).alias("value"))
+        elif a.kind == KIND_BOOLEAN:
+            src = df.select(_value_expr(a).alias("value"))
+        else:
+            src = df.select(
+                _value_expr(a).alias("value"), _len_expr(a).alias("_l")
+            ).filter(F.col("_l") > 0)
+        # per-kind pattern source mirrors _pattern_expr's dispatch
+        if a.kind == KIND_BOOLEAN:
+            pat = F.lit("B")
+        elif a.kind == KIND_NUMERIC:
+            pat = map_pattern(F.col("value"))
+        else:
+            pat = map_pattern(F.substring(F.col("value"), 1, plen))
+        branches.append(
+            src.select(
+                finish_pattern(pat).alias("data_pattern"),
+                F.substring(F.col("value"), 1, plen).alias("example"),
+            )
+            .groupBy("data_pattern")
+            .agg(cnt, F.min("example").alias("example"))
+            .select(alit, "data_pattern", "rec_count", "example")
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def _heavy_pattern_candidates(
     df: DataFrame,
     heavy_attrs: list[AttrInfo],
@@ -1017,8 +1334,11 @@ def _profile_flat_approx_v2(
     # NOTE: a "one wide aggregate over the unmelted frame" variant was
     # A/B-tested in round 1 and is 11-14x SLOWER (drops out of
     # whole-stage codegen); the melt keeps row-shaping in codegen.
-    m1 = melt_slim(df, attrs).withColumn(
-        "filled", _filled_expr(attrs, params.allow_zero)
+    # Per-kind filled/value/hash work happens inside melt_slim's fast
+    # paths (the `fil` bit carries numeric/boolean filled semantics).
+    tfast = [a.name for a in attrs if _is_fast_temporal(a)]
+    m1 = melt_slim(df, attrs, params.allow_zero).withColumn(
+        "filled", F.coalesce(F.col("fil") == 1, F.col("len") > 0)
     )
     if need_pat_feature:
         # pattern-cardinality estimate from a 1/16 deterministic hash
@@ -1029,10 +1349,20 @@ def _profile_flat_approx_v2(
         # histogram is the right plan anyway and misclassification only
         # picks the other (still correct) path.  Sampling keeps the
         # pattern mapping off 15/16 of the pass-1 rows (measured ~11s
-        # of pass-1 wall at local[16] on 19M turns).
+        # of pass-1 wall at local[16] on 19M turns).  Fast-temporal
+        # attributes (value is NULL in the slim melt) estimate from the
+        # length-template FINISHED pattern — what the follow-up
+        # histogram actually groups on, and a tiny space by
+        # construction, so they always classify light.
         sampled = F.pmod(F.col("vhash"), F.lit(16)) == 0
+        pat_sample = _pattern_expr(attrs, plen)
+        if tfast:
+            pat_sample = F.when(
+                att.isin(tfast) & F.col("value").isNull(),
+                F.substring(F.lit(_TS_TEMPLATE), F.lit(1), F.col("len")),
+            ).otherwise(pat_sample)
         m1 = m1.withColumn(
-            "_pat_s", F.when(filled & short & sampled, _pattern_expr(attrs, plen))
+            "_pat_s", F.when(filled & short & sampled, pat_sample)
         )
     if params.need_flags:
         # flag-ladder pattern, gated to numeric-looking short values
@@ -1047,19 +1377,24 @@ def _profile_flat_approx_v2(
         )
         m1 = m1.withColumn("_pat_f", F.when(gate, _pattern_expr(attrs, plen)))
     if params.need_numeric:
-        # len guard: no numeric-flaggable value exceeds ~33 chars, so
-        # long text never pays a parse attempt.  First-char gate: a
-        # castable value must start [0-9+-.] (ECL's numeric lattice
-        # admits nothing else — "NaN"/"Infinity" are not best-type
-        # numeric, Profile.ecl:908-935), and the gate keeps the JVM
+        # Given-numeric attributes carry their value natively (`nv`,
+        # already filled-gated — identical to try_cast of the decimal
+        # rendering, without the render or the parse).  For everything
+        # else: len guard — no numeric-flaggable value exceeds ~33
+        # chars, so long text never pays a parse attempt; first-char
+        # gate — a castable value must start [0-9+-.] (ECL's numeric
+        # lattice admits nothing else — "NaN"/"Infinity" are not
+        # best-type numeric, Profile.ecl:908-935), keeping the JVM
         # double-parse off every non-numeric token (measured ~15s of
-        # pass-1 wall at local[16] on 19M turns — the single largest
-        # pass-1 term).
+        # pass-1 wall at local[16] on 19M turns).
         m1 = m1.withColumn(
             "v",
-            F.when(
-                filled & short & F.col("value").rlike("^[0-9+\\-.]"),
-                F.expr("try_cast(value AS double)"),
+            F.coalesce(
+                F.col("nv"),
+                F.when(
+                    filled & short & F.col("value").rlike("^[0-9+\\-.]"),
+                    F.expr("try_cast(value AS double)"),
+                ),
             ),
         )
     agg_exprs = [
@@ -1216,21 +1551,11 @@ def _profile_flat_approx_v2(
         ]
         heavy_attrs = [a for a in attrs if a.name in heavy]
         if light_attrs:
-            # exact histogram over a column-pruned melt: group count
-            # bounded by approx_pattern_limit per attribute
-            lp = (
-                melt(df, light_attrs)
-                .withColumn("filled", _filled_expr(light_attrs, params.allow_zero))
-                .filter(F.col("filled"))
-                .withColumn(
-                    "data_pattern", finish_pattern(_pattern_expr(light_attrs, plen))
-                )
-                .groupBy("attribute", "data_pattern")
-                .agg(
-                    F.count(F.lit(1)).alias("rec_count"),
-                    F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
-                )
-            )
+            # exact histogram via per-attribute direct branches: group
+            # count bounded by approx_pattern_limit per attribute;
+            # temporal attrs aggregate on arithmetic rendered-length
+            # (no per-row format/pattern work at all)
+            lp = _light_pattern_hist(df, light_attrs, params.allow_zero, plen)
         if heavy_attrs:
             heavy_pat = _heavy_pattern_candidates(
                 df, heavy_attrs, params, plen, total_rows
@@ -1239,16 +1564,11 @@ def _profile_flat_approx_v2(
     # ---- low-card value histogram: modes + cardinality breakdown ----
     vh = None
     if need_vh and low_card:
-        # dedicated melt of ONLY the low-card attributes: reads just
-        # those columns (parquet column pruning), no pattern/flag work
+        # per-attribute direct value histograms (column-pruned scans,
+        # native groupBy, post-agg rendering — no melt, no per-row
+        # casts), unioned into one frame
         lc_attrs = [a for a in attrs if a.name in set(low_card)]
-        vh = (
-            melt(df, lc_attrs)
-            .withColumn("filled", _filled_expr(lc_attrs, params.allow_zero))
-            .filter(F.col("filled"))
-            .groupBy("attribute", "value")
-            .agg(F.count(F.lit(1)).alias("rec_count"))
-        )
+        vh = _lowcard_value_hist(df, lc_attrs, params.allow_zero)
 
     # Materialize the (at most three) bounded follow-up passes
     # CONCURRENTLY as separate jobs: the light-attr pattern histogram,
