@@ -33,18 +33,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # transcript conversations for the flagship run (~1.3M turns at 65k)
 N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "65000"))
-# The --scaling evidence run uses a larger input (~5M turns) so the
+# The --scaling evidence run uses a larger input (~38.5M turns) so the
 # parallel fraction dominates the fixed planning/codegen/JIT cost —
-# the sandbox stand-in for the N vs 4N executor measurement.  (~5M
-# keeps the slow local[N] leg around 10-15 min; raise via env for a
-# longer-amortized run.)
-SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "1000000"))
-# N and 4N core counts.  local[4] vs local[16] by default: a
-# pure-compute calibration (BASELINE.md) shows this Firecracker host
-# scales 4->16 at ~1.0 efficiency but throttles above ~16 busy vCPUs
-# (8->32 tops out at ~0.70 even for a codegen'd hash loop), so 8/32
-# would measure the host, not the engine.
-SCALE_PAIR = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "4,16").split(",")
+# the sandbox stand-in for the N vs 4N executor measurement.
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "2000000"))
+# N and 4N core counts.  local[2] vs local[8] by default: in-session
+# calibration (BASELINE.md) shows this Firecracker host's memory
+# bandwidth saturates at ~4-6 concurrent streams (pure-stream 4->16
+# scaling ceiling 0.15, pure-ALU 0.93), so any pair whose 4N leg sits
+# above the knee measures the host's single memory controller, not the
+# engine — a real N->4N executor fleet multiplies controllers with
+# executors.  2/8 stays mostly below the knee; 4/16 is reported
+# alongside in BASELINE.md with the calibration.
+SCALE_PAIR = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8").split(",")
 
 
 def _sf_from_dir(d: str) -> float:
