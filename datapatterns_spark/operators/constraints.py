@@ -210,9 +210,12 @@ def run_checks(
 
     Scale shape: ALL row checks share ONE narrow pass whose explode
     fans out only failing rows; ALL stat checks (Benford, PSI, KS)
-    share ONE zero-fan-out ``groupBy(partition)`` of per-bucket
-    conditional counters (the chi²/PSI/KS math then runs driver-side
-    on n_partitions x n_buckets ints).  Group checks
+    share ONE job — checks on the same column share a
+    ``groupBy(partition, bucket-ids...)`` whose group count is bounded
+    by min(prod(bins), column cardinality), normalized to
+    (partition, check, bucket, cnt) by a post-agg melt over the
+    bounded rows (the chi²/PSI/KS math then runs driver-side on
+    n_partitions x n_buckets ints).  Group checks
     share ONE exchange+sort on the group key over a slim projection —
     a uniqueness check on ``(g, o)`` is rewritten as lag/lead equality
     over ``Window.partitionBy(g).orderBy(o)`` whenever a monotonic
@@ -268,20 +271,19 @@ def run_checks(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
-    # ---- stat pass: wide conditional aggregation, ZERO fan-out ----
+    # ---- stat pass: bounded multi-key aggregation, ZERO fan-out ----
     # Benford / PSI / KS need per-(partition, check, bucket) counts.  A
-    # melt/explode formulation emits one row per (row x stat check) —
-    # at 10^12 rows that triples the pass and shuffles string-keyed
-    # groups.  Bucket spaces are small and known at plan time, so the
-    # counts become ONE ``groupBy(partition)`` with a conditional
-    # counter per bucket: all codegen, partial-agg collapses each task
-    # to n_partitions rows, and the result is n_partitions x ~100 ints.
+    # per-INPUT-row melt/explode formulation emits one row per
+    # (row x stat check) — at 10^12 rows that triples the pass and
+    # shuffles string-keyed groups.  A wide conditional-counter agg
+    # evaluates a CASE-WHEN per (row x bucket) — measured 7.25s vs
+    # 0.87s for 105 buckets over 38.5M rows at local[16].  Instead the
+    # bucket IDS become groupBy keys (hash-agg probes once per row per
+    # column group), bounded as described in the docstring.
     dtypes = dict(df.dtypes)
     stat_agg = None
-    stat_buckets: list[tuple[str, int]] = []  # (check_name, bucket) per counter
     if stat_checks:
         bucket_cols: list[Column] = []
-        counters: list[Column] = []
         for i, c in enumerate(stat_checks):
             p = c.params
             if p["op"] == "benford":
@@ -292,7 +294,6 @@ def run_checks(
                     integral=dtypes.get(p["col"]) in INTEGRAL_TYPES,
                 )
                 cond = b.isNotNull() & (b != 10)
-                nbuckets = 10
             else:
                 nbuckets = int(p["bins"])
                 if p.get("categorical"):
@@ -301,14 +302,54 @@ def run_checks(
                     b = _bin_expr(p["col"], nbuckets, float(p["lo"]), float(p["hi"]))
                 cond = F.col(p["col"]).isNotNull()
             bucket_cols.append(F.when(cond, b.cast("int")).alias(f"_b{i}"))
-            for bb in range(nbuckets):
-                counters.append(
-                    F.count(F.when(F.col(f"_b{i}") == bb, 1)).alias(f"_c{i}_{bb}")
+        # Group the checks BY SOURCE COLUMN: checks sharing a column
+        # ride ONE groupBy(partition, b_i, b_j, ...) whose distinct
+        # combo count is bounded by min(prod(bins), column cardinality)
+        # — tiny either way (bucket ids are clamped by construction; a
+        # NULL id means "not counted").  A single groupBy ACROSS
+        # columns would cross-multiply independent bucket spaces, and
+        # the previous wide conditional-counter shape paid a CASE-WHEN
+        # per (row x bucket): measured 7.25s vs 0.87s for 105 buckets
+        # over 38.5M rows at local[16].  Each column group's bounded
+        # result is melted (tiny — runs over the aggregated rows, not
+        # the input) to (partition, check_idx, bucket, cnt) and
+        # unioned, so the whole stat pass stays ONE job with one
+        # column-pruned scan per distinct checked column.
+        by_col: dict[str, list[int]] = {}
+        for i, c in enumerate(stat_checks):
+            by_col.setdefault(c.params["col"], []).append(i)
+        norm_frames: list[DataFrame] = []
+        for _col, idxs in by_col.items():
+            g = (
+                df.select(part, *[bucket_cols[i] for i in idxs])
+                .groupBy("partition", *[f"_b{i}" for i in idxs])
+                .agg(F.count(F.lit(1)).alias("_n"))
+            )
+            melts = [
+                F.when(
+                    F.col(f"_b{i}").isNotNull(),
+                    F.struct(
+                        F.lit(i).alias("ci"), F.col(f"_b{i}").alias("bb")
+                    ),
                 )
-                stat_buckets.append((c.name, bb))
-        stat_agg = (
-            df.select(part, *bucket_cols).groupBy("partition").agg(*counters)
-        )
+                for i in idxs
+            ]
+            norm_frames.append(
+                g.select(
+                    "partition",
+                    F.explode(F.array_compact(F.array(*melts))).alias("_e"),
+                    "_n",
+                )
+                .groupBy(
+                    "partition",
+                    F.col("_e.ci").alias("ci"),
+                    F.col("_e.bb").alias("bb"),
+                )
+                .agg(F.sum("_n").alias("cnt"))
+            )
+        stat_agg = norm_frames[0]
+        for f_ in norm_frames[1:]:
+            stat_agg = stat_agg.unionByName(f_)
 
     # ---- group checks: shared shuffle on the group key ----
     group_fail_structs: list[Column] = []
@@ -509,14 +550,14 @@ def run_checks(
                 sv = list(r["sample_violations"]) if r is not None else []
                 verdict_rows.append((prt, name, vc == 0, vc, None, sv))
 
-    # ---- stat verdicts from the wide counter rows ----
+    # ---- stat verdicts from the normalized bin-count rows ----
     if stat_checks:
         counts: dict[str, dict[str, dict[int, int]]] = {}
         for r in stat_rows:
-            prt = r["partition"]
-            for (cname, bb), cnt in zip(stat_buckets, list(r)[1:]):
-                if cnt:
-                    counts.setdefault(cname, {}).setdefault(prt, {})[bb] = int(cnt)
+            cname = stat_checks[int(r["ci"])].name
+            counts.setdefault(cname, {}).setdefault(r["partition"], {})[
+                int(r["bb"])
+            ] = int(r["cnt"])
         for c in stat_checks:
             verdict_rows.extend(_stat_verdict_rows(counts.get(c.name, {}), c))
 
