@@ -58,6 +58,25 @@ def finish_pattern(col: Column) -> Column:
     return F.replace(col, F.lit("0"), F.lit("9"))
 
 
+_ASCII_FROM_FIN = _ASCII_FROM + "0"
+_ASCII_TO_FIN = _ASCII_TO + "9"
+
+
+def map_pattern_finished(col: Column) -> Column:
+    """``finish_pattern(map_pattern(col))`` fused into ONE translate
+    (digits 0-9 all -> '9'): the pattern-histogram hot paths pay one
+    string copy per row instead of translate + replace.  The type-flag
+    ladder keeps :func:`map_pattern`'s literal '0' (leading-zero
+    rule)."""
+    ascii_mapped = F.translate(col, _ASCII_FROM_FIN, _ASCII_TO_FIN)
+    uni_mapped = F.regexp_replace(
+        F.regexp_replace(ascii_mapped, _UPPER_RE, "A"), _LOWER_RE, "a"
+    )
+    return F.when(F.octet_length(col) == F.length(col), ascii_mapped).otherwise(
+        uni_mapped
+    )
+
+
 def is_non_ascii(col: Column) -> Column:
     """True when the value contains a non-ASCII character — the Spark
     stand-in for the reference's IsUTF8 multi-byte scan.  UTF-8 encodes

@@ -53,7 +53,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import besttype
-from ..functions.patterns import finish_pattern, is_non_ascii, map_pattern
+from ..functions.patterns import (
+    finish_pattern,
+    is_non_ascii,
+    map_pattern,
+    map_pattern_finished,
+)
 from ..plans.local import lit_df
 from ..plans.schema_walk import (
     KIND_ARRAY,
@@ -472,6 +477,21 @@ def _pattern_expr(attrs: list[AttrInfo], plen: int) -> Column:
     if numeric:
         expr = expr.when(att.isin(numeric), map_pattern(val))
     return expr.otherwise(map_pattern(F.substring(val, 1, plen)))
+
+
+def _pattern_expr_finished(attrs: list[AttrInfo], plen: int) -> Column:
+    """:func:`_pattern_expr` with the '0'->'9' fix-up fused into the
+    translate table — for the pattern-HISTOGRAM paths, which only ever
+    consume the finished pattern (one string copy per row saved)."""
+    numeric = [a.name for a in attrs if a.kind == KIND_NUMERIC]
+    booleans = [a.name for a in attrs if a.kind == KIND_BOOLEAN]
+    att, val = F.col("attribute"), F.col("value")
+    expr = F.when(F.lit(False), F.lit(""))
+    if booleans:
+        expr = expr.when(att.isin(booleans), F.lit("B"))
+    if numeric:
+        expr = expr.when(att.isin(numeric), map_pattern_finished(val))
+    return expr.otherwise(map_pattern_finished(F.substring(val, 1, plen)))
 
 
 def _deterministic_sample(df: DataFrame, pct: int) -> DataFrame:
@@ -1134,16 +1154,17 @@ def _light_pattern_hist(
             src = df.select(
                 _value_expr(a).alias("value"), _len_expr(a).alias("_l")
             ).filter(F.col("_l") > 0)
-        # per-kind pattern source mirrors _pattern_expr's dispatch
+        # per-kind pattern source mirrors _pattern_expr's dispatch,
+        # with the '0'->'9' fix-up fused into the translate table
         if a.kind == KIND_BOOLEAN:
             pat = F.lit("B")
         elif a.kind == KIND_NUMERIC:
-            pat = map_pattern(F.col("value"))
+            pat = map_pattern_finished(F.col("value"))
         else:
-            pat = map_pattern(F.substring(F.col("value"), 1, plen))
+            pat = map_pattern_finished(F.substring(F.col("value"), 1, plen))
         branches.append(
             src.select(
-                finish_pattern(pat).alias("data_pattern"),
+                pat.alias("data_pattern"),
                 F.substring(F.col("value"), 1, plen).alias("example"),
             )
             .groupBy("data_pattern")
@@ -1224,7 +1245,7 @@ def _heavy_pattern_candidates(
         .filter(F.rand(42) < 1.0 / s_mod)
         .select(
             "attribute",
-            F.xxhash64(finish_pattern(_pattern_expr(heavy_attrs, plen))).alias("ph"),
+            F.xxhash64(_pattern_expr_finished(heavy_attrs, plen)).alias("ph"),
         )
         .groupBy("attribute", "ph")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1261,7 +1282,7 @@ def _heavy_pattern_candidates(
         src()
         .select(
             "attribute",
-            finish_pattern(_pattern_expr(heavy_attrs, plen)).alias("data_pattern"),
+            _pattern_expr_finished(heavy_attrs, plen).alias("data_pattern"),
             F.substring(F.col("value"), 1, plen).alias("example"),
         )
         .withColumn("ph", F.xxhash64("data_pattern"))

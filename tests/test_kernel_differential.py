@@ -15,7 +15,11 @@ import unicodedata
 from pyspark.sql import functions as F
 
 from datapatterns_spark.functions.benford_digit import nth_digit
-from datapatterns_spark.functions.patterns import finish_pattern, map_pattern
+from datapatterns_spark.functions.patterns import (
+    finish_pattern,
+    map_pattern,
+    map_pattern_finished,
+)
 
 _ALPHABET = (
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
@@ -85,6 +89,19 @@ def test_pattern_palette_differential(spark):
     }
     for s in got:
         assert got[s] == _py_pattern(s), f"pattern mismatch for {s!r}: {got[s]!r} != {_py_pattern(s)!r}"
+
+
+def test_pattern_finished_fusion(spark):
+    """map_pattern_finished (one fused translate, hot-path kernel)
+    must equal finish_pattern(map_pattern(...)) on the random corpus."""
+    rows = [(s,) for s in _corpus()]
+    df = spark.createDataFrame(rows, "s string")
+    bad = df.select(
+        "s",
+        finish_pattern(map_pattern(F.col("s"))).alias("two_step"),
+        map_pattern_finished(F.col("s")).alias("fused"),
+    ).filter(F.col("two_step") != F.col("fused"))
+    assert bad.count() == 0, bad.limit(5).collect()
 
 
 def test_nth_digit_differential(spark):
