@@ -304,7 +304,7 @@ def _int_len_expr(c: Column, max_digits: int) -> Column:
 
 
 def melt_slim(df: DataFrame, attrs: list[AttrInfo], allow_zero: bool = False) -> DataFrame:
-    """One scan -> (attribute, value, len, vhash, uni, fil, nv) rows.
+    """One scan -> (attribute, value, len, vhash, uni, fil) rows.
 
     The approx pass-1 aggregate needs, per row: the length of the
     canonical string form, a 64-bit distinctness hash, a filled bit,
@@ -320,11 +320,11 @@ def melt_slim(df: DataFrame, attrs: list[AttrInfo], allow_zero: bool = False) ->
       never enter the explode/aggregate path;
     * **numeric**: native hash (the decimal rendering is injective, so
       distinct-over-hash is identical), native filled bit ``fil``
-      (NULL/zero semantics, Profile.ecl:830-844), native double value
-      ``nv`` (== ``try_cast`` of the rendering, without the render or
-      the parse), and the string form only on the 1/16
-      pattern-cardinality sample; integral types also take a
-      comparison-ladder digit count instead of rendering for length;
+      (NULL/zero semantics, Profile.ecl:830-844) and the string form
+      only on the 1/16 pattern-cardinality sample; integral types also
+      take a comparison-ladder digit count instead of rendering for
+      length (given-numeric sketch stats come from a direct
+      column-pruned aggregation in the caller, not the melt);
     * **boolean**: constant length 1, hash of ``coalesce(c, false)``
       (the canonical form maps NULL -> 'false'), no string at all;
     * **timestamp/date**: arithmetic rendered-length from the native
@@ -336,8 +336,7 @@ def melt_slim(df: DataFrame, attrs: list[AttrInfo], allow_zero: bool = False) ->
       so the flag/parse consumers never need the string either.
 
     ``fil`` is the filled bit for kinds whose filled test needs the
-    native value; NULL for kinds where filled == (len > 0).  ``nv`` is
-    the numeric value for KIND_NUMERIC rows, already filled-gated."""
+    native value; NULL for kinds where filled == (len > 0)."""
     proj: list[Column] = []
     per_attr: list[dict] = []
     for i, a in enumerate(attrs):
@@ -393,7 +392,6 @@ def melt_slim(df: DataFrame, attrs: list[AttrInfo], allow_zero: bool = False) ->
 
     null_s = F.lit(None).cast("string")
     null_i = F.lit(None).cast("int")
-    null_d = F.lit(None).cast("double")
     structs = []
     for i, p in enumerate(per_attr):
         a = p["attr"]
@@ -401,7 +399,6 @@ def melt_slim(df: DataFrame, attrs: list[AttrInfo], allow_zero: bool = False) ->
             cn = F.col(f"_c{i}")
             h = F.col(f"_h{i}")
             fil = F.col(f"_f{i}")
-            nv = F.when(fil == 1, cn.cast("double"))
             if p.get("float_form"):
                 v = F.col(f"_v{i}")
                 value = F.when(F.pmod(h, F.lit(16)) == 0, v)
@@ -411,14 +408,14 @@ def melt_slim(df: DataFrame, attrs: list[AttrInfo], allow_zero: bool = False) ->
                 # (same predicate as pass-1's `sampled` gate on vhash)
                 value = F.when(F.pmod(h, F.lit(16)) == 0, cn.cast("string"))
                 ln = F.col(f"_l{i}")
-            s = (value, ln, h, null_i, fil, nv)
+            s = (value, ln, h, null_i, fil)
         elif a.kind == KIND_BOOLEAN:
             s = (null_s, F.lit(1).cast("int"), F.col(f"_h{i}"), null_i,
-                 F.lit(1).cast("int"), null_d)
+                 F.lit(1).cast("int"))
         elif _is_fast_temporal(a):
             cn = F.col(f"_c{i}")
             value = F.when(cn.isNotNull() & ~F.col(f"_r{i}"), cn.cast("string"))
-            s = (value, F.col(f"_l{i}"), F.col(f"_h{i}"), null_i, null_i, null_d)
+            s = (value, F.col(f"_l{i}"), F.col(f"_h{i}"), null_i, null_i)
         else:
             v = F.col(f"_v{i}")
             if a.kind in (KIND_ARRAY, KIND_BINARY):
@@ -431,7 +428,7 @@ def melt_slim(df: DataFrame, attrs: list[AttrInfo], allow_zero: bool = False) ->
                 else null_i
             )
             s = (F.substring(v, 1, _SLIM_VALUE_CAP), ln, F.xxhash64(v), uni,
-                 null_i, null_d)
+                 null_i)
         structs.append(
             F.struct(
                 F.lit(a.name).alias("attribute"),
@@ -440,7 +437,6 @@ def melt_slim(df: DataFrame, attrs: list[AttrInfo], allow_zero: bool = False) ->
                 s[2].alias("vhash"),
                 s[3].alias("uni"),
                 s[4].alias("fil"),
-                s[5].alias("nv"),
             )
         )
     return base.select(F.inline(F.array(*structs)))
@@ -1398,24 +1394,23 @@ def _profile_flat_approx_v2(
         )
         m1 = m1.withColumn("_pat_f", F.when(gate, _pattern_expr(attrs, plen)))
     if params.need_numeric:
-        # Given-numeric attributes carry their value natively (`nv`,
-        # already filled-gated — identical to try_cast of the decimal
-        # rendering, without the render or the parse).  For everything
-        # else: len guard — no numeric-flaggable value exceeds ~33
-        # chars, so long text never pays a parse attempt; first-char
-        # gate — a castable value must start [0-9+-.] (ECL's numeric
-        # lattice admits nothing else — "NaN"/"Infinity" are not
-        # best-type numeric, Profile.ecl:908-935), keeping the JVM
+        # These buffers serve STRING values that parse as numbers (the
+        # reference profiles numeric-content strings numerically);
+        # given-numeric attributes take the direct column-pruned
+        # aggregation below instead (their melted value is NULL except
+        # the 1/16 pattern sample, so their buffer updates here are the
+        # cheap null path).  Len guard: no numeric-flaggable value
+        # exceeds ~33 chars, so long text never pays a parse attempt.
+        # First-char gate: a castable value must start [0-9+-.] (ECL's
+        # numeric lattice admits nothing else — "NaN"/"Infinity" are
+        # not best-type numeric, Profile.ecl:908-935), keeping the JVM
         # double-parse off every non-numeric token (measured ~15s of
         # pass-1 wall at local[16] on 19M turns).
         m1 = m1.withColumn(
             "v",
-            F.coalesce(
-                F.col("nv"),
-                F.when(
-                    filled & short & F.col("value").rlike("^[0-9+\\-.]"),
-                    F.expr("try_cast(value AS double)"),
-                ),
+            F.when(
+                filled & short & F.col("value").rlike("^[0-9+\\-.]"),
+                F.expr("try_cast(value AS double)"),
             ),
         )
     agg_exprs = [
@@ -1520,6 +1515,58 @@ def _profile_flat_approx_v2(
             "numeric_upper_quartile",
         ):
             base = base.withColumn(c, F.when(F.col("is_numeric"), F.col(c)))
+    # Given-numeric attributes' sketch stats come from a DIRECT
+    # column-pruned aggregation over the native values — identical
+    # results to try_cast of the decimal rendering, but the melt's
+    # numeric aggregate buffers never see their 38M-per-column updates
+    # (measured: min/max/avg/var + percentile buffer updates were ~8s
+    # of pass-1 wall at local[16] on 38.5M turns).  One row out; runs
+    # CONCURRENTLY with pass-1's gating collect.
+    num_names: set[str] = set()
+    num_direct = None
+    if params.need_numeric:
+        num_attrs = [a for a in attrs if a.kind == KIND_NUMERIC]
+        num_names = {a.name for a in num_attrs}
+        if num_attrs:
+            naggs = []
+            for a in num_attrs:
+                c = F.col(a.name).cast("double")
+                fil_a = (
+                    F.col(a.name).isNotNull()
+                    if params.allow_zero
+                    else (F.col(a.name).isNotNull() & (c != 0))
+                )
+                nv = F.when(fil_a, c)
+                pre = a.name + "||"
+                naggs += [
+                    F.min(nv).alias(pre + "mn"),
+                    F.max(nv).alias(pre + "mx"),
+                    F.avg(nv).alias(pre + "av"),
+                    F.sqrt(F.avg(nv * nv) - F.avg(nv) * F.avg(nv)).alias(pre + "sd"),
+                    F.percentile_approx(nv, [0.25, 0.5, 0.75], 10_000).alias(
+                        pre + "q"
+                    ),
+                ]
+            # rounding in a wrapper select so Spark's ROUND semantics
+            # match the melt-side F.round exactly
+            rounded = []
+            for a in num_attrs:
+                pre = a.name + "||"
+                rounded += [
+                    F.round(F.col(f"`{pre}mn`"), 4).alias(pre + "numeric_min"),
+                    F.round(F.col(f"`{pre}mx`"), 4).alias(pre + "numeric_max"),
+                    F.round(F.col(f"`{pre}av`"), 4).alias(pre + "numeric_mean"),
+                    F.round(F.col(f"`{pre}sd`"), 4).alias(pre + "numeric_std_dev"),
+                    F.round(F.col(f"`{pre}q`")[0], 4).alias(
+                        pre + "numeric_lower_quartile"
+                    ),
+                    F.round(F.col(f"`{pre}q`")[1], 4).alias(pre + "numeric_median"),
+                    F.round(F.col(f"`{pre}q`")[2], 4).alias(
+                        pre + "numeric_upper_quartile"
+                    ),
+                ]
+            num_direct = df.agg(*naggs).select(*rounded)
+
     # ONE driver-side collect materializes the whole pass-1 result (one
     # tiny row per attribute) AND gates the follow-up passes; the rows
     # are re-embedded as a JVM-literal frame (plans.local) so every
@@ -1527,8 +1574,36 @@ def _profile_flat_approx_v2(
     # checkpoint job, no second gating collect, no Catalyst re-walk of
     # the melt subtree per consumer (each was a measured
     # parallelism-independent cost in the 4-vs-16-core flagship).
-    base_rows = base.collect()
-    base = lit_df(df.sparkSession, [tuple(r) for r in base_rows], base.schema)
+    if num_direct is not None:
+        with ThreadPoolExecutor(2) as _ex:
+            _fb = _ex.submit(base.collect)
+            _fn = _ex.submit(lambda: num_direct.collect()[0])
+            base_rows, _num_row = _fb.result(), _fn.result()
+        _stats = (
+            "numeric_min",
+            "numeric_max",
+            "numeric_mean",
+            "numeric_std_dev",
+            "numeric_lower_quartile",
+            "numeric_median",
+            "numeric_upper_quartile",
+        )
+        _idx = {n: i for i, n in enumerate(base.schema.fieldNames())}
+        patched = []
+        for r in base_rows:  # base_rows stays Rows for the
+            t = list(r)  # classification loop below
+            a = r["_local_name"]
+            # the is_numeric gate already nulled non-numeric attrs'
+            # stats; given-numeric attrs judged numeric get the direct
+            # values (identical by construction to the melt-side path)
+            if a in num_names and r["is_numeric"]:
+                for st in _stats:
+                    t[_idx[st]] = _num_row[a + "||" + st]
+            patched.append(tuple(t))
+        base = lit_df(df.sparkSession, patched, base.schema)
+    else:
+        base_rows = base.collect()
+        base = lit_df(df.sparkSession, [tuple(r) for r in base_rows], base.schema)
     _phase_mark("pass1_summary")
 
     need_vh = params.has("modes") or (
