@@ -34,7 +34,12 @@ EVENT_TYPES = ["click", "view", "purchase", "signup", "logout"]  # domain guess;
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # balance_scan: the testdata tables are single-row-group files, so a
+    # raw scan cannot split below one task; the guard is a no-op on
+    # well-laid-out (multi-file / multi-row-group) production tables.
+    from datapatterns_spark.sources.tables import balance_scan
+
+    return balance_scan(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
