@@ -226,9 +226,18 @@ def run_suite() -> dict:
     spark = build_session(CPUS)
     timings: dict[str, float] = {}
 
-    # warm the JVM/codegen with a trivial action
+    # Steady-state protocol (same rationale as the scaling legs, see
+    # run_flagship_only): every measured plan shape runs once on a
+    # DISTINCT smaller input first, so the timed region measures the
+    # engine, not this process's first-seen-shape codegen/JIT (a fixed
+    # serial cost that is zero at the 10^12-row deployment scale; at
+    # bench scale it was ~19s of a 22s flagship leg).  Distinct warm
+    # inputs (different conv count / sf dir) keep the cache manager
+    # from substituting InMemoryRelation for identical logical plans.
     spark.range(10).count()
     inp = prepare_transcripts(spark, N_CONVS)
+    warm_inp = prepare_transcripts(spark, max(8000, N_CONVS // 8))
+    flagship_profile_validate(spark, warm_inp)
 
     t0 = time.time()
     n_turns = flagship_profile_validate(spark, inp)
@@ -249,6 +258,15 @@ def run_suite() -> dict:
         "text_tokens",
     ]
     for name in headline:
+        # Warm this query's exact plan shapes (codegen/JIT/AQE are
+        # process-level, steady-state at deployment scale), then DROP
+        # every persisted intermediate the warm run registered: the
+        # cache manager would otherwise substitute InMemoryRelation
+        # for identical logical plans and the timed run would skip its
+        # own I/O + compute (NOTES_r2.md finding #4).  After the clear
+        # the timed run re-executes the full scan->shuffle->agg chain.
+        qs[name](spark, SF_DIR).collect()
+        spark.catalog.clearCache()
         t0 = time.time()
         qs[name](spark, SF_DIR).collect()
         timings[name] = round(time.time() - t0, 3)
