@@ -31,8 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-# transcript conversations for the flagship run (~1.3M turns at 65k)
-N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "65000"))
+# transcript conversations for the flagship run (~4.8M turns at 250k;
+# large enough that the scaled work dominates the per-run fixed cost,
+# so the reported turns/sec tracks the deployment-scale rate instead
+# of the JVM's job-submission overhead)
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "250000"))
 # The --scaling evidence run uses a larger input (~38.5M turns) so the
 # parallel fraction dominates the fixed planning/codegen/JIT cost —
 # the sandbox stand-in for the N vs 4N executor measurement.
@@ -282,6 +285,15 @@ def run_suite() -> dict:
         "transcript_turns": n_turns,
         "turns_per_sec": round(turns_per_sec, 1),
         "cpus": int(CPUS),
+        # NOT measured by this run — the N-vs-4N evidence protocol
+        # takes ~25 min (bench.py --scaling); the authoritative record
+        # with full methodology lives in BASELINE.md.
+        "scaling_recorded": {
+            "pair": "local[2] -> local[8]",
+            "efficiency": 0.879,
+            "input_turns": 38455298,
+            "source": "BASELINE.md 'Scaling evidence' (bench.py --scaling)",
+        },
     }
 
 

@@ -52,3 +52,44 @@ def test_report_escapes_html(spark, tmp_path):
     html_text = render_profile_html(profile(df))
     assert "<b>x</b>" not in html_text
     assert "&lt;b&gt;x&lt;/b&gt;" in html_text
+
+
+def test_balance_scan_splits_single_row_group(spark, tmp_path):
+    """A big single-row-group file cannot split below one task; the
+    guard must repartition it to cluster width."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapatterns_spark.sources.tables import balance_scan
+
+    n = 30000
+    tbl = pa.table({"k": list(range(n)), "v": [f"value-{i:020d}-{i * 7919}" for i in range(n)]})
+    p = str(tmp_path / "one_rg.parquet")
+    pq.write_table(tbl, p, row_group_size=n, compression="none")
+    assert os.path.getsize(p) > 256 * 1024  # above the guard's floor
+    df = balance_scan(spark.read.parquet(p))
+    assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert df.count() == n
+
+
+def test_balance_scan_leaves_splittable_inputs_alone(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapatterns_spark.sources.tables import balance_scan
+
+    # tiny file: single task is fine, no repartition
+    tiny = str(tmp_path / "tiny.parquet")
+    spark.range(10).coalesce(1).write.parquet(tiny)
+    df = balance_scan(spark.read.parquet(tiny))
+    assert df.count() == 10
+    assert "Repartition" not in df._jdf.queryExecution().logical().toString()
+
+    # many row groups: Spark can split by byte range, no repartition
+    n = 30000
+    tbl = pa.table({"k": list(range(n)), "v": [f"value-{i:020d}-{i * 7919}" for i in range(n)]})
+    p = str(tmp_path / "many_rg.parquet")
+    pq.write_table(tbl, p, row_group_size=n // 8, compression="none")
+    df2 = balance_scan(spark.read.parquet(p))
+    assert "Repartition" not in df2._jdf.queryExecution().logical().toString()
+    assert df2.count() == n
