@@ -16,26 +16,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def nth_digit(col: Column, pos: int, integral: bool = False) -> Column:
-    """The ``pos``-th significant digit of the string form of ``col``.
-
-    ``integral=True`` is a fast path for integer-typed columns: their
-    canonical string form has no sign-free zeros/points to scan, so the
-    digit is a plain ``substring`` of ``abs(value)`` — no regex in the
-    per-row path (the generic path costs three ``regexp_replace`` per
-    value, measured dominant in the Benford stat check at bench scale).
-    Semantics are identical to the generic path for integer inputs:
-    leading zeros impossible, implied trailing zeros -> 0, value 0 or
-    NULL -> sentinel 10.
-    """
-    if integral:
-        s = F.abs(col).cast("string")
-        return (
-            F.when(col.isNull() | (col == 0), F.lit(10))
-            .when(F.length(s) >= pos, F.substring(s, pos, 1).cast("int"))
-            .otherwise(F.lit(0))
-        )
-    s = F.coalesce(col.cast("string"), F.lit(""))
+def _generic_digits(s: Column, pos: int) -> Column:
+    """The reference scanner over an arbitrary string form: three
+    regexes per value (keep digit/dot chars, drop dots, strip leading
+    zeros)."""
     # keep only the characters the reference's scanner reacts to
     cleaned = F.regexp_replace(s, "[^0-9.]", "")
     # significant-digit stream: drop the decimal point, strip leading zeros
@@ -46,3 +30,48 @@ def nth_digit(col: Column, pos: int, integral: bool = False) -> Column:
         .when(cleaned.contains("."), F.lit(0))  # only zeros + a decimal point
         .otherwise(F.lit(10))  # sentinel: no digit found
     )
+
+
+def nth_digit(
+    col: Column, pos: int, integral: bool = False, fractional: bool = False
+) -> Column:
+    """The ``pos``-th significant digit of the string form of ``col``.
+
+    ``integral=True`` is a fast path for integer-typed columns: their
+    canonical string form has no sign-free zeros/points to scan, so the
+    digit is a plain ``substring`` of ``abs(value)`` — no regex in the
+    per-row path (the generic path costs three ``regexp_replace`` per
+    value, measured dominant in the Benford stat check at bench scale).
+    Semantics are identical to the generic path for integer inputs:
+    leading zeros impossible, implied trailing zeros -> 0, value 0 or
+    NULL -> sentinel 10.
+
+    ``fractional=True`` is the float/double fast path: the canonical
+    rendering of a finite non-scientific double is ``digits.digits``,
+    so one ``translate`` (drop the dot) plus one anchored leading-zero
+    strip replaces the three regexes.  Scientific notation (``E``),
+    ``NaN`` and ``Infinity`` renderings route to the generic scanner —
+    same result by construction, just off the hot path.
+    """
+    if integral:
+        s = F.abs(col).cast("string")
+        return (
+            F.when(col.isNull() | (col == 0), F.lit(10))
+            .when(F.length(s) >= pos, F.substring(s, pos, 1).cast("int"))
+            .otherwise(F.lit(0))
+        )
+    if fractional:
+        s = F.abs(col).cast("string")
+        sig = F.regexp_replace(F.translate(s, ".", ""), "^0+", "")
+        fast = F.when(
+            F.length(sig) >= pos, F.substring(sig, pos, 1).cast("int")
+        ).otherwise(F.lit(0))  # a double rendering always contains "."
+        return (
+            F.when(col.isNull(), F.lit(10))
+            .when(
+                F.isnan(col) | s.contains("E") | (s == "Infinity"),
+                _generic_digits(s, pos),
+            )
+            .otherwise(fast)
+        )
+    return _generic_digits(F.coalesce(col.cast("string"), F.lit("")), pos)

@@ -41,6 +41,9 @@ DIGIT_NAMES = ["zero", "one", "two", "three", "four", "five", "six", "seven", "e
 # Spark simpleString names of integer types — these take nth_digit's
 # regex-free substring fast path
 INTEGRAL_TYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
+# float/double take the translate-based fast path (scientific/NaN/Inf
+# renderings fall back to the generic scanner inside nth_digit)
+FRACTIONAL_TYPES = frozenset({"float", "double"})
 
 
 def benford(
@@ -66,7 +69,10 @@ def benford(
         F.struct(
             F.lit(a.name).alias("attribute"),
             nth_digit(
-                F.col(a.name), clamped, integral=a.given_type in INTEGRAL_TYPES
+                F.col(a.name),
+                clamped,
+                integral=a.given_type in INTEGRAL_TYPES,
+                fractional=a.given_type in FRACTIONAL_TYPES,
             ).alias("n"),
         )
         for a in attrs

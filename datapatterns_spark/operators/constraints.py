@@ -34,7 +34,7 @@ from decimal import ROUND_HALF_UP, Decimal
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .benford import CRITICAL_1, CRITICAL_N, EXPECTED, INTEGRAL_TYPES
+from .benford import CRITICAL_1, CRITICAL_N, EXPECTED, FRACTIONAL_TYPES, INTEGRAL_TYPES
 from ..functions.benford_digit import nth_digit
 from ..plans.local import lit_df
 from .validation import expand_helpers
@@ -292,6 +292,7 @@ def run_checks(
                     F.col(p["col"]),
                     digit,
                     integral=dtypes.get(p["col"]) in INTEGRAL_TYPES,
+                    fractional=dtypes.get(p["col"]) in FRACTIONAL_TYPES,
                 )
                 cond = b.isNotNull() & (b != 10)
             else:

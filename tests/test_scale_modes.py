@@ -132,3 +132,38 @@ def test_nth_digit_integral_fast_path_matches_generic(spark):
             .count()
         )
         assert mismatch == 0, pos
+
+
+def test_nth_digit_fractional_fast_path_matches_generic(spark):
+    from pyspark.sql import functions as F
+
+    from datapatterns_spark.functions.benford_digit import nth_digit
+
+    # dense coverage of renderings: integers-as-double, fractions,
+    # sub-1 values with leading zeros, scientific notation (tiny/huge),
+    # specials
+    df = (
+        spark.range(-3000, 3000)
+        .select((F.col("id") / 7.0).alias("v"))
+        .union(spark.range(1, 200).select((F.lit(1.0) / F.pow(F.lit(10.0), F.col("id") % 12)).alias("v")))
+        .union(spark.range(1, 200).select((F.col("id") * F.pow(F.lit(10.0), F.col("id") % 19)).alias("v")))
+        .union(
+            spark.createDataFrame(
+                [(0.0,), (None,), (float("nan"),), (float("inf"),), (float("-inf"),), (1e-300,), (9.99e307,)],
+                "v double",
+            )
+        )
+    )
+    for pos in (1, 2, 3, 4):
+        mismatch = (
+            df.select(
+                "v",
+                nth_digit(F.col("v"), pos).alias("slow"),
+                nth_digit(F.col("v"), pos, fractional=True).alias("fast"),
+            )
+            .filter(
+                F.col("slow").eqNullSafe(F.col("fast")) == F.lit(False)
+            )
+            .collect()
+        )
+        assert mismatch == [], (pos, mismatch[:5])
