@@ -31,11 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-# transcript conversations for the flagship run (~4.8M turns at 250k;
-# large enough that the scaled work dominates the per-run fixed cost,
-# so the reported turns/sec tracks the deployment-scale rate instead
-# of the JVM's job-submission overhead)
-N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "250000"))
+# transcript conversations for the flagship run (~19.3M turns at 1M;
+# large enough that the scaled work dominates the per-run fixed cost
+# — measured marginal rate ~436k turns/s with ~9.4s fixed at local[32],
+# so this size reports within ~15% of the deployment-scale rate while
+# keeping the suite under ~5 min)
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1000000"))
 # The --scaling evidence run uses a larger input (~38.5M turns) so the
 # parallel fraction dominates the fixed planning/codegen/JIT cost —
 # the sandbox stand-in for the N vs 4N executor measurement.
