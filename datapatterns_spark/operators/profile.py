@@ -1273,20 +1273,24 @@ def _heavy_pattern_candidates(
         .select("attribute", "ph")
     )
     # resolution scan: exact count + pattern string + min example for
-    # every winning hash, bounded output (<= 4m per attribute)
+    # every winning hash, bounded output (<= 4m per attribute).  The
+    # example substring is cut AFTER the (executor-side broadcast)
+    # semi-join: only surviving rows allocate it, and the pre-join rows
+    # carry the melt's existing value pointer — one fewer string copy
+    # per input row on a full-corpus scan.
     return (
         src()
         .select(
             "attribute",
             _pattern_expr_finished(heavy_attrs, plen).alias("data_pattern"),
-            F.substring(F.col("value"), 1, plen).alias("example"),
+            "value",
         )
         .withColumn("ph", F.xxhash64("data_pattern"))
         .join(F.broadcast(winners), ["attribute", "ph"], "left_semi")
         .groupBy("attribute", "data_pattern")
         .agg(
             F.count(F.lit(1)).alias("rec_count"),
-            F.min("example").alias("example"),
+            F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
         )
     )
 
