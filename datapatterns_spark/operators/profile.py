@@ -43,14 +43,16 @@ Scale design notes:
 from __future__ import annotations
 
 import datetime as _dt
+import json
 import os
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import besttype
 from ..functions.patterns import (
@@ -1173,6 +1175,42 @@ def _light_pattern_hist(
     return out
 
 
+def _dual_topk_survivors(frame: DataFrame, k: int) -> DataFrame:
+    """Per-attribute top-k AND bottom-k pattern survivors in ONE pass:
+    both rankings ride a single Exchange on (attribute, salt) — phase 1
+    keeps k per salt bucket per direction, phase 2 ranks the bounded
+    survivors per attribute.  A whole attribute is never one window
+    partition (skew note, same shape as the heavy-candidate winners).
+    Output: the <= 2k rows per attribute that can appear in the
+    popular/rare top-k, with exact counts."""
+    buckets = 64
+    salt = F.pmod(F.xxhash64("data_pattern"), F.lit(buckets))
+    w1d = Window.partitionBy("attribute", salt).orderBy(
+        F.desc("rec_count"), F.asc("data_pattern")
+    )
+    w1a = Window.partitionBy("attribute", salt).orderBy(
+        F.asc("rec_count"), F.asc("data_pattern")
+    )
+    local = (
+        frame.withColumn("_rd", F.row_number().over(w1d))
+        .withColumn("_ra", F.row_number().over(w1a))
+        .filter((F.col("_rd") <= k) | (F.col("_ra") <= k))
+        .drop("_rd", "_ra")
+    )
+    w2d = Window.partitionBy("attribute").orderBy(
+        F.desc("rec_count"), F.asc("data_pattern")
+    )
+    w2a = Window.partitionBy("attribute").orderBy(
+        F.asc("rec_count"), F.asc("data_pattern")
+    )
+    return (
+        local.withColumn("_fd", F.row_number().over(w2d))
+        .withColumn("_fa", F.row_number().over(w2a))
+        .filter((F.col("_fd") <= k) | (F.col("_fa") <= k))
+        .drop("_fd", "_fa")
+    )
+
+
 def _heavy_pattern_candidates(
     df: DataFrame,
     heavy_attrs: list[AttrInfo],
@@ -1293,6 +1331,238 @@ def _heavy_pattern_candidates(
             F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
         )
     )
+
+
+# Driver-tail guard: estimated low-card value-histogram rows above this
+# keep the cluster-side assembly (collecting the histogram to the driver
+# would dominate).  Every other driver-tail input is bounded by
+# construction (<= 2*max_patterns survivors / <= 4m candidates per attr).
+_DRIVER_TAIL_VH_LIMIT = 200_000
+
+def _embed_rows_json(
+    spark: SparkSession, recs: list[dict], full_struct: T.StructType
+) -> DataFrame:
+    """Embed driver rows (with nested array-of-struct cells) as ONE
+    JVM-side frame via ``from_json`` over a single JSON literal.  A
+    per-cell ``F.lit`` construction costs one py4j round-trip per
+    expression node — measured 2.8s for ~12k nodes at 6 attributes x
+    100 patterns; one JSON string is one round-trip and a fast Jackson
+    parse.  ``allowNonNumericNumbers`` keeps NaN/Infinity doubles
+    (json.dumps emits bare NaN tokens) parseable."""
+    js = json.dumps(recs, ensure_ascii=True)
+    return spark.range(1).select(
+        F.inline(
+            F.from_json(
+                F.lit(js),
+                T.ArrayType(full_struct),
+                {"allowNonNumericNumbers": "true"},
+            )
+        )
+    )
+
+
+def _approx_driver_tail(
+    df: DataFrame,
+    attrs: list[AttrInfo],
+    params: ProfileParams,
+    name_prefix: str,
+    base_schema,
+    base_tuples: list[tuple],
+    base_rows: list,
+    lp: DataFrame | None,
+    heavy_pat: DataFrame | None,
+    vh: DataFrame | None,
+    derive_names: set[str],
+    plen: int,
+) -> DataFrame:
+    """Driver-side finishing of the approx profile.
+
+    Every follow-up input is bounded (pattern-survivor top/bottom-k,
+    resolved heavy candidates, low-card value histogram), so each
+    concurrent follow-up job ends in a ``collect`` and the remaining
+    math — popular/rare split with the anti-join (J3), mode ties (J2,
+    Profile.ecl:1163-1175), cardinality breakdown (A9), correlation
+    mirroring (A12) and the final per-attribute assembly joins — runs
+    in plain Python, re-embedded as one JVM-literal frame.  The
+    cluster-side equivalent executed ~10 sequential tiny stages
+    (salted top-k trees, anti-join, max-join, per-piece aggregations,
+    assembly joins): measured 8.0s of parallelism-INDEPENDENT wall for
+    a 6-row result at local[32] on 19M turns — pure scheduler/AQE
+    latency that also capped N-vs-4N scaling efficiency.  String
+    ordering parity: Spark compares strings as binary UTF-8, which
+    equals Python's code-point ordering, so the Python sorts reproduce
+    the Window/array_sort tie-breaks exactly."""
+    spark = df.sparkSession
+    k = int(params.max_patterns)
+    need_pat_feature = params.has("patterns") and k > 0
+    derive_attrs = [a for a in attrs if a.name in derive_names]
+
+    vh_plan = vh
+    if vh is not None and derive_names and need_pat_feature:
+        # pattern of each DISTINCT value, computed Spark-side over the
+        # bounded histogram rows (exact translate/regex semantics, no
+        # Python reimplementation), gated to the derive attributes
+        vh_plan = vh.withColumn(
+            "_dp",
+            F.when(
+                F.col("attribute").isin(sorted(derive_names)),
+                finish_pattern(_pattern_expr(derive_attrs, plen)),
+            ),
+        )
+
+    # ---- materialize the bounded follow-ups concurrently; the
+    # materializing action IS the collect (no persist+count job) ----
+    jobs: dict[str, object] = {}
+    if lp is not None:
+        jobs["lp"] = lambda: _dual_topk_survivors(lp, k).collect()
+    if heavy_pat is not None:
+        jobs["hv"] = lambda: heavy_pat.collect()
+    if vh_plan is not None:
+        jobs["vh"] = lambda: vh_plan.collect()
+    num_given = [a.name for a in attrs if a.kind == KIND_NUMERIC]
+    corr_pairs = []
+    if params.has("correlations") and len(num_given) >= 2:
+        corr_pairs = [
+            (x, y) for i, x in enumerate(num_given) for y in num_given[i + 1 :]
+        ]
+        jobs["corr"] = lambda: df.agg(
+            *[
+                F.corr(F.col(x).cast("double"), F.col(y).cast("double")).alias(f"c{i}")
+                for i, (x, y) in enumerate(corr_pairs)
+            ]
+        ).collect()[0]
+    res: dict[str, object] = {}
+    if len(jobs) > 1:
+        with ThreadPoolExecutor(len(jobs)) as ex:
+            futs = {name: ex.submit(fn) for name, fn in jobs.items()}
+            res = {name: f.result() for name, f in futs.items()}
+    else:
+        res = {name: fn() for name, fn in jobs.items()}
+    _phase_mark("followup_hists")
+
+    # ---- popular / rare patterns (A8 + anti-join J3) ----
+    popular: dict[str, list] = {}
+    rare: dict[str, list] = {}
+    if need_pat_feature:
+        pat_rows: list[tuple] = [
+            (r["attribute"], r["data_pattern"], int(r["rec_count"]), r["example"])
+            for key in ("lp", "hv")
+            for r in res.get(key, [])
+        ]
+        if derive_names and res.get("vh"):
+            derived: dict[tuple, list] = {}
+            for r in res["vh"]:
+                if r["_dp"] is None:
+                    continue
+                ex = r["value"][:plen]
+                cur = derived.get((r["attribute"], r["_dp"]))
+                if cur is None:
+                    derived[(r["attribute"], r["_dp"])] = [int(r["rec_count"]), ex]
+                else:
+                    cur[0] += int(r["rec_count"])
+                    if ex < cur[1]:
+                        cur[1] = ex
+            pat_rows += [(a, p, c, e) for (a, p), (c, e) in derived.items()]
+        by_attr: dict[str, list] = {}
+        for a, p, c, e in pat_rows:
+            by_attr.setdefault(a, []).append((p, c, e))
+        for a, lst in by_attr.items():
+            top = sorted(lst, key=lambda t: (-t[1], t[0]))[:k]
+            pset = {t[0] for t in top}
+            bot = sorted(lst, key=lambda t: (t[1], t[0]))[:k]
+            popular[a] = top
+            rare[a] = [t for t in bot if t[0] not in pset]
+
+    # ---- modes (J2) + cardinality breakdown (A9) from the vh rows ----
+    modes: dict[str, list] = {}
+    lcb: dict[str, list] = {}
+    if res.get("vh"):
+        vh_by_attr: dict[str, list] = {}
+        for r in res["vh"]:
+            vh_by_attr.setdefault(r["attribute"], []).append(
+                (r["value"], int(r["rec_count"]))
+            )
+        if params.has("modes"):
+            for a, vals in vh_by_attr.items():
+                mx = max(c for _, c in vals)
+                if mx > 1:
+                    tied = sorted(v for v, c in vals if c == mx)[:MAX_MODES]
+                    modes[a] = [(v, mx) for v in tied]
+        if params.has("cardinality_breakdown") and params.lcb_limit > 0:
+            lcb_names = {
+                r["_local_name"]
+                for r in base_rows
+                if 0 < r["cardinality"] <= params.lcb_limit
+            }
+            for a in lcb_names:
+                vals = vh_by_attr.get(a)
+                if vals:
+                    lcb[a] = sorted(vals, key=lambda t: (-t[1], t[0]))
+
+    # ---- correlations (A12, mirrored both directions) ----
+    corr: dict[str, list] = {}
+    if corr_pairs:
+        row = res["corr"]
+        by_num: dict[str, list] = {n: [] for n in num_given}
+        for i, (x, y) in enumerate(corr_pairs):
+            c = row[i]
+            c = round(float(c), 6) if c is not None else 0.0
+            by_num[x].append((name_prefix + y, c))
+            by_num[y].append((name_prefix + x, c))
+        corr = {
+            a: sorted(lst, key=lambda t: (-t[1], t[0])) for a, lst in by_num.items()
+        }
+
+    # ---- final per-attribute assembly as ONE literal frame ----
+    names = [f.name for f in base_schema.fields]
+    arr_fields: list[tuple[str, str]] = []
+    if need_pat_feature:
+        arr_fields += [
+            ("popular_patterns", _PATTERN_STRUCT),
+            ("rare_patterns", _PATTERN_STRUCT),
+        ]
+    if params.has("modes"):
+        arr_fields.append(("modes", _MODE_STRUCT))
+    if params.has("cardinality_breakdown") and params.lcb_limit > 0:
+        arr_fields.append(("cardinality_breakdown", _MODE_STRUCT))
+    if params.has("correlations"):
+        arr_fields.append(("correlations", _CORR_STRUCT))
+    recs = []
+    for t in base_tuples:
+        d = dict(zip(names, t))
+        a = d["_local_name"]
+        if need_pat_feature:
+            d["popular_patterns"] = [
+                {"data_pattern": p, "rec_count": c, "example": e}
+                for p, c, e in popular.get(a, [])
+            ]
+            d["rare_patterns"] = [
+                {"data_pattern": p, "rec_count": c, "example": e}
+                for p, c, e in rare.get(a, [])
+            ]
+        if params.has("modes"):
+            d["modes"] = [
+                {"value": v, "rec_count": c} for v, c in modes.get(a, [])
+            ]
+        if params.has("cardinality_breakdown") and params.lcb_limit > 0:
+            d["cardinality_breakdown"] = [
+                {"value": v, "rec_count": c} for v, c in lcb.get(a, [])
+            ]
+        if params.has("correlations"):
+            d["correlations"] = [
+                {"attribute": o, "corr": c} for o, c in corr.get(a, [])
+            ]
+        recs.append(d)
+    full_struct = T.StructType(
+        list(base_schema.fields)
+        + [
+            T.StructField(n, T.ArrayType(T.StructType.fromDDL(s)))
+            for n, s in arr_fields
+        ]
+    )
+    out = _shape_output(_embed_rows_json(spark, recs, full_struct), params)
+    _phase_mark("assembly_plan")
+    return out
 
 
 def _profile_flat_approx_v2(
@@ -1578,6 +1848,7 @@ def _profile_flat_approx_v2(
     # checkpoint job, no second gating collect, no Catalyst re-walk of
     # the melt subtree per consumer (each was a measured
     # parallelism-independent cost in the 4-vs-16-core flagship).
+    base_schema = base.schema
     if num_direct is not None:
         with ThreadPoolExecutor(2) as _ex:
             _fb = _ex.submit(base.collect)
@@ -1604,10 +1875,11 @@ def _profile_flat_approx_v2(
                 for st in _stats:
                     t[_idx[st]] = _num_row[a + "||" + st]
             patched.append(tuple(t))
-        base = lit_df(df.sparkSession, patched, base.schema)
+        base_tuples = patched
     else:
         base_rows = base.collect()
-        base = lit_df(df.sparkSession, [tuple(r) for r in base_rows], base.schema)
+        base_tuples = [tuple(r) for r in base_rows]
+    base = lit_df(df.sparkSession, base_tuples, base_schema)
     _phase_mark("pass1_summary")
 
     need_vh = params.has("modes") or (
@@ -1663,12 +1935,42 @@ def _profile_flat_approx_v2(
 
     # ---- low-card value histogram: modes + cardinality breakdown ----
     vh = None
+    est_vh_rows = 0
     if need_vh and low_card:
         # per-attribute direct value histograms (column-pruned scans,
         # native groupBy, post-agg rendering — no melt, no per-row
         # casts), unioned into one frame
-        lc_attrs = [a for a in attrs if a.name in set(low_card)]
+        lc_set = set(low_card)
+        lc_attrs = [a for a in attrs if a.name in lc_set]
         vh = _lowcard_value_hist(df, lc_attrs, params.allow_zero)
+        est_vh_rows = sum(
+            int(r["cardinality"]) for r in base_rows if r["_local_name"] in lc_set
+        )
+
+    # Driver-side finishing (default): every follow-up is bounded, so
+    # collect them and run the top-k/mode/breakdown/assembly math in
+    # Python — deletes ~10 sequential tiny cluster stages of pure
+    # scheduler latency (see _approx_driver_tail).  The cluster tail
+    # below remains for oversized low-card histograms and for A/B
+    # (DP_APPROX_TAIL=cluster).
+    if (
+        os.environ.get("DP_APPROX_TAIL", "driver") != "cluster"
+        and est_vh_rows <= _DRIVER_TAIL_VH_LIMIT
+    ):
+        return _approx_driver_tail(
+            df,
+            attrs,
+            params,
+            name_prefix,
+            base_schema,
+            base_tuples,
+            base_rows,
+            lp,
+            heavy_pat,
+            vh,
+            derive_names,
+            plen,
+        )
 
     # Materialize the (at most three) bounded follow-up passes
     # CONCURRENTLY as separate jobs: the light-attr pattern histogram,
@@ -1732,7 +2034,9 @@ def _profile_flat_approx_v2(
     out = pieces[0]
     for p in pieces[1:]:
         out = out.join(p, "attribute", "left")
-    return _shape_output(out, params)
+    out = _shape_output(out, params)
+    _phase_mark("assembly_plan")
+    return out
 
 
 def _profile_flat_approx_v1(

@@ -6,6 +6,8 @@ validation must be shuffle-free, no operator may fall back to per-row
 Python, and the small side of similarity joins must broadcast.
 """
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -130,13 +132,22 @@ def test_bucketed_table_group_checks_need_no_shuffle(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
-def test_profile_reuses_cached_intermediates(spark):
-    """In approx mode the assembly must consume the materialized
-    histogram/summary intermediates (localCheckpoint -> ExistingRDD
-    scan, or a cache scan), not re-derive them from the source —
-    lineage truncation keeps the driver's Catalyst work per consumer
-    O(tiny plan), which was the measured serial bottleneck."""
+def test_profile_assembly_never_rescans_source(spark):
+    """In approx mode the final assembly must consume materialized
+    intermediates, never re-derive them from the source.  Default
+    (driver tail): the returned plan is a pure literal frame — no
+    FileScan at all.  Cluster tail (DP_APPROX_TAIL=cluster): the
+    assembly reads the persisted/checkpointed intermediates
+    (ExistingRDD / cache scan)."""
     df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     prof = profile(df, field_list=["l_returnflag", "l_quantity"], mode="approx")
     plan = _plan(prof)
-    assert "ExistingRDD" in plan or "InMemoryTableScan" in plan
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+
+    os.environ["DP_APPROX_TAIL"] = "cluster"
+    try:
+        prof = profile(df, field_list=["l_returnflag", "l_quantity"], mode="approx")
+        plan = _plan(prof)
+        assert "ExistingRDD" in plan or "InMemoryTableScan" in plan
+    finally:
+        del os.environ["DP_APPROX_TAIL"]

@@ -167,3 +167,22 @@ def test_nth_digit_fractional_fast_path_matches_generic(spark):
             .collect()
         )
         assert mismatch == [], (pos, mismatch[:5])
+
+
+def test_driver_tail_matches_cluster_tail(spark, lineitem):
+    """The driver-side approx finishing (collect bounded follow-ups,
+    finish top-k/modes/breakdown/correlations in Python, emit one
+    literal frame) must be value-identical to the cluster-side
+    assembly it replaces — full feature set, mixed kinds, ties,
+    correlations included."""
+    import os
+
+    rows_driver = profile(lineitem, mode="approx").collect()
+    os.environ["DP_APPROX_TAIL"] = "cluster"
+    try:
+        rows_cluster = profile(lineitem, mode="approx").collect()
+    finally:
+        del os.environ["DP_APPROX_TAIL"]
+    a = [r.asDict(recursive=True) for r in rows_driver]
+    b = [r.asDict(recursive=True) for r in rows_cluster]
+    assert a == b
