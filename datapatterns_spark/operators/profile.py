@@ -1290,10 +1290,16 @@ def _pattern_sample_winners(
     # value-hash gate: a top pattern backed by one hot repeated value
     # would be sampled all-or-nothing by its value hash); selection is
     # deterministic for a given input partitioning — the same caveat
-    # as the previous partition-local candidate design.
+    # as the previous partition-local candidate design.  The gate sits
+    # BELOW the melt (on input rows, one draw shared by all heavy
+    # attributes — identical per-attribute marginal), so the Generate +
+    # trim/len/pattern machinery runs on 1/s_mod of the rows instead of
+    # all of them (interleaved A/B at local[32], 19M turns: winners
+    # 7.9s -> 5.4s best-of-3).
     cand = (
-        _melt_filled(df, cand_attrs, params.allow_zero)
-        .filter(F.rand(42) < 1.0 / s_mod)
+        _melt_filled(
+            df.filter(F.rand(42) < 1.0 / s_mod), cand_attrs, params.allow_zero
+        )
         .select(
             "attribute",
             F.xxhash64(_pattern_expr_finished(cand_attrs, plen)).alias("ph"),
@@ -1461,6 +1467,22 @@ def _approx_driver_tail(
                 for i, (x, y) in enumerate(corr_pairs)
             ]
         ).collect()[0]
+    if _PHASE_DEBUG:
+        def _timed(name, fn):
+            def run():
+                t0 = time.time()
+                out = fn()
+                print(
+                    f"[profile-phase]   followup job {name}: "
+                    f"{time.time() - t0:.2f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                return out
+
+            return run
+
+        jobs = {name: _timed(name, fn) for name, fn in jobs.items()}
     res: dict[str, object] = {}
     if len(jobs) > 1:
         with ThreadPoolExecutor(len(jobs)) as ex:
