@@ -195,10 +195,17 @@ def flagship_profile_validate(spark, input_path: str) -> int:
         profile(df.drop("part"), mode="approx").collect()
 
     def run_validate():
+        from pyspark.sql import functions as F
+
+        # partition passed as the bucket EXPRESSION (identical values
+        # to the stored `part` column — same formula it was written
+        # with): run_checks then derives it above the group-check
+        # window, keeping partition bytes out of that pass's
+        # Exchange+Sort (the flagship's worst-scaling stage)
         verdicts, violations = C.run_checks(
             df,
             transcript_check_suite(),
-            partition_col="part",
+            partition_col=F.pmod(F.xxhash64("conv_id"), F.lit(N_PARTS)),
             key_cols=["conv_id", "turn_idx"],
             partitions=[str(i) for i in range(N_PARTS)],
         )

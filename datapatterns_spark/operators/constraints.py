@@ -202,7 +202,12 @@ def run_checks(
 
     ``partition_col`` defaults to a constant (whole-table grain); pass
     an Iceberg partition column (or any expression) for per-partition
-    verdicts.  ``key_cols`` identify rows in the violation table.
+    verdicts.  A Column EXPRESSION must be computable from the checks'
+    group/order/ts/key columns (true for any bucket transform of the
+    group key, e.g. ``pmod(xxhash64(conv_id), N)``) — it is then
+    evaluated ABOVE the group-check window so partition bytes never
+    enter that pass's Exchange+Sort; a physical column NAME outside
+    those columns rides the shuffle as before.  ``key_cols`` identify rows in the violation table.
     ``partitions``: the expected partition values, if the caller knows
     them (an Iceberg partition listing is metadata, not a scan) —
     skips a full-input ``distinct`` pass otherwise needed to emit
@@ -424,13 +429,14 @@ def run_checks(
         else:  # pragma: no cover
             raise ValueError(f"unknown group op {p['op']}")
 
-    def _to_viol(frame: DataFrame, structs: list[Column]) -> DataFrame:
-        # ``frame`` must already carry a ``partition`` column
+    def _to_viol(
+        frame: DataFrame, structs: list[Column], part_expr: Column
+    ) -> DataFrame:
         arr = F.array_compact(F.array(*structs))
         # key serialization (to_json) runs AFTER the violation filter,
         # so only the tiny failing fraction pays for it
         return (
-            frame.select("partition", *[F.col(k) for k in keys], arr.alias("_f"))
+            frame.select(part_expr, *[F.col(k) for k in keys], arr.alias("_f"))
             .filter(F.size("_f") > 0)
             .select("partition", key_expr, F.explode("_f").alias("_e"))
             .select(
@@ -450,10 +456,22 @@ def run_checks(
         # rows this is the difference between shuffling key bytes and
         # shuffling the whole table.
         slim_cols = sorted(group_check_cols | set(keys))
-        slim = df.withColumn("partition", part).select(
-            "partition", *[F.col(c) for c in slim_cols]
-        )
-        gviol = _to_viol(slim, group_fail_structs)
+        if isinstance(partition_col, str) and partition_col not in slim_cols:
+            # physical partition column: it must ride the shuffle
+            slim = df.withColumn("partition", part).select(
+                "partition", *[F.col(c) for c in slim_cols]
+            )
+            gpart = F.col("partition")
+        else:
+            # derivable partition (None / a check column / a Column
+            # expression over check+key columns — e.g. the Iceberg
+            # bucket transform pmod(xxhash64(conv_id), N)): evaluate it
+            # ABOVE the window, so the pass's one Exchange+Sort carries
+            # only the check columns and partition bytes never enter
+            # the shuffle
+            slim = df.select(*[F.col(c) for c in slim_cols])
+            gpart = part
+        gviol = _to_viol(slim, group_fail_structs, gpart.alias("partition"))
 
     # Materialize the (at most three) input passes CONCURRENTLY: the
     # row-check scan, the stat counter aggregation, and the group-key

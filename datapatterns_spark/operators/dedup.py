@@ -4,8 +4,8 @@ Not present in the reference (DataPatterns profiles, it never dedups)
 — these are the pipeline capabilities mandated by the build brief,
 designed Spark-first:
 
-* :func:`exact_duplicates` / :func:`dedup_exact` — hash-groupBy, the
-  canonical one-shuffle exact pass;
+* :func:`exact_duplicates` / :func:`dedup_exact` — hash-groupBy (skew-
+  immune map-side partial agg; never a per-key window) + join-back;
 * :func:`ngram_jaccard_pairs` — exact all-pairs Jaccard over shingle
   sets via an inverted-index self-join (explode -> join on shingle ->
   count commons), with a document-frequency cap to kill the
@@ -29,7 +29,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -48,24 +48,46 @@ def exact_duplicates(
     df: DataFrame, text_col: str, id_col: str, normalize: bool = True
 ) -> DataFrame:
     """Rows belonging to a duplicated (normalized) text, with the
-    group's canonical (min-id) representative attached."""
+    group's canonical (min-id) representative attached.
+
+    Shape chosen for skew: a ``Window.partitionBy(key)`` would gather
+    every copy of a hot duplicate (boilerplate text repeated 10^7+
+    times in a real corpus) into ONE task.  ``groupBy(key)`` is
+    skew-immune (map-side partial aggregation collapses the hot key
+    per input partition), and the join back runs on slim (id, key)
+    rows with AQE skew-join handling; the aggregate side keeps only
+    duplicated keys, so at typical duplication rates it broadcasts at
+    runtime."""
     key = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
-    d = df.withColumn("_dup_key", F.xxhash64(key))
-    w = Window.partitionBy("_dup_key")
-    return (
-        d.withColumn("group_size", F.count(F.lit(1)).over(w))
-        .withColumn("canonical_id", F.min(id_col).over(w))
+    slim = df.select(F.col(id_col), F.xxhash64(key).alias("_dup_key"))
+    agg = (
+        slim.groupBy("_dup_key")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("canonical_id"),
+        )
         .filter(F.col("group_size") > 1)
-        .select(id_col, "canonical_id", "group_size")
     )
+    return slim.join(agg, "_dup_key").select(id_col, "canonical_id", "group_size")
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str, normalize: bool = True) -> DataFrame:
-    """Keep one row (min id) per distinct normalized text."""
+    """Keep one row (min id) per distinct normalized text.
+
+    Winners come from a skew-immune ``groupBy(key).agg(min(id))`` (not
+    a per-key ``row_number`` window, which would sort a hot duplicate's
+    every copy in one task); the winning ROWS are then recovered with a
+    semi-join on the composite ``(key, id)`` — the composite spreads a
+    hot key across partitions, and the winner side carries exactly one
+    row per distinct text."""
     key = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
     d = df.withColumn("_dup_key", F.xxhash64(key))
-    w = Window.partitionBy("_dup_key").orderBy(id_col)
-    return d.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn", "_dup_key")
+    winners = (
+        d.select("_dup_key", F.col(id_col))
+        .groupBy("_dup_key")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return d.join(winners, ["_dup_key", id_col], "left_semi").drop("_dup_key")
 
 
 # ---------------------------------------------------------------------------
@@ -117,10 +139,18 @@ def ngram_jaccard_pairs(
     sizes = sh.select("id", "size")
     inv = sh.select("id", F.explode("sh").alias("g"))
     if max_shingle_df is not None:
-        w = Window.partitionBy("g")
-        inv = inv.withColumn("_df", F.count(F.lit(1)).over(w)).filter(
-            F.col("_df") <= max_shingle_df
-        ).drop("_df")
+        # the ultra-common shingles this guard exists to drop are the
+        # ones a Window.partitionBy(g) would gather into one task —
+        # count them with a skew-immune groupBy (map-side partial agg)
+        # and remove via broadcast anti-join against the tiny (by
+        # construction: few shingles exceed the cap) hot-shingle set
+        hot = (
+            inv.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("g")
+        )
+        inv = inv.join(F.broadcast(hot), "g", "left_anti")
     a = inv.alias("a")
     b = inv.alias("b")
     common = (

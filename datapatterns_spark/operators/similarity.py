@@ -16,10 +16,29 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import cosine
+from .profile import grouped_topk
+
+
+def _finish_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k over (query_id, neighbor_id, cos) — salted
+    two-phase ranking, NEVER a whole-query window partition: in brute
+    force every query's candidate set is the entire corpus, so a plain
+    ``Window.partitionBy(query_id)`` would sort |corpus| rows in ONE
+    task per query regardless of cluster size.  Phase 1 keeps k per
+    (query, salt-bucket) across the full cluster; phase 2 ranks the
+    bounded (<= buckets*k per query) survivors."""
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        [F.desc("cos"), F.asc("neighbor_id")],
+        k,
+        salt_col=F.xxhash64("neighbor_id"),
+        rank_name="rank",
+    )
 
 
 def _unit(vec: list[float]) -> list[float]:
@@ -74,8 +93,7 @@ def brute_force_topk(
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _finish_topk(scored, k)
 
 
 def ivf_topk(
@@ -113,5 +131,4 @@ def ivf_topk(
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
     ).dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _finish_topk(scored, k)

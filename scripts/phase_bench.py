@@ -63,8 +63,11 @@ def main() -> None:
     parts = [str(i) for i in range(N_PARTS)]
 
     def run(checks):
+        from pyspark.sql import functions as F
+
         v, viol = C.run_checks(
-            df, checks, partition_col="part",
+            df, checks,
+            partition_col=F.pmod(F.xxhash64("conv_id"), F.lit(N_PARTS)),
             key_cols=["conv_id", "turn_idx"], partitions=parts,
         )
         v.collect()

@@ -63,15 +63,21 @@ def test_profile_has_no_python_udfs(spark, mode):
     assert "FlatMapGroupsInPandas" not in plan
 
 
-def test_dedup_exact_single_shuffle(spark):
-    """Exact dedup = one hash-key window; exactly one Exchange over the
-    data (plus nothing Python-side)."""
+def test_dedup_exact_skew_safe_shape(spark):
+    """Exact dedup must never gather a hot duplicate key into one task:
+    the plan aggregates with groupBy (map-side partial aggregation —
+    skew-immune) and joins back; no per-key Window operator, nothing
+    Python-side."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = exact_duplicates(docs, "text", "doc_id")
     plan = _plan(out)
     assert "BatchEvalPython" not in plan
+    assert "Window" not in plan, plan
+    # partial (map-side) aggregation before the exchange is the
+    # skew-immunity mechanism
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
     n_exchange = plan.count("Exchange hashpartitioning")
-    assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}:\n{plan}"
+    assert n_exchange <= 3, f"expected <=3 shuffles, saw {n_exchange}:\n{plan}"
 
 
 def test_similarity_broadcasts_queries(spark):
