@@ -250,6 +250,13 @@ def minhash_lsh_pairs(
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # the candidate-pair frame is referenced TWICE downstream (the
+        # verify join's base + the cand_ids semi-join input): persisted
+        # so the band self-join executes once, not per reference.  Its
+        # size is bounded by the near-dup candidate count — orders of
+        # magnitude under the corpus at any scale (A/B at bench scale:
+        # 4.3s -> 3.4s interleaved best-of-3, identical pairs).
+        .persist()
     )
     # exact-Jaccard verification: recompute distinct shingle sets ONLY
     # for candidate docs (a semi-join-bounded set, tiny vs the corpus)
@@ -259,6 +266,9 @@ def minhash_lsh_pairs(
     shc = (
         df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
         .join(cand_ids, "id", "left_semi")
+        # referenced twice (sh_a / sh_b sides) — persist the bounded
+        # candidate shingle sets so the corpus scan + semi-join run once
+        .persist()
     )
     sh_a = shc.toDF("id_a", "sh_a")
     sh_b = shc.toDF("id_b", "sh_b")

@@ -2404,7 +2404,21 @@ def _exact_numeric_stats(hnum: DataFrame) -> DataFrame:
     cumulative counts over value-sorted distinct values, positional
     selection with two-position averaging.  The ordered cumulative
     window is one pass per attribute — inherent to exact quartiles;
-    approx mode replaces it with a sketch."""
+    approx mode replaces it with a sketch.
+
+    Scale note (round-1 negative result, kept for the record): a
+    distributed two-phase prefix sum (``repartitionByRange(attribute,
+    v)`` + ``spark_partition_id`` bucket offsets) was built and A/B'd
+    to remove this window's one-task-per-attribute ceiling.  It is
+    WRONG under Spark's execution model — the broadcast (offsets) side
+    and the main plan re-execute the range exchange with independently
+    *sampled* boundaries, so partition ids disagree between executions
+    (measured: quartiles off by ~1% at sf0.1) — and the corrected form
+    needs a deterministic-boundary job that made it ~20% slower than
+    the window at bench scale.  Exact mode is the documented
+    golden-parity/test-scale path; the 10^12-row path is approx mode's
+    mergeable ``percentile_approx`` sketch, which has no per-attribute
+    serialization."""
     w_cum = (
         Window.partitionBy("attribute")
         .orderBy("v")
