@@ -305,8 +305,19 @@ def _int_len_expr(c: Column, max_digits: int) -> Column:
     return (e + F.when(c < 0, 1).otherwise(0)).cast("int")
 
 
-def melt_slim(df: DataFrame, attrs: list[AttrInfo], allow_zero: bool = False) -> DataFrame:
+def melt_slim(
+    df: DataFrame,
+    attrs: list[AttrInfo],
+    allow_zero: bool = False,
+    lean: bool = False,
+) -> DataFrame:
     """One scan -> (attribute, value, len, vhash, uni, fil) rows.
+
+    ``lean=True`` keeps only the ``len``/``fil`` machinery (value,
+    vhash and uni are NULL): the fill/lengths-only exact path consumes
+    nothing else, and the distinctness hash — xxhash64 over every full
+    text value — is the single largest per-row term it would otherwise
+    pay.
 
     The approx pass-1 aggregate needs, per row: the length of the
     canonical string form, a 64-bit distinctness hash, a filled bit,
@@ -353,8 +364,9 @@ def melt_slim(df: DataFrame, attrs: list[AttrInfo], allow_zero: bool = False) ->
             # carry the native column through (free — a reference, not
             # a computation): the struct stage casts it lazily (nv when
             # filled, string form only on the 1/16 sample)
-            proj.append(c.alias(f"_c{i}"))
-            proj.append(F.xxhash64(c).alias(f"_h{i}"))
+            if not lean:
+                proj.append(c.alias(f"_c{i}"))
+                proj.append(F.xxhash64(c).alias(f"_h{i}"))
             proj.append(filled_nat.cast("int").alias(f"_f{i}"))
             if a.given_type in _INT_MAX_DIGITS:
                 proj.append(
@@ -368,12 +380,15 @@ def melt_slim(df: DataFrame, attrs: list[AttrInfo], allow_zero: bool = False) ->
                 proj.append(_value_expr(a).alias(f"_v{i}"))
                 p["float_form"] = True
         elif a.kind == KIND_BOOLEAN:
-            proj.append(F.xxhash64(F.coalesce(c, F.lit(False))).alias(f"_h{i}"))
+            if not lean:
+                proj.append(F.xxhash64(F.coalesce(c, F.lit(False))).alias(f"_h{i}"))
         elif _is_fast_temporal(a):
             lo, hi = _temporal_bounds(a)
             in_range = c.between(F.lit(lo), F.lit(hi))
-            proj.append(c.alias(f"_c{i}"))
-            proj.append(in_range.alias(f"_r{i}"))
+            if not lean:
+                proj.append(c.alias(f"_c{i}"))
+                proj.append(in_range.alias(f"_r{i}"))
+                proj.append(F.xxhash64(c).alias(f"_h{i}"))
             proj.append(
                 F.when(c.isNull(), 0)
                 .when(in_range, _temporal_len_arith(a))
@@ -381,7 +396,6 @@ def melt_slim(df: DataFrame, attrs: list[AttrInfo], allow_zero: bool = False) ->
                 .cast("int")
                 .alias(f"_l{i}")
             )
-            proj.append(F.xxhash64(c).alias(f"_h{i}"))
         else:
             # strings, arrays, binary, non-fast temporal: generic
             # string-form path (projected ONCE — the generator gets no
@@ -394,9 +408,42 @@ def melt_slim(df: DataFrame, attrs: list[AttrInfo], allow_zero: bool = False) ->
 
     null_s = F.lit(None).cast("string")
     null_i = F.lit(None).cast("int")
+    null_h = F.lit(None).cast("bigint")
     structs = []
     for i, p in enumerate(per_attr):
         a = p["attr"]
+        if lean:
+            # len + fil only — value/vhash/uni stay NULL
+            if a.kind == KIND_NUMERIC:
+                ln = (
+                    F.length(F.col(f"_v{i}")).cast("int")
+                    if p.get("float_form")
+                    else F.col(f"_l{i}")
+                )
+                s = (null_s, ln, null_h, null_i, F.col(f"_f{i}"))
+            elif a.kind == KIND_BOOLEAN:
+                s = (null_s, F.lit(1).cast("int"), null_h, null_i,
+                     F.lit(1).cast("int"))
+            elif _is_fast_temporal(a):
+                s = (null_s, F.col(f"_l{i}"), null_h, null_i, null_i)
+            else:
+                ln = (
+                    F.col(f"_l{i}")
+                    if a.kind in (KIND_ARRAY, KIND_BINARY)
+                    else F.length(F.col(f"_v{i}")).cast("int")
+                )
+                s = (null_s, ln, null_h, null_i, null_i)
+            structs.append(
+                F.struct(
+                    F.lit(a.name).alias("attribute"),
+                    s[0].alias("value"),
+                    s[1].alias("len"),
+                    s[2].alias("vhash"),
+                    s[3].alias("uni"),
+                    s[4].alias("fil"),
+                )
+            )
+            continue
         if a.kind == KIND_NUMERIC:
             cn = F.col(f"_c{i}")
             h = F.col(f"_h{i}")
@@ -701,9 +748,21 @@ def _profile_flat(
         # tree, a measured driver-side serial cost (see _materialize)
         hist = _materialize(derive(hist, params.need_flags, need_pattern), len(attrs))
         stats_src = hist
-    else:
+    elif params.need_flags:
         # fill/lengths/type-folds only: aggregate the melt directly
         stats_src = derive(melted.withColumn("cnt", F.lit(1)), params.need_flags, need_pattern)
+    else:
+        # fill/lengths ONLY (no flags, no patterns, no value grouping):
+        # the slim melt's per-kind fast paths produce the exact `len`
+        # and filled bit without rendering any string form for
+        # numeric/boolean/timestamp/date attributes (same fast paths
+        # the approx pass-1 rides; len/fil are exact there too) — the
+        # full melt would format every value per row just to measure it
+        stats_src = (
+            melt_slim(df, attrs, params.allow_zero, lean=True)
+            .withColumn("filled", F.coalesce(F.col("fil") == 1, F.col("len") > 0))
+            .withColumn("cnt", F.lit(1))
+        )
 
     filled = F.col("filled")
     w_cnt = F.when(filled, F.col("cnt"))
