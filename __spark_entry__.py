@@ -402,6 +402,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         frames = MM.sample_frames(media, every_ms=1000, fake=True)
         return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
+    def q_profile_incremental(spark, sf):
+        """Mergeable per-partition profile states folded into a table
+        profile: merge of per-o_orderpriority states must equal a
+        whole-table pass exactly for every decomposable statistic."""
+        from datapatterns_spark.operators.incremental import (
+            merge_states,
+            profile_state,
+        )
+
+        states = profile_state(
+            _t(spark, sf, "orders"),
+            "o_orderpriority",
+            field_list=["o_orderkey", "o_custkey", "o_orderstatus"],
+        )
+        return merge_states(states).select(
+            "attribute",
+            "rec_count",
+            "fill_count",
+            "fill_rate",
+            "min_length",
+            "max_length",
+            "ave_length",
+            F.col("numeric_min").alias("nmin"),
+            F.col("numeric_max").alias("nmax"),
+            F.col("numeric_mean").alias("nmean"),
+            F.col("numeric_std_dev").alias("nstd"),
+        )
+
     return {
         "profile_fill": q_profile_fill,
         "profile_numeric_stats": q_profile_numeric,
@@ -439,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "best_record_structure": q_best_record,
         "text_fingerprint": q_text_fingerprint,
+        "profile_incremental": q_profile_incremental,
     }
 
 
@@ -976,6 +1005,48 @@ SELECT id_a, id_b FROM p WHERE cos6 >= 0.45
     )
     normalize_profile_sql = f"WITH s AS ({np_stats}) {np_melt}"
 
+    # ---- profile_incremental (merge of per-partition states must
+    # equal the whole-table statistics exactly) ----
+    incr_src = " UNION ALL ".join(
+        [
+            # given-numeric: filled = non-null & non-zero; len = digit
+            # count of the integer rendering; numeric reading = native
+            f"SELECT '{c}' AS attribute,"
+            f" ({c} IS NOT NULL AND {c} <> 0) AS fil,"
+            f" length(CAST({c} AS VARCHAR)) AS len,"
+            f" CASE WHEN {c} IS NOT NULL AND {c} <> 0 THEN CAST({c} AS DOUBLE) END AS v"
+            f" FROM orders"
+            for c in ["o_orderkey", "o_custkey"]
+        ]
+        + [
+            # string: filled = non-empty trimmed; numeric reading =
+            # try_cast of the trimmed value (letters -> NULL)
+            "SELECT 'o_orderstatus' AS attribute,"
+            " length(trim(coalesce(o_orderstatus, ''))) > 0 AS fil,"
+            " length(trim(coalesce(o_orderstatus, ''))) AS len,"
+            " TRY_CAST(trim(o_orderstatus) AS DOUBLE) AS v"
+            " FROM orders"
+        ]
+    )
+    profile_incremental_sql = f"""
+WITH src AS ({incr_src})
+SELECT attribute,
+       COUNT(*) AS rec_count,
+       CAST(SUM(CASE WHEN fil THEN 1 ELSE 0 END) AS BIGINT) AS fill_count,
+       ROUND(SUM(CASE WHEN fil THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 6) AS fill_rate,
+       COALESCE(MIN(CASE WHEN fil THEN len END), 0) AS min_length,
+       COALESCE(MAX(CASE WHEN fil THEN len END), 0) AS max_length,
+       COALESCE(CAST(FLOOR(SUM(CASE WHEN fil THEN len END) * 1.0
+         / SUM(CASE WHEN fil THEN 1 ELSE 0 END)) AS BIGINT), 0) AS ave_length,
+       ROUND(MIN(CASE WHEN fil THEN v END), 4) AS nmin,
+       ROUND(MAX(CASE WHEN fil THEN v END), 4) AS nmax,
+       ROUND(SUM(CASE WHEN fil THEN v END) / COUNT(CASE WHEN fil THEN v END), 4) AS nmean,
+       ROUND(SQRT(SUM(CASE WHEN fil THEN v * v END) / COUNT(CASE WHEN fil THEN v END)
+         - (SUM(CASE WHEN fil THEN v END) / COUNT(CASE WHEN fil THEN v END))
+         * (SUM(CASE WHEN fil THEN v END) / COUNT(CASE WHEN fil THEN v END))), 4) AS nstd
+FROM src GROUP BY attribute
+"""
+
     return {
         "profile_fill": profile_fill,
         "profile_numeric_stats": profile_numeric,
@@ -1004,6 +1075,7 @@ SELECT id_a, id_b FROM p WHERE cos6 >= 0.45
         "text_quality": text_quality_sql,
         "dedup_embedding_cosine": dedup_embedding_sql,
         "normalize_profile": normalize_profile_sql,
+        "profile_incremental": profile_incremental_sql,
         # dedup_minhash_lsh / dedup_simhash / transcript_suite /
         # profile_approx / ann_ivf_topk / best_record_structure /
         # text_fingerprint / multimodal_*: probabilistic,

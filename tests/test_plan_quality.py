@@ -157,3 +157,31 @@ def test_profile_assembly_never_rescans_source(spark):
         assert "ExistingRDD" in plan or "InMemoryTableScan" in plan
     finally:
         del os.environ["DP_APPROX_TAIL"]
+
+
+def test_incremental_state_prunes_and_stays_jvm(spark):
+    """The per-partition state pass must read only the profiled columns
+    + the partition column, keep every expression JVM-side, and
+    aggregate with map-side partials (the merge contract depends on
+    partial+final hash agg, not a sort)."""
+    from datapatterns_spark.operators.incremental import (
+        merge_states,
+        profile_state,
+    )
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    st = profile_state(
+        df, "o_orderpriority", field_list=["o_orderstatus", "o_custkey"]
+    )
+    plan = _plan(st)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans
+    for ln in scans:
+        schema = ln.split("ReadSchema:")[1]
+        assert "o_orderstatus" in schema and "o_custkey" in schema
+        assert "o_totalprice" not in schema and "o_orderdate" not in schema
+    assert "partial" in plan  # map-side combine before the exchange
+    merged = merge_states(st)
+    mplan = _plan(merged)
+    assert "BatchEvalPython" not in mplan and "ArrowEvalPython" not in mplan
