@@ -352,6 +352,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_profile_compare(spark, sf):
+        """Profile-vs-profile drift diff (the reference's stated
+        NormalizeProfileResults workflow): whole table vs its non-'en'
+        subset, integer-valued stats only."""
+        from datapatterns_spark.operators.normalize import compare_profiles
+
+        docs = _t(spark, sf, "documents")
+        feats = ("fill_rate", "lengths")
+        fields = ["lang", "source"]
+        old = profile(docs, field_list=fields, features=feats)
+        new = profile(
+            docs.filter(F.col("lang") != "en"), field_list=fields, features=feats
+        )
+        return compare_profiles(old, new).filter(
+            F.col("key").isin(
+                "rec_count", "fill_count",
+                "min_length", "max_length", "ave_length",
+            )
+        )
+
     # --- weaker rows-only checks (no SQL-expressible oracle) ---
     def q_ann_ivf(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -468,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_record_structure": q_best_record,
         "text_fingerprint": q_text_fingerprint,
         "profile_incremental": q_profile_incremental,
+        "profile_compare": q_profile_compare,
     }
 
 
@@ -1005,6 +1026,37 @@ SELECT id_a, id_b FROM p WHERE cos6 >= 0.45
     )
     normalize_profile_sql = f"WITH s AS ({np_stats}) {np_melt}"
 
+    # ---- profile_compare (profile-vs-profile diff triples) ----
+    def _np_side(where: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT '{c}' AS attribute, COUNT(*) AS rec_count,"
+            f" SUM(CASE WHEN length(trim(coalesce({c}, ''))) > 0 THEN 1 ELSE 0 END) AS fill_count,"
+            f" MIN(CASE WHEN length(trim(coalesce({c}, ''))) > 0 THEN length(trim({c})) END) AS min_length,"
+            f" MAX(CASE WHEN length(trim(coalesce({c}, ''))) > 0 THEN length(trim({c})) END) AS max_length,"
+            f" CAST(FLOOR(SUM(CASE WHEN length(trim(coalesce({c}, ''))) > 0 THEN length(trim({c})) END) * 1.0"
+            f" / SUM(CASE WHEN length(trim(coalesce({c}, ''))) > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS ave_length"
+            f" FROM documents{where}"
+            for c in ["lang", "source"]
+        )
+
+    _cmp_keys = ["rec_count", "fill_count", "min_length", "max_length", "ave_length"]
+    _cmp_melt = " UNION ALL ".join(
+        f"SELECT attribute, '{k}' AS key, CAST({k} AS VARCHAR) AS value FROM {{side}}"
+        for k in _cmp_keys
+    )
+    profile_compare_sql = f"""
+WITH so AS ({_np_side('')}),
+     sn AS ({_np_side(" WHERE lang <> 'en'")}),
+     mo AS ({_cmp_melt.format(side='so')}),
+     mn AS ({_cmp_melt.format(side='sn')})
+SELECT COALESCE(mo.attribute, mn.attribute) AS attribute,
+       COALESCE(mo.key, mn.key) AS key,
+       mo.value AS value_old,
+       mn.value AS value_new,
+       (mo.value IS DISTINCT FROM mn.value) AS changed
+FROM mo FULL OUTER JOIN mn ON mo.attribute = mn.attribute AND mo.key = mn.key
+"""
+
     # ---- profile_incremental (merge of per-partition states must
     # equal the whole-table statistics exactly) ----
     incr_src = " UNION ALL ".join(
@@ -1076,6 +1128,7 @@ FROM src GROUP BY attribute
         "dedup_embedding_cosine": dedup_embedding_sql,
         "normalize_profile": normalize_profile_sql,
         "profile_incremental": profile_incremental_sql,
+        "profile_compare": profile_compare_sql,
         # dedup_minhash_lsh / dedup_simhash / transcript_suite /
         # profile_approx / ann_ivf_topk / best_record_structure /
         # text_fingerprint / multimodal_*: probabilistic,

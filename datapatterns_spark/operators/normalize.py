@@ -66,3 +66,20 @@ def normalize_profile_results(profile_df: DataFrame) -> DataFrame:
         F.col("attribute").cast("string").alias("attribute"),
         F.inline(F.array(*structs)),
     )
+
+
+def compare_profiles(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Profile-vs-profile diff — the workflow NormalizeProfileResults
+    exists for (/root/reference/NormalizeProfileResults.ecl:1-24:
+    "compare the results of two different Profile runs").
+
+    Normalizes both profile results and full-outer-joins the triples:
+    one row per (attribute, key) with ``value_old`` / ``value_new``
+    (NULL when the attribute/stat exists on one side only) and a
+    ``changed`` flag.  Both inputs are one-row-per-attribute profile
+    outputs, so the join is tiny regardless of data scale."""
+    a = normalize_profile_results(old).withColumnRenamed("value", "value_old")
+    b = normalize_profile_results(new).withColumnRenamed("value", "value_new")
+    return a.join(b, ["attribute", "key"], "full_outer").withColumn(
+        "changed", ~F.col("value_old").eqNullSafe(F.col("value_new"))
+    )

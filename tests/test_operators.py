@@ -49,6 +49,29 @@ def test_normalize_profile(spark):
     assert norm.count() == len(prof.columns) - 1
 
 
+def test_compare_profiles(spark):
+    from datapatterns_spark.operators.normalize import compare_profiles
+
+    old = profile(
+        spark.createDataFrame([(s,) for s in ["Dan", "Dan", "Mike"]], "s string")
+    )
+    new = profile(
+        spark.createDataFrame([(s,) for s in ["Dan", "Dan"]], "s string")
+    )
+    d = {
+        (r["attribute"], r["key"]): r
+        for r in compare_profiles(old, new).collect()
+    }
+    rc = d[("s", "rec_count")]
+    assert (rc["value_old"], rc["value_new"], rc["changed"]) == ("3", "2", True)
+    card = d[("s", "cardinality")]
+    assert (card["value_old"], card["value_new"], card["changed"]) == ("2", "1", True)
+    mx = d[("s", "max_length")]
+    assert mx["value_old"] == "4" and mx["changed"] is True  # Mike dropped
+    mode = d[("s", "modes")]
+    assert mode["value_old"] == "Dan:2" and mode["changed"] is False
+
+
 # ---------- Benford ----------
 def test_benford_digit_extraction(spark):
     from pyspark.sql import functions as F
