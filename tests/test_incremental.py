@@ -140,3 +140,33 @@ def test_profile_incremental_resume(fixture_df, tmp_path):
     want = _by_attr(fresh)
     assert got == want
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_state_kinds_array_bool_temporal(spark):
+    """SET OF lengths are element counts and never numeric
+    (Profile.ecl:819-820, 846-847); booleans are always filled with
+    constant length 1; timestamps profile via their rendered string."""
+    import datetime as dt
+
+    rows = [
+        ("p0", ["a", "b"], True, dt.datetime(2024, 1, 1, 12, 0, 0)),
+        ("p0", [], None, dt.datetime(2024, 1, 2, 12, 0, 0)),
+        ("p1", ["x", "y", "z", "w"], False, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "part string, arr array<string>, b boolean, ts timestamp"
+    )
+    out = _by_attr(merge_states(profile_state(df, "part")))
+    arr, b, ts = out["arr"], out["b"], out["ts"]
+    # empty set unfilled; lengths = element counts 2 and 4
+    assert arr["fill_count"] == 2
+    assert (arr["min_length"], arr["max_length"]) == (2, 4)
+    assert arr["numeric_min"] is None  # never numeric
+    # boolean: always filled (NULL canonicalizes to 'false'), len 1
+    assert b["fill_count"] == 3
+    assert (b["min_length"], b["max_length"]) == (1, 1)
+    assert b["cardinality"] == 2  # {true, false-or-null}
+    # timestamp: filled when rendered non-empty; 19-char rendering
+    assert ts["fill_count"] == 2
+    assert (ts["min_length"], ts["max_length"]) == (19, 19)
+    assert ts["cardinality"] == 2
