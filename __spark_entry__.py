@@ -411,8 +411,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         media = MM.make_fake_media_table(spark, n=200)
         feats = MM.extract_features(media, fake=True)
+        # f0 rescaled back to its integral 16-bit source so the DuckDB
+        # oracle compares exactly (float32 round-trip error ~4e-3 << 0.5)
         return feats.select(
-            "media_id", "n_bytes", F.round(F.element_at("features", 1), 4).alias("f0")
+            "media_id",
+            "n_bytes",
+            F.round(F.element_at("features", 1) * 65535)
+            .cast("long")
+            .alias("f0_scaled"),
         )
 
     def q_multimodal_frames(spark, sf):
@@ -628,8 +634,13 @@ SELECT attribute, data_pattern, rec_count, example FROM r WHERE rn <= 100
         where=_STR_FILLED,
     )
     pat0 = _PATTERN0_SQL.format(v="value")
-    profile_best_type = f"""
-WITH src AS ({bt_src}),
+
+    def _bt_lattice(src_sql: str) -> str:
+        """Best-type lattice (flags AND-fold + Len2Size ladder) over a
+        ``(attribute, value)`` union source — reused by
+        profile_best_type and best_record_structure."""
+        return f"""
+WITH src AS ({src_sql}),
 pv AS (SELECT attribute, value, {pat0} AS pat FROM src),
 fl AS (SELECT attribute, length(value) AS len,
               regexp_matches(value, '[^\\x00-\\x7F]') AS uni,
@@ -656,6 +667,63 @@ SELECT attribute,
     ELSE 'string' || (CASE WHEN maxlen > 0 AND maxlen < minlen * 1000 THEN CAST(maxlen AS VARCHAR) ELSE '' END)
   END AS best_attribute_type
 FROM agg
+"""
+
+    profile_best_type = _bt_lattice(bt_src)
+
+    # ---- best_record_structure (layout lines from the same lattice) ----
+    # Spark renders a timestamp's string form as
+    # 'yyyy-MM-dd HH:mm:ss[.fraction]' with trailing fraction zeros
+    # trimmed; replicated here so ts goes through the string lattice
+    # exactly as profile sees it.  The given-numeric columns keep their
+    # given type (Profile.ecl:1002-1023's numeric passthrough) — schema
+    # metadata, emitted as literals.
+    _ts_render = (
+        "strftime(ts, '%Y-%m-%d %H:%M:%S') || "
+        "CASE WHEN strftime(ts, '%f') = '000000' THEN '' "
+        "ELSE '.' || rtrim(strftime(ts, '%f'), '0') END"
+    )
+    brs_src = (
+        "SELECT 'event_type' AS attribute, trim(CAST(event_type AS VARCHAR)) AS value"
+        " FROM events WHERE " + _STR_FILLED.format(c="event_type")
+        + " UNION ALL SELECT 'props' AS attribute, trim(CAST(props AS VARCHAR)) AS value"
+        " FROM events WHERE " + _STR_FILLED.format(c="props")
+        + f" UNION ALL SELECT 'ts' AS attribute, {_ts_render} AS value"
+        " FROM events WHERE ts IS NOT NULL"
+    )
+    best_record_sql = f"""
+WITH best AS ({_bt_lattice(brs_src)})
+SELECT 'NewLayout := RECORD' AS txt
+UNION ALL SELECT '    bigint event_id;'
+UNION ALL SELECT '    ' || best_attribute_type || ' ts;' FROM best WHERE attribute = 'ts'
+UNION ALL SELECT '    bigint user_id;'
+UNION ALL SELECT '    ' || best_attribute_type || ' event_type;' FROM best WHERE attribute = 'event_type'
+UNION ALL SELECT '    double value;'
+UNION ALL SELECT '    ' || best_attribute_type || ' props;' FROM best WHERE attribute = 'props'
+UNION ALL SELECT 'END;'
+"""
+
+    # ---- multimodal (deterministic fake-decode stubs) ----
+    # make_fake_media_table: payload = ascii(sha256_hex('42:' || id)) x 8;
+    # every third id (0,3,...) is a 5000ms video, others are images with
+    # duration 0.  sample_frames(every_ms=1000) -> 5 frames per video.
+    multimodal_frames_sql = (
+        "SELECT CAST(3 * i AS BIGINT) AS media_id, CAST(5 AS BIGINT) AS n_frames "
+        "FROM range(40) t(i)"
+    )
+    # extract_features: n_bytes = len(payload) = 512; features[0] =
+    # first 2 bytes of sha256(payload) / 65535 (float32) — compared via
+    # its integral 16-bit source.
+    multimodal_features_sql = """
+WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range(200) t(i)),
+pl AS (SELECT media_id, repeat(sha256('42:' || media_id), 8) AS payload FROM ids),
+h AS (SELECT media_id, CAST(length(payload) AS BIGINT) AS n_bytes, sha256(payload) AS hx FROM pl)
+SELECT media_id, n_bytes,
+  CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+     + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+     + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+     + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS BIGINT) AS f0_scaled
+FROM h
 """
 
     # ---- cardinality_histogram (raw values, no trim/filter) ----
@@ -1129,8 +1197,11 @@ FROM src GROUP BY attribute
         "normalize_profile": normalize_profile_sql,
         "profile_incremental": profile_incremental_sql,
         "profile_compare": profile_compare_sql,
+        "best_record_structure": best_record_sql,
+        "multimodal_features": multimodal_features_sql,
+        "multimodal_frames": multimodal_frames_sql,
         # dedup_minhash_lsh / dedup_simhash / transcript_suite /
-        # profile_approx / ann_ivf_topk / best_record_structure /
-        # text_fingerprint / multimodal_*: probabilistic,
-        # generator-backed, or hash-function-specific -> rows-only
+        # profile_approx / ann_ivf_topk / text_fingerprint: the Spark
+        # side is built on xxhash64 / seeded centroids / HLL sketches,
+        # none of which DuckDB can reproduce -> rows-only
     }

@@ -142,7 +142,11 @@ def make_fake_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
     + typed metadata."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 8
+        # hex-digest bytes (ASCII) rather than raw digest bytes: the
+        # payload stays an opaque binary column to Spark, but a SQL
+        # oracle can reproduce it exactly (DuckDB's sha256 only takes
+        # VARCHAR, so the bytes must be valid text)
+        payload = (hashlib.sha256(f"{seed}:{i}".encode()).hexdigest() * 8).encode()
         rows.append(
             (
                 i,
