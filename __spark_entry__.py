@@ -387,6 +387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return d.select("doc_id", TA.fingerprint(F.col("text")).alias("fp"))
 
+    def q_text_winnow(spark, sf):
+        """Winnowing (MOSS) document fingerprints: k-gram rolling hash
+        + w-window minima, expression-only."""
+        return TA.winnow_table(_t(spark, sf, "documents"), "text", "doc_id")
+
     def q_minhash_lsh(spark, sf):
         return D.minhash_lsh_pairs(
             _t(spark, sf, "documents"), "text", "doc_id", threshold=0.7
@@ -493,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "best_record_structure": q_best_record,
         "text_fingerprint": q_text_fingerprint,
+        "text_winnow": q_text_winnow,
         "profile_incremental": q_profile_incremental,
         "profile_compare": q_profile_compare,
     }
@@ -724,6 +730,36 @@ SELECT media_id, n_bytes,
      + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
      + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS BIGINT) AS f0_scaled
 FROM h
+"""
+
+    # ---- text_winnow (winnowing fingerprints, k=5 w=4) ----
+    # identical modular fold as the Spark expression: mod applied after
+    # every (acc*257 + codepoint) step, all arithmetic in BIGINT.
+    _wn_norm = _NORM_SQL.format(v="text")
+    text_winnow_sql = f"""
+WITH d AS (SELECT doc_id, {_wn_norm} AS s FROM documents),
+p AS (SELECT doc_id, s, length(s) - 4 AS nk FROM d WHERE length(s) >= 5),
+pos AS (
+  SELECT doc_id, nk, s, unnest(generate_series(1, nk)) AS i FROM p
+),
+kh AS (
+  SELECT doc_id, nk, i,
+    ((((((((CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT) % 2147483647) * 257
+      + ord(substr(s, CAST(i AS INT) + 1, 1))) % 2147483647) * 257
+      + ord(substr(s, CAST(i AS INT) + 2, 1))) % 2147483647) * 257
+      + ord(substr(s, CAST(i AS INT) + 3, 1))) % 2147483647) * 257
+      + ord(substr(s, CAST(i AS INT) + 4, 1))) % 2147483647 AS h
+  FROM pos
+),
+win AS (
+  SELECT doc_id, nk, i,
+    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+  FROM kh
+)
+SELECT DISTINCT doc_id, mh AS fp FROM win WHERE nk >= 4 AND i <= nk - 3
+UNION
+SELECT doc_id, MIN(h) AS fp FROM kh WHERE nk < 4 GROUP BY doc_id
 """
 
     # ---- cardinality_histogram (raw values, no trim/filter) ----
@@ -1198,6 +1234,7 @@ FROM src GROUP BY attribute
         "profile_incremental": profile_incremental_sql,
         "profile_compare": profile_compare_sql,
         "best_record_structure": best_record_sql,
+        "text_winnow": text_winnow_sql,
         "multimodal_features": multimodal_features_sql,
         "multimodal_frames": multimodal_frames_sql,
         # dedup_minhash_lsh / dedup_simhash / transcript_suite /

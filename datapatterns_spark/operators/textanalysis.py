@@ -85,6 +85,81 @@ def fingerprint(col: Column) -> Column:
     return F.xxhash64(normalized_text(col))
 
 
+# winnowing (MOSS-style document fingerprinting): polynomial rolling
+# hash over character k-grams, then the minimum of every w-window of
+# consecutive k-gram hashes.  The selected set is the classic
+# winnowing guarantee set (any shared substring of length >= k+w-1
+# yields a shared fingerprint), which is what plagiarism/near-dup
+# pipelines index.  Modulus/base chosen so every intermediate fits a
+# 64-bit long (acc < 2^31, acc*257 + cp < 2^40).
+_WINNOW_MOD = (1 << 31) - 1
+_WINNOW_BASE = 257
+
+
+def winnow_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, w: int = 4,
+) -> DataFrame:
+    """One row per (document, fingerprint) — the invertible index shape
+    a near-dup join consumes (``fps.groupBy("fp")`` finds candidates).
+
+    Pure built-in higher-order expressions: one narrow pass, no
+    shuffle, no Python.  Documents shorter than ``k`` chars yield no
+    rows; documents with fewer than ``w`` k-grams yield the single
+    overall minimum (degenerate window).
+
+    Each stage (codepoints -> k-gram hashes -> window minima) is a
+    SEPARATE Project so the previous stage's array is evaluated once
+    per row: lambda bodies get no subexpression elimination, so
+    inlining ``khash`` into the window-min transform would re-hash the
+    whole document once per window position — O(len^2 * k) per row
+    (measured: minutes instead of milliseconds at 500x300 chars).
+    Catalyst's CollapseProject keeps the stages apart because each
+    alias is non-cheap and referenced more than once."""
+    s = normalized_text(F.col(text_col))
+    cps = F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))
+    staged = df.select(F.col(id_col), cps.alias("_cps"))
+
+    cpsc = F.col("_cps")
+    nk = (F.size(cpsc) - k + 1).cast("int")
+
+    def _khash(i: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: (
+                acc * _WINNOW_BASE + F.element_at(cpsc, (i + j).cast("int"))
+            )
+            % _WINNOW_MOD,
+        )
+
+    # guard: Spark's sequence(1, n) DESCENDS when n < 1 — never build it
+    khash = F.when(
+        nk >= 1, F.transform(F.sequence(F.lit(1), nk), _khash)
+    ).otherwise(F.array().cast("array<long>"))
+    staged = staged.select(F.col(id_col), khash.alias("_kh"))
+
+    khc = F.col("_kh")
+    nw = (F.size(khc) - w + 1).cast("int")
+
+    def _winmin(p: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(w - 1)),
+            F.lit(_WINNOW_MOD).cast("long"),
+            lambda m, j: F.least(m, F.element_at(khc, (p + j).cast("int"))),
+        )
+
+    mins = (
+        F.when(nw >= 1, F.transform(F.sequence(F.lit(1), nw), _winmin))
+        .when(F.size(khc) >= 1, F.array(F.array_min(khc)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.explode(F.array_sort(F.array_distinct(mins))).alias("fp"),
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column block."""
     c = F.col(text_col)

@@ -137,3 +137,54 @@ def test_multimodal_frame_sampling(spark):
     for r in rows:
         per[r["media_id"]] = per.get(r["media_id"], 0) + 1
     assert all(v == 5 for v in per.values())
+
+
+def test_winnow_fingerprints(spark):
+    """Differential vs a pure-Python winnowing oracle + the winnowing
+    guarantee: docs sharing a substring of length >= k+w-1 share a
+    fingerprint."""
+    import re
+    import string
+
+    M, B, K, W = (1 << 31) - 1, 257, 5, 4
+
+    def norm(t):
+        t = (t or "").lower()
+        t = re.sub("[" + re.escape(string.punctuation) + "]", " ", t)
+        return re.sub(r"\s+", " ", t).strip()
+
+    def py_winnow(t):
+        s = norm(t)
+        if len(s) < K:
+            return []
+        hs = []
+        for i in range(len(s) - K + 1):
+            a = 0
+            for ch in s[i : i + K]:
+                a = (a * B + ord(ch)) % M
+            hs.append(a)
+        if len(hs) < W:
+            return sorted({min(hs)})
+        return sorted({min(hs[p : p + W]) for p in range(len(hs) - W + 1)})
+
+    texts = [
+        "Hello, World! Hello world again and again.",
+        "très bïen — the query result token stream",
+        "",
+        "abc",
+        "abcde",
+        "abcdef g",
+        "a shared needle substring xyz here",
+        "elsewhere a shared needle substring xyz too",
+        "ZZZZZZZZZZZZ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {i: set() for i in range(len(texts))}
+    for r in TA.winnow_table(df).collect():
+        got[r["doc_id"]].add(r["fp"])
+    for i, t in enumerate(texts):
+        assert got[i] == set(py_winnow(t)), f"doc {i}: {t!r}"
+    # guarantee: 6 and 7 share "shared needle substring xyz" (>= k+w-1)
+    assert got[6] & got[7]
