@@ -2497,7 +2497,11 @@ def _exact_numeric_stats(hnum: DataFrame) -> DataFrame:
     q3p2 = q3p1 - (half + 1) % 2
 
     def pick(pos: Column) -> Column:
-        return F.min(F.when(F.col("cum") >= pos, F.col("v")))
+        # ECL MIN over an empty set is 0, not NULL (Profile.ecl:1112:
+        # MIN(%...%(valueEndPos >= pos), value)); a quartile position
+        # can exceed wholeNumRecs (n=2: q3Pos1=3), where the reference
+        # therefore yields 0
+        return F.coalesce(F.min(F.when(F.col("cum") >= pos, F.col("v"))), F.lit(0.0))
 
     g = d.groupBy("attribute").agg(
         F.min("v").alias("numeric_min"),
