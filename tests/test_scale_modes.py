@@ -95,13 +95,15 @@ def test_heavy_pattern_candidate_path(spark):
         .alias("t")
     )
     attrs, _ = walk_schema(df.schema, None)
-    # max_patterns well under the sampled candidate count (the 1/16
-    # sample of 2200 rows yields ~60 distinct candidates), so the
-    # popular/rare split has candidates left for the rare side
+    # limit=10 < the ~19 sampled-distinct-pattern estimate (the 1/16
+    # value-hash gate samples whole values, so ~300 true patterns
+    # estimate as ~19) -> the column classifies HEAVY and exercises the
+    # sampled-candidates + exact-resolution machinery; max_patterns
+    # stays well under the candidate count so the rare side is fed
     params = ProfileParams(
         features=("patterns", "fill_rate"),
         mode="approx",
-        approx_pattern_limit=100,
+        approx_pattern_limit=10,
         max_patterns=10,
     )
     out = _profile_flat(df, attrs, params, "", "").collect()[0].asDict(recursive=True)
@@ -186,3 +188,47 @@ def test_driver_tail_matches_cluster_tail(spark, lineitem):
     a = [r.asDict(recursive=True) for r in rows_driver]
     b = [r.asDict(recursive=True) for r in rows_cluster]
     assert a == b
+
+
+def test_heavy_pattern_estimate_mode(spark, monkeypatch):
+    """DP_PATTERN_COUNTS=estimate: one-stage heavy path — no resolution
+    re-scan; dominant patterns still surface, counts are scaled sample
+    counts (multiples of the sample modulus) within sampling error."""
+    from pyspark.sql import functions as F
+
+    from datapatterns_spark.operators.profile import (
+        ProfileParams,
+        _profile_flat,
+    )
+    from datapatterns_spark.plans.schema_walk import walk_schema
+
+    df = spark.range(2200).select(
+        F.when(F.col("id") < 800, F.lit("AB12"))
+        .when((F.col("id") >= 800) & (F.col("id") < 1200), F.lit("zz zz"))
+        .otherwise(
+            F.concat(
+                F.repeat(F.lit("X"), (F.col("id") % 23 + 1).cast("int")),
+                F.repeat(F.lit("7"), (F.col("id") % 13 + 1).cast("int")),
+            )
+        )
+        .alias("t")
+    )
+    attrs, _ = walk_schema(df.schema, None)
+    params = ProfileParams(
+        features=("patterns", "fill_rate"),
+        mode="approx",
+        approx_pattern_limit=10,
+        max_patterns=10,
+    )
+    monkeypatch.setenv("DP_PATTERN_COUNTS", "estimate")
+    out = _profile_flat(df, attrs, params, "", "").collect()[0].asDict(recursive=True)
+    pats = {p["data_pattern"]: p["rec_count"] for p in out["popular_patterns"]}
+    assert "AA99" in pats and "aa aa" in pats
+    # seeded 1/16 Bernoulli -> scaled counts within sampling error
+    assert abs(pats["AA99"] - 803) <= 0.35 * 803
+    assert abs(pats["aa aa"] - 400) <= 0.35 * 400
+    # counts are pure scale-ups of sampled counts
+    assert all(c % 16 == 0 for c in pats.values())
+    rare = {p["data_pattern"] for p in out["rare_patterns"]}
+    assert rare.isdisjoint(set(pats))
+    assert len(rare) > 0
