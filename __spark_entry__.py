@@ -392,6 +392,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         + w-window minima, expression-only."""
         return TA.winnow_table(_t(spark, sf, "documents"), "text", "doc_id")
 
+    def q_winnow_dups(spark, sf):
+        """Near-dup pairs from shared winnowing fingerprints (df-capped
+        inverted-index self-join).  Integral columns only — the float
+        score is a ratio of these."""
+        return TA.winnow_near_dups(
+            _t(spark, sf, "documents"), "text", "doc_id",
+            min_shared_frac=0.5, max_fp_df=100,
+        ).select("id_a", "id_b", "shared", "n_min")
+
     def q_minhash_lsh(spark, sf):
         return D.minhash_lsh_pairs(
             _t(spark, sf, "documents"), "text", "doc_id", threshold=0.7
@@ -499,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_record_structure": q_best_record,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
+        "dedup_winnow": q_winnow_dups,
         "profile_incremental": q_profile_incremental,
         "profile_compare": q_profile_compare,
     }
@@ -760,6 +770,22 @@ win AS (
 SELECT DISTINCT doc_id, mh AS fp FROM win WHERE nk >= 4 AND i <= nk - 3
 UNION
 SELECT doc_id, MIN(h) AS fp FROM kh WHERE nk < 4 GROUP BY doc_id
+"""
+
+    # ---- dedup_winnow (near-dup pairs over shared winnow fps) ----
+    winnow_dups_sql = f"""
+WITH wfp AS ({text_winnow_sql}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM wfp GROUP BY doc_id),
+hot AS (SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) > 100),
+pruned AS (SELECT * FROM wfp WHERE fp NOT IN (SELECT fp FROM hot)),
+sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+       FROM pruned a JOIN pruned b USING (fp) WHERE a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT id_a, id_b, shared, least(sa.n_fp, sb.n_fp) AS n_min
+FROM sh
+JOIN sizes sa ON sa.doc_id = sh.id_a
+JOIN sizes sb ON sb.doc_id = sh.id_b
+WHERE shared * 1000000 >= 500000 * least(sa.n_fp, sb.n_fp)
 """
 
     # ---- cardinality_histogram (raw values, no trim/filter) ----
@@ -1235,6 +1261,7 @@ FROM src GROUP BY attribute
         "profile_compare": profile_compare_sql,
         "best_record_structure": best_record_sql,
         "text_winnow": text_winnow_sql,
+        "dedup_winnow": winnow_dups_sql,
         "multimodal_features": multimodal_features_sql,
         "multimodal_frames": multimodal_frames_sql,
         # dedup_minhash_lsh / dedup_simhash / transcript_suite /

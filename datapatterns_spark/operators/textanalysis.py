@@ -160,6 +160,67 @@ def winnow_table(
     )
 
 
+def winnow_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared_frac: float = 0.5,
+    max_fp_df: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via shared winnowing fingerprints:
+    ``(id_a, id_b, shared, n_min, score)`` for every pair whose shared
+    fingerprint count is >= ``min_shared_frac`` of the smaller doc's
+    fingerprint set (containment — robust when lengths differ).
+
+    Scale shape: candidate pairs come from an inverted-index self-join
+    on fingerprint, after dropping *stop-fingerprints* present in more
+    than ``max_fp_df`` documents (a ubiquitous boilerplate fragment
+    fans out quadratically and carries no discriminative signal — the
+    standard document-frequency cap).  Per-fingerprint fan-out is then
+    bounded by ``max_fp_df**2``; everything else is groupBy + two
+    joins against the tiny per-doc size frame."""
+    fps = winnow_table(df, text_col, id_col, k=k, w=w)
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+        .filter(F.col("df_cnt") > max_fp_df)
+        .select("fp")
+    )
+    pruned = fps.join(hot, "fp", "left_anti")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("_nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_min", F.least("_na", "_nb"))
+        # integer-exact threshold (no float boundary): shared/n_min >= frac
+        .filter(
+            F.col("shared") * F.lit(1_000_000)
+            >= F.lit(int(round(min_shared_frac * 1_000_000))) * F.col("n_min")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            "n_min",
+            (F.col("shared") / F.col("n_min")).alias("score"),
+        )
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column block."""
     c = F.col(text_col)

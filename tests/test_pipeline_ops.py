@@ -188,3 +188,22 @@ def test_winnow_fingerprints(spark):
         assert got[i] == set(py_winnow(t)), f"doc {i}: {t!r}"
     # guarantee: 6 and 7 share "shared needle substring xyz" (>= k+w-1)
     assert got[6] & got[7]
+
+
+def test_winnow_near_dups(spark, docs):
+    """Exact/near dups share >= 80% of the smaller set's fingerprints;
+    unrelated docs never pair."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in TA.winnow_near_dups(
+            docs, "text", "doc_id", min_shared_frac=0.8, max_fp_df=100
+        ).collect()
+    }
+    # 1=2 exact dup, 3 normalizes to the same text -> full containment
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0
+    assert pairs[(2, 3)] == 1.0
+    # 4 is a near dup of 1/2/3 ("sleepy" vs "lazy"): shares most fps
+    assert any(4 in p for p in pairs)
+    # 5 (different content) and 6 (German) pair with nobody
+    assert all(5 not in p and 6 not in p for p in pairs)
