@@ -788,6 +788,123 @@ JOIN sizes sb ON sb.doc_id = sh.id_b
 WHERE shared * 1000000 >= 500000 * least(sa.n_fp, sb.n_fp)
 """
 
+    # ---- xxhash64-exact oracles (text_fingerprint / simhash / minhash) ----
+    # DuckDB has no xxhash; functions/xxh64_sql.py GENERATES a single-
+    # statement SQL pipeline reproducing Spark's XxHash64 bit-for-bit
+    # (HUGEINT mod-2^64 arithmetic, lane folds via list_reduce) — so the
+    # hash-valued operators get exact oracles instead of rows-only.
+    from datapatterns_spark.functions.xxh64_sql import (
+        hash_int_steps,
+        xxh64_str_sql,
+    )
+    from datapatterns_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    norm_text = _NORM_SQL.format(v="text")
+    text_fp_sql = xxh64_str_sql(
+        "documents", ["doc_id"], norm_text, out="fp", cte_prefix="fp"
+    )
+
+    # ---- dedup_simhash: votes over token hashes -> hex -> banded pairs ----
+    # Spark: h = xxhash64(tok, lit(0)) = hashInt(0, hashBytes(tok, 42));
+    # vote per bit b = 2*((h >> b) & 1) - 1, summed over the token STREAM
+    # (occurrences, not distinct); hex digits uppercase (F.conv parity).
+    tok_rel = (
+        f"(SELECT id, UNNEST(string_split(t, ' ')) AS tok FROM "
+        f"(SELECT doc_id AS id, {norm_text} AS t FROM documents))"
+    )
+    sim_hash_pipe = xxh64_str_sql(
+        tok_rel, ["id"], "tok", signed=False,
+        extra_steps=hash_int_steps(0), cte_prefix="sh", out="h",
+    )
+    sim_votes = ", ".join(
+        f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    sim_value = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END"
+        for b in range(64)
+    )
+
+    def _hex4(c: str) -> str:
+        # 4 uppercase hex chars -> int (no hex-literal cast in DuckDB 1.0)
+        return (
+            "("
+            + " + ".join(
+                f"(strpos('0123456789abcdef', substr(lower({c}), {i + 1}, 1)) - 1)"
+                f" * {16 ** (3 - i)}"
+                for i in range(4)
+            )
+            + ")"
+        )
+
+    sim_hamming = " + ".join(
+        f"bit_count(xor({_hex4(f'substr(ha, {i * 4 + 1}, 4)')},"
+        f" {_hex4(f'substr(hb, {i * 4 + 1}, 4)')}))"
+        for i in range(4)
+    )
+    simhash_sql = f"""
+WITH hv AS MATERIALIZED (SELECT id, {sim_votes} FROM ({sim_hash_pipe}) GROUP BY id),
+hx AS MATERIALIZED (SELECT id, lpad(to_hex(({sim_value})::UBIGINT), 16, '0') AS h FROM hv),
+chunks AS MATERIALIZED (
+  SELECT id, h, band, substr(h, band*4 + 1, 4) AS chunk
+  FROM hx CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band)),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.h AS ha, b.h AS hb
+  FROM chunks a JOIN chunks b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id)
+SELECT id_a, id_b, CAST({sim_hamming} AS INT) AS hamming
+FROM cand WHERE {sim_hamming} <= 3
+"""
+
+    # ---- dedup_minhash_lsh: signatures -> band keys -> verified pairs ----
+    # Signature path uses NON-distinct shingles (duplicates don't change
+    # a min); verification recomputes DISTINCT shingle sets (Spark
+    # array_intersect/array_union semantics).
+    mh_p = MINHASH_P
+    mh_ab = minhash_coeffs(64)
+    gram_win = (
+        "list_transform(range(1, len(tk) - 1),"
+        " i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))"
+    )
+    gram_rel = (
+        f"(SELECT id, UNNEST(g) AS gram FROM (SELECT id,"
+        f" CASE WHEN len(tk) >= 3 THEN {gram_win}"
+        f" ELSE [array_to_string(tk, ' ')] END AS g"
+        f" FROM (SELECT doc_id AS id, string_split({norm_text}, ' ') AS tk"
+        f" FROM documents)))"
+    )
+    mh_hash_pipe = xxh64_str_sql(gram_rel, ["id"], "gram", cte_prefix="mh", out="h")
+    mh_mins = ", ".join(
+        f"MIN((x * {a} + {b}) % {mh_p}) AS m{i}" for i, (a, b) in enumerate(mh_ab)
+    )
+    mh_band_structs = ", ".join(
+        f"{{'band': {bnd}, 'key':"
+        f" [m{bnd * 4}, m{bnd * 4 + 1}, m{bnd * 4 + 2}, m{bnd * 4 + 3}]}}"
+        for bnd in range(16)
+    )
+    minhash_sql = f"""
+WITH xs AS MATERIALIZED (SELECT id, ((h % {mh_p}) + {mh_p}) % {mh_p} AS x FROM ({mh_hash_pipe})),
+sig AS MATERIALIZED (SELECT id, {mh_mins} FROM xs GROUP BY id),
+buckets AS MATERIALIZED (
+  SELECT id, bk.band AS band, bk.key AS key
+  FROM (SELECT id, UNNEST([{mh_band_structs}]) AS bk FROM sig)),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+shc AS MATERIALIZED (
+  SELECT id, CASE WHEN len(tk) >= 3 THEN list_distinct({gram_win})
+         ELSE [array_to_string(tk, ' ')] END AS sh
+  FROM (SELECT doc_id AS id, string_split({norm_text}, ' ') AS tk FROM documents)
+  WHERE id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand)),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+  FROM cand c JOIN shc a ON a.id = c.id_a JOIN shc b ON b.id = c.id_b)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7
+"""
+
     # ---- cardinality_histogram (raw values, no trim/filter) ----
     cardinality_histogram = (
         "SELECT 'event_type' AS attribute, coalesce(CAST(event_type AS VARCHAR), '') AS value,"
@@ -1264,8 +1381,10 @@ FROM src GROUP BY attribute
         "dedup_winnow": winnow_dups_sql,
         "multimodal_features": multimodal_features_sql,
         "multimodal_frames": multimodal_frames_sql,
-        # dedup_minhash_lsh / dedup_simhash / transcript_suite /
-        # profile_approx / ann_ivf_topk / text_fingerprint: the Spark
-        # side is built on xxhash64 / seeded centroids / HLL sketches,
-        # none of which DuckDB can reproduce -> rows-only
+        "text_fingerprint": text_fp_sql,
+        "dedup_simhash": simhash_sql,
+        "dedup_minhash_lsh": minhash_sql,
+        # transcript_suite / profile_approx / ann_ivf_topk: the Spark
+        # side is built on HLL/percentile sketches or seeded sampled
+        # centroids, which have no exact SQL form -> rows-only
     }

@@ -174,6 +174,18 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def minhash_coeffs(
+    num_hashes: int, seed: int = 0x5EED, p: int = MINHASH_P
+) -> list[tuple[int, int]]:
+    """The deterministic Carter-Wegman (a_i, b_i) pairs shared by the
+    Spark MinHash signatures and their SQL oracle."""
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -209,9 +221,8 @@ def minhash_lsh_pairs(
     # (ANSI-safe).  The naive form (num_hashes seeded xxhash64 calls
     # per shingle) re-hashes the shingle BYTES per hash function —
     # measured ~60% of this operator's wall at bench scale.
-    p = (1 << 31) - 1  # Mersenne prime 2^31-1
-    rnd = random.Random(0x5EED)
-    ab = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
+    p = MINHASH_P
+    ab = minhash_coeffs(num_hashes)
     x = F.pmod(F.xxhash64("g"), F.lit(p))
     inv = inv.select("id", x.alias("x"))
     sig = inv.groupBy("id").agg(
