@@ -1076,6 +1076,72 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neig
 SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, CAST(rn AS INT) AS rank FROM r WHERE rn <= 5
 """
 
+    # ---- ann_ivf_topk (exact oracle: centroids are deterministic
+    # seeded literals; every double fold replicated in Spark's exact
+    # left-to-right order so cell assignment and cosine agree
+    # bit-for-bit) ----
+    from datapatterns_spark.operators.similarity import _random_centroids
+
+    ivf_cents = _random_centroids(64, 16, 42)
+
+    def _dot_lit(vec_col: str, weights: list[float]) -> str:
+        # Spark: F.aggregate(zip_with(vec, lits, x*w), 0.0, s+x) — a
+        # left fold; SQL + is left-associative, so the text below adds
+        # in the identical order.  Literals go through a VARCHAR cast
+        # (bare decimals parse as DECIMAL in DuckDB, not DOUBLE).
+        terms = " + ".join(
+            f"{vec_col}[{i + 1}]::DOUBLE * ('{w!r}'::DOUBLE)"
+            for i, w in enumerate(weights)
+        )
+        return f"(0.0::DOUBLE + {terms})"
+
+    def _cell_structs(vec_col: str) -> str:
+        return ", ".join(
+            f"{{'d': -({_dot_lit(vec_col, c)}), 'c': {i}}}"
+            for i, c in enumerate(ivf_cents)
+        )
+
+    def _fold_cos(qv: str, cv: str) -> str:
+        # ordered folds for dot and both norms (dedup.cosine parity)
+        dot = (
+            f"list_reduce(list_prepend(0.0::DOUBLE,"
+            f" list_transform(generate_series(1, 64),"
+            f" i -> {qv}[i]::DOUBLE * {cv}[i]::DOUBLE)), (s, x) -> s + x)"
+        )
+        na = (
+            f"sqrt(list_reduce(list_prepend(0.0::DOUBLE,"
+            f" list_transform(generate_series(1, 64),"
+            f" i -> {qv}[i]::DOUBLE * {qv}[i]::DOUBLE)), (s, x) -> s + x))"
+        )
+        nb = (
+            f"sqrt(list_reduce(list_prepend(0.0::DOUBLE,"
+            f" list_transform(generate_series(1, 64),"
+            f" i -> {cv}[i]::DOUBLE * {cv}[i]::DOUBLE)), (s, x) -> s + x))"
+        )
+        return f"({dot}) / (({na}) * ({nb}))"
+
+    ann_ivf_sql = f"""
+WITH cor AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id,
+         list_sort([{_cell_structs("embedding")}])[1].c AS cell
+  FROM embeddings),
+qc AS MATERIALIZED (
+  SELECT vec_id AS query_id,
+         UNNEST(list_transform(list_sort([{_cell_structs("embedding")}])[1:8], s -> s.c)) AS cell
+  FROM embeddings WHERE vec_id IN (1, 2, 3)),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT q.query_id, c.neighbor_id
+  FROM cor c JOIN qc q USING (cell) WHERE q.query_id <> c.neighbor_id),
+scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         ROUND({_fold_cos("qe.embedding", "ce.embedding")}, 6) AS cos
+  FROM pairs p
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ce ON ce.vec_id = p.neighbor_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rank FROM r WHERE rn <= 5
+"""
+
     # ---- exact dedup ----
     norm = _NORM_SQL.format(v="text")
     dedup_exact_sql = f"""
@@ -1384,7 +1450,8 @@ FROM src GROUP BY attribute
         "text_fingerprint": text_fp_sql,
         "dedup_simhash": simhash_sql,
         "dedup_minhash_lsh": minhash_sql,
-        # transcript_suite / profile_approx / ann_ivf_topk: the Spark
-        # side is built on HLL/percentile sketches or seeded sampled
-        # centroids, which have no exact SQL form -> rows-only
+        "ann_ivf_topk": ann_ivf_sql,
+        # transcript_suite / profile_approx: the Spark side is built on
+        # HLL / percentile sketches, which have no exact SQL form ->
+        # rows-only
     }
