@@ -33,15 +33,63 @@ def validation_sink(checks, partition_col: str, output_path: str, key_cols=None)
         verdicts, violations = run_checks(
             batch_df, checks, partition_col=partition_col, key_cols=key_cols
         )
+        # per-batch subdirectories + overwrite: foreachBatch replays a
+        # micro-batch after a failure, so an append here would double-
+        # count — the overwrite makes the replay idempotent
         (
             verdicts.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(f"{output_path}/verdicts")
+            .write.mode("overwrite")
+            .parquet(f"{output_path}/verdicts/batch={batch_id}")
         )
         (
             violations.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(f"{output_path}/violations")
+            .write.mode("overwrite")
+            .parquet(f"{output_path}/violations/batch={batch_id}")
         )
 
     return _sink
+
+
+def profile_state_sink(
+    state_path: str,
+    partition_col=None,
+    field_list=None,
+    allow_zero: bool = False,
+):
+    """Return a ``foreachBatch`` function that profiles each
+    micro-batch into MERGEABLE state rows (operators/incremental.py) —
+    a rolling whole-stream profile without ever re-scanning old data::
+
+        stream.writeStream.foreachBatch(
+            profile_state_sink("/out")).trigger(availableNow=True).start()
+
+    Read the running profile at any time with
+    :func:`stream_profile`.  Every statistic is exact vs a batch pass
+    over everything seen so far except cardinality (HLL union — and
+    HLL register-max union is grouping-independent, so the estimate
+    equals the single-pass sketch's).  Batch writes go to per-batch
+    subdirectories with overwrite so foreachBatch's replay-on-failure
+    semantics stay exactly-once."""
+    from ..operators.incremental import profile_state
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            profile_state(
+                batch_df,
+                partition_col,
+                field_list=field_list,
+                allow_zero=allow_zero,
+            )
+            .write.mode("overwrite")
+            .parquet(f"{state_path}/states/batch={batch_id}")
+        )
+
+    return _sink
+
+
+def stream_profile(spark, state_path: str) -> DataFrame:
+    """Fold every state row written by :func:`profile_state_sink` into
+    one profile summary row per attribute (no data rescans)."""
+    from ..operators.incremental import merge_states
+
+    return merge_states(spark.read.parquet(f"{state_path}/states/batch=*"))
