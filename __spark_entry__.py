@@ -417,8 +417,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return verdicts.select("check_name", "passed", "violation_count")
 
     def q_profile_approx(spark, sf):
+        """The 10^12-row profile path.  Projected to its DETERMINISTIC
+        columns so the driver gets an exact value check: counts,
+        lengths and numeric moments are exact even in approx mode
+        (single-pass sums); cardinality/quartiles are HLL/percentile
+        sketches (excluded here — tolerance-tested in
+        tests/test_scale_modes.py)."""
         p = profile(_t(spark, sf, "lineitem"), mode="approx")
-        return p.select("attribute", "rec_count", "fill_count", "cardinality")
+        return p.select(
+            "attribute", "rec_count", "fill_count",
+            "min_length", "max_length", "ave_length",
+            "numeric_min", "numeric_max", "numeric_mean", "numeric_std_dev",
+        )
 
     def q_multimodal_features(spark, sf):
         from datapatterns_spark.operators import multimodal as MM
@@ -1142,6 +1152,48 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neig
 SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rank FROM r WHERE rn <= 5
 """
 
+    # ---- profile_approx (deterministic columns of the approx path:
+    # counts, rendered-string lengths, DECIMAL32_4 numeric moments) ----
+    pa_parts = []
+    for c in LI_NUMERIC:
+        pa_parts.append(
+            f"SELECT '{c}' AS attribute,"
+            f" CASE WHEN {_NUM_FILLED.format(c=c)} THEN 1 ELSE 0 END AS fil,"
+            f" CASE WHEN {_NUM_FILLED.format(c=c)}"
+            f" THEN length(CAST({c} AS VARCHAR)) END AS len,"
+            f" CASE WHEN {_NUM_FILLED.format(c=c)}"
+            f" THEN CAST({c} AS DOUBLE) END AS v"
+            f" FROM lineitem"
+        )
+    for c in LI_STRING:
+        pa_parts.append(
+            f"SELECT '{c}' AS attribute,"
+            f" CASE WHEN {_STR_FILLED.format(c=c)} THEN 1 ELSE 0 END AS fil,"
+            f" CASE WHEN {_STR_FILLED.format(c=c)}"
+            f" THEN length(trim({c})) END AS len,"
+            f" CAST(NULL AS DOUBLE) AS v FROM lineitem"
+        )
+    pa_parts.append(
+        "SELECT 'l_shipdate' AS attribute,"
+        " CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END AS fil,"
+        " CASE WHEN l_shipdate IS NOT NULL"
+        " THEN length(CAST(l_shipdate AS VARCHAR)) END AS len,"
+        " CAST(NULL AS DOUBLE) AS v FROM lineitem"
+    )
+    profile_approx_sql = (
+        "SELECT attribute, COUNT(*) AS rec_count,"
+        " CAST(SUM(fil) AS BIGINT) AS fill_count,"
+        " CAST(MIN(len) AS BIGINT) AS min_length,"
+        " CAST(MAX(len) AS BIGINT) AS max_length,"
+        " CAST(FLOOR(SUM(len) * 1.0 / SUM(fil)) AS BIGINT) AS ave_length,"
+        " COALESCE(ROUND(MIN(v), 4), 0) AS numeric_min,"
+        " COALESCE(ROUND(MAX(v), 4), 0) AS numeric_max,"
+        " COALESCE(ROUND(AVG(v), 4), 0) AS numeric_mean,"
+        " COALESCE(ROUND(SQRT(AVG(v * v) - AVG(v) * AVG(v)), 4), 0)"
+        " AS numeric_std_dev"
+        " FROM (" + " UNION ALL ".join(pa_parts) + ") GROUP BY attribute"
+    )
+
     # ---- exact dedup ----
     norm = _NORM_SQL.format(v="text")
     dedup_exact_sql = f"""
@@ -1451,7 +1503,7 @@ FROM src GROUP BY attribute
         "dedup_simhash": simhash_sql,
         "dedup_minhash_lsh": minhash_sql,
         "ann_ivf_topk": ann_ivf_sql,
-        # transcript_suite / profile_approx: the Spark side is built on
-        # HLL / percentile sketches, which have no exact SQL form ->
-        # rows-only
+        "profile_approx": profile_approx_sql,
+        # transcript_suite: drift/Benford stat checks ride HLL /
+        # percentile sketches with no exact SQL form -> rows-only
     }
