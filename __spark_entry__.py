@@ -452,6 +452,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         frames = MM.sample_frames(media, every_ms=1000, fake=True)
         return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
+    def q_multimodal_resize(spark, sf):
+        from datapatterns_spark.operators import multimodal as MM
+
+        media = MM.make_fake_media_table(spark, n=200)
+        resized = MM.resize_media(media, width=64, height=48, fake=True)
+        # payload is ASCII hex by convention -> compare as text
+        return resized.select(
+            "media_id",
+            F.col("media").cast("string").alias("media"),
+            "width",
+            "height",
+        )
+
     def q_profile_incremental(spark, sf):
         """Mergeable per-partition profile states folded into a table
         profile: merge of per-o_orderpriority states must equal a
@@ -514,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_approx": q_profile_approx,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         "ann_ivf_topk": q_ann_ivf,
         "best_record_structure": q_best_record,
         "text_fingerprint": q_text_fingerprint,
@@ -750,6 +764,15 @@ SELECT media_id, n_bytes,
      + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
      + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS BIGINT) AS f0_scaled
 FROM h
+"""
+
+    # ---- multimodal_resize (fake resize: sha256(payload + "WxH")) ----
+    multimodal_resize_sql = """
+WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range(200) t(i)),
+pl AS (SELECT media_id, repeat(sha256('42:' || media_id), 8) AS payload FROM ids)
+SELECT media_id, sha256(payload || '64x48') AS media,
+       64 AS width, 48 AS height
+FROM pl
 """
 
     # ---- text_winnow (winnowing fingerprints, k=5 w=4) ----
@@ -1499,6 +1522,7 @@ FROM src GROUP BY attribute
         "dedup_winnow": winnow_dups_sql,
         "multimodal_features": multimodal_features_sql,
         "multimodal_frames": multimodal_frames_sql,
+        "multimodal_resize": multimodal_resize_sql,
         "text_fingerprint": text_fp_sql,
         "dedup_simhash": simhash_sql,
         "dedup_minhash_lsh": minhash_sql,

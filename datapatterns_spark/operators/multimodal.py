@@ -137,6 +137,57 @@ def sample_frames(
     return slim.mapInPandas(batches, out_schema)
 
 
+def resize_media(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    width: int = 64,
+    height: int = 48,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize plumbing for image payloads: one output row per input
+    with the re-encoded payload and updated dimensions.  Real decode/
+    re-encode is stubbed (no codec libraries here); ``fake=True``
+    derives the "resized" payload deterministically as the hex digest
+    of (payload + "WxH") — keeping the ASCII-text payload convention of
+    :func:`make_fake_media_table` so a SQL oracle reproduces it."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    w, h = int(width), int(height)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl  # self-contained: see extract_features
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image resizing requires codec libraries not present in "
+                    "this environment; pass fake=True for the deterministic stub"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "media": [
+                        _hl.sha256((b or b"") + f"{w}x{h}".encode())
+                        .hexdigest()
+                        .encode()
+                        for b in pdf[media_col]
+                    ],
+                    "width": w,
+                    "height": h,
+                }
+            )
+
+    slim = df.select(id_col, media_col)
+    return slim.mapInPandas(batches, out_schema)
+
+
 def make_fake_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for tests: binary payloads
     + typed metadata."""

@@ -139,6 +139,23 @@ def test_multimodal_frame_sampling(spark):
     assert all(v == 5 for v in per.values())
 
 
+def test_multimodal_resize(spark):
+    import hashlib
+
+    from datapatterns_spark.operators.multimodal import resize_media
+
+    media = make_fake_media_table(spark, n=12)
+    rows = resize_media(media, width=64, height=48, fake=True).collect()
+    assert len(rows) == 12
+    assert all(r["width"] == 64 and r["height"] == 48 for r in rows)
+    src = {r["media_id"]: bytes(r["media"]) for r in media.collect()}
+    for r in rows:
+        want = hashlib.sha256(src[r["media_id"]] + b"64x48").hexdigest().encode()
+        assert bytes(r["media"]) == want
+    with pytest.raises(Exception):
+        resize_media(media, fake=False).collect()
+
+
 def test_winnow_fingerprints(spark):
     """Differential vs a pure-Python winnowing oracle + the winnowing
     guarantee: docs sharing a substring of length >= k+w-1 share a
