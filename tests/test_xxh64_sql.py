@@ -53,9 +53,11 @@ def _corpus() -> list[str]:
         "w" * 100,     # 3 stripes + every tail class
         "Ünïcødé ÉË",  # 2-byte UTF-8
         "日本語テキスト",  # 3-byte UTF-8
+        "emoji \U0001f600\U0001f680 end",  # 4-byte UTF-8 (astral plane)
+        "\U0001f600" * 9,  # 36 bytes of pure 4-byte sequences
         "tab\tand\nnewline",
     ]
-    alphabet = string.printable[:94] + "éüßΩ日"
+    alphabet = string.printable[:94] + "éüßΩ日\U0001f680"
     return fixed + [
         "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(0, 120)))
         for _ in range(30)
