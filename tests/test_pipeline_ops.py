@@ -65,6 +65,31 @@ def test_simhash_pairs(spark, docs):
     assert not any((a == 5 or b == 5) for a, b in got)
 
 
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Measured approximation quality of the LSH scale path on real
+    testdata: against exact all-pairs n-gram Jaccard at the same
+    threshold, the verified-LSH output must (a) be a SUBSET (the exact-
+    Jaccard verification allows no false positives) and (b) recall the
+    theoretical S-curve floor — at J=0.7 with 16 bands x 4 rows,
+    P(candidate) = 1-(1-0.7^4)^16 ~ 0.99."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.7
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.7
+        ).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    assert lsh <= exact  # no false positives
+    assert len(lsh) / len(exact) >= 0.8  # S-curve recall floor
+
+
 def test_embedding_pairs_brute_vs_lsh(spark):
     import random
 
