@@ -1,0 +1,55 @@
+"""End-to-end test of the spark-submit deployment entry
+(scripts/run_job.py) — the north_rule's cluster protocol artifact.
+
+Runs the CLI in subprocesses (it owns and stops its SparkSession):
+fresh run writes profile + verdicts + violations + manifest; a
+``--resume`` run over the same output skips every COMPLETE partition
+(no duplicate manifest entries, identical verdicts).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+REPO = "/root/repo"
+
+
+def _run(args: list[str]) -> str:
+    out = subprocess.run(
+        [sys.executable, f"{REPO}/scripts/run_job.py", *args],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_run_job_generate_and_resume(tmp_path, spark):
+    outdir = str(tmp_path / "job_out")
+    stdout = _run(
+        ["--generate", "300", "--output", outdir, "--batch-size", "4",
+         "--master", "local[8]"]
+    )
+    assert "profiled+validated" in stdout
+
+    prof = spark.read.parquet(f"{outdir}/profile")
+    assert prof.count() >= 6  # conv_id/turn_idx/role/text/tool/ts
+    scalars = spark.read.parquet(f"{outdir}/profile_scalars")
+    assert "cardinality_breakdown" not in scalars.columns
+    verdicts = spark.read.parquet(f"{outdir}/verdicts")
+    manifest = spark.read.parquet(f"{outdir}/manifest")
+    n_manifest = manifest.count()
+    assert n_manifest == 16  # one COMPLETE row per hash partition
+    v_before = sorted(map(str, verdicts.collect()))
+
+    # resume over the same output: everything already COMPLETE -> no
+    # new manifest rows, verdicts unchanged
+    _run(
+        ["--generate", "300", "--output", outdir, "--batch-size", "4",
+         "--master", "local[8]", "--resume"]
+    )
+    assert spark.read.parquet(f"{outdir}/manifest").count() == n_manifest
+    v_after = sorted(map(str, spark.read.parquet(f"{outdir}/verdicts").collect()))
+    assert v_after == v_before
