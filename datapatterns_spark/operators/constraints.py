@@ -360,9 +360,16 @@ def run_checks(
     # ---- group checks: shared shuffle on the group key ----
     group_fail_structs: list[Column] = []
     group_check_cols: set[str] = set()
-    # windows used by monotonic checks, for exchange-sharing rewrites
+    # windows used by monotonic checks, for exchange-sharing rewrites.
+    # maps (group, order) -> ts column: the ts rides the sort as the
+    # final tiebreak so rows with DUPLICATE order keys (a planted
+    # anomaly) have a DETERMINISTIC lag/lead neighborhood — without it
+    # the tie order is shuffle-arrival order and the regression count
+    # can differ between runs/engines.  Semantics: monotone iff SOME
+    # ordering of tied rows makes ts monotone (a regression between
+    # tied rows is the uniqueness check's finding, not this one's).
     mono_windows = {
-        (c.params["group"], c.params["order"])
+        (c.params["group"], c.params["order"]): c.params["ts"]
         for c in group_checks
         if c.params["op"] == "monotonic"
     }
@@ -383,7 +390,9 @@ def run_checks(
                 # not flagged here; keys with NULLs take the generic
                 # count-window path below.)
                 g, o = p["cols"]
-                w = Window.partitionBy(g).orderBy(o)
+                w = Window.partitionBy(g).orderBy(
+                    o, mono_windows[(g, o)]
+                )
                 oc = F.col(o)
                 dup = (oc == F.lag(oc).over(w)) | (oc == F.lead(oc).over(w))
                 detail = F.concat(
@@ -410,7 +419,9 @@ def run_checks(
                 )
             )
         elif p["op"] == "monotonic":
-            w = Window.partitionBy(p["group"]).orderBy(p["order"])
+            # ts tiebreak: deterministic neighborhoods for duplicate
+            # order keys (see mono_windows note above)
+            w = Window.partitionBy(p["group"]).orderBy(p["order"], p["ts"])
             prev = F.lag(F.col(p["ts"])).over(w)
             detail = F.concat(
                 F.lit("ts regression: "),

@@ -59,6 +59,34 @@ def test_monotonic_check(spark):
     assert viol.collect()[0]["detail"].startswith("ts regression")
 
 
+def test_monotonic_duplicate_order_keys_deterministic(spark):
+    """Rows sharing an order key sort by ts within the tie, so a
+    duplicate key never reads as a ts regression (that's the
+    uniqueness check's finding) — and the count is deterministic
+    regardless of shuffle arrival order."""
+    rows = [
+        ("c1", 0, 100.0),
+        ("c1", 1, 110.0),
+        ("c1", 1, 115.0),  # duplicate key, later ts: NOT a regression
+        ("c1", 2, 120.0),
+        ("c2", 0, 50.0),
+        ("c2", 1, 40.0),  # true regression
+    ]
+    df = spark.createDataFrame(rows, "conv string, t int, tsv double").withColumn(
+        "ts", F.timestamp_seconds("tsv")
+    )
+    checks = [
+        C.unique("uniq", ["conv", "t"]),
+        C.monotonic("mono", "ts", "conv", "t"),
+    ]
+    for _ in range(3):  # stable across repeated plans
+        verdicts = {
+            r["check_name"]: r["violation_count"]
+            for r in C.run_checks(df, checks, key_cols=["conv", "t"])[0].collect()
+        }
+        assert verdicts == {"uniq": 2, "mono": 1}
+
+
 def test_per_partition_verdicts(spark):
     df = spark.createDataFrame(
         [("p0", 1), ("p0", 1), ("p1", 2)], "part string, k int"
