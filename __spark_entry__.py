@@ -766,6 +766,29 @@ SELECT media_id, n_bytes,
 FROM h
 """
 
+    # ---- transcript_suite (flagship checks, generator re-derived) ----
+    # generate_transcripts is pure xxhash64 arithmetic, so DuckDB can
+    # regenerate the identical table from (n, seed) and re-derive every
+    # suite verdict from first principles (functions/transcripts_sql.py)
+    from datapatterns_spark.functions.transcripts_sql import (
+        transcript_suite_sql,
+    )
+    from datapatterns_spark.operators.constraints import CRITICAL_1, EXPECTED
+    from datapatterns_spark.sources.transcripts import (
+        _TURN_KS_BASELINE,
+        _TURN_PSI_BASELINE,
+    )
+
+    transcript_suite_oracle = transcript_suite_sql(
+        n_conversations=2000,
+        seed=42,
+        violation_rate=0.003,
+        psi_baseline=_TURN_PSI_BASELINE,
+        ks_baseline=_TURN_KS_BASELINE,
+        benford_expected=EXPECTED[1],
+        benford_critical=CRITICAL_1,
+    )
+
     # ---- multimodal_resize (fake resize: sha256(payload + "WxH")) ----
     multimodal_resize_sql = """
 WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range(200) t(i)),
@@ -1528,6 +1551,5 @@ FROM src GROUP BY attribute
         "dedup_minhash_lsh": minhash_sql,
         "ann_ivf_topk": ann_ivf_sql,
         "profile_approx": profile_approx_sql,
-        # transcript_suite: drift/Benford stat checks ride HLL /
-        # percentile sketches with no exact SQL form -> rows-only
+        "transcript_suite": transcript_suite_oracle,
     }

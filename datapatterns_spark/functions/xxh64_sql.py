@@ -119,13 +119,19 @@ def chain_steps(base: str, keys: list[str], carry: list[str],
     return frag, prev
 
 
-def hash_int_steps(value: int) -> list[str]:
+def hash_int_steps(value: int | str) -> list[str]:
     """Spark XxHash64 folding steps for a 4-byte int child:
-    ``hashInt(value, seed={h})`` over an unsigned running hash."""
-    u32 = value % M32
+    ``hashInt(value, seed={h})`` over an unsigned running hash.
+    ``value`` may be a Python int or a SQL expression (a NON-NEGATIVE
+    int column — Java's ``input & 0xFFFFFFFFL`` reduces to a plain mod
+    then)."""
+    if isinstance(value, str):
+        u32 = f"(({value})::HUGEINT % {M32})"
+    else:
+        u32 = f"{value % M32}::HUGEINT"
     return [
         f"(({{h}}) + {P5} + 4) % {M64}",
-        _xor("{h}", _mmc(f"{u32}::HUGEINT", P1)),
+        _xor("{h}", _mmc(u32, P1)),
         f"(({_mmc(_rotl('{h}', 23), P2)} + {P3}) % {M64})",
         *_avalanche_steps(),
     ]
@@ -142,6 +148,76 @@ def hash_long_steps(value_expr: str) -> list[str]:
         f"(({_mmc(_rotl('{h}', 27), P1)} + {P4}) % {M64})",
         *_avalanche_steps(),
     ]
+
+
+# --------------------------------------------------------------------------
+# pure-Python folds (constant precomputation + independent oracle model)
+# --------------------------------------------------------------------------
+def _avalanche_py(h: int) -> int:
+    h ^= h >> 33
+    h = (h * P2) % M64
+    h ^= h >> 29
+    h = (h * P3) % M64
+    h ^= h >> 32
+    return h
+
+
+def _rotl_py(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) % M64
+
+
+def xxh64_int_py(value: int, seed: int) -> int:
+    """Spark ``XXH64.hashInt`` (4-byte child fold) in pure Python."""
+    h = (seed + P5 + 4) % M64
+    h ^= ((value % M32) * P1) % M64
+    h = (_rotl_py(h, 23) * P2 + P3) % M64
+    return _avalanche_py(h)
+
+
+def xxh64_long_py(value: int, seed: int) -> int:
+    """Spark ``XXH64.hashLong`` (8-byte child fold) in pure Python."""
+    h = (seed + P5 + 8) % M64
+    h ^= (_rotl_py((value % M64) * P2 % M64, 31) * P1) % M64
+    h = (_rotl_py(h, 27) * P1 + P4) % M64
+    return _avalanche_py(h)
+
+
+def to_signed_py(h: int) -> int:
+    return h - M64 if h >= (1 << 63) else h
+
+
+def multi_hash_sql(
+    input_sql: str,
+    keys: list[str],
+    specs: list[tuple[str, str, list[str]]],
+    prefix: str,
+) -> str:
+    """Chain several hash computations over one relation.
+
+    ``specs``: ``(out_col, init_expr, step_templates)`` per hash — each
+    runs as its own CTE chain (init -> steps referencing ``{h}``), and
+    every completed ``out_col`` is carried so later specs and the final
+    SELECT can use it.  Returns a full ``WITH ... SELECT keys+outs``
+    statement (single statement, macro-free)."""
+    kcols = ", ".join(keys)
+    sql = f"WITH {prefix}b AS (SELECT {kcols} FROM {input_sql})\n"
+    carry: list[str] = []
+    prev = f"{prefix}b"
+    for idx, (out, init, steps) in enumerate(specs):
+        kc = keys + carry
+        sql += (
+            f", {prefix}i{idx} AS (SELECT {', '.join(kc)}, ({init})::HUGEINT AS h"
+            f" FROM {prev})\n"
+        )
+        frag, prev = chain_steps(f"{prefix}i{idx}", kc, [], steps, f"{prefix}s{idx}_")
+        sql += frag
+        sql += (
+            f", {prefix}o{idx} AS (SELECT {', '.join(kc)}, h AS {out} FROM {prev})\n"
+        )
+        prev = f"{prefix}o{idx}"
+        carry.append(out)
+    sql += f"SELECT {', '.join(keys + carry)} FROM {prev}"
+    return sql
 
 
 def to_signed(h_expr: str) -> str:
