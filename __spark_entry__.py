@@ -202,6 +202,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         verdicts, _ = C.run_checks(ev, checks, key_cols=["event_id"])
         return verdicts.select("check_name", "passed", "violation_count")
 
+    def q_verdicts_per_partition(spark, sf):
+        """Per-PARTITION verdict grain (the north_rule's output shape):
+        one (partition, check) row per o_orderpriority value, with a
+        duplicate-key group that spans partitions counted by each
+        member row's own partition."""
+        od = _t(spark, sf, "orders")
+        checks = [
+            C.unique("unique_cust_date", ["o_custkey", "o_orderdate"]),
+            C.in_domain("status_closed", "o_orderstatus", ["O", "F"]),
+            C.row_rule("price_positive", "o_totalprice >= 0"),
+        ]
+        verdicts, _ = C.run_checks(
+            od, checks, partition_col="o_orderpriority", key_cols=["o_orderkey"]
+        )
+        return verdicts.select(
+            "partition", "check_name", "passed", "violation_count"
+        )
+
     def q_drift_psi(spark, sf):
         li = _t(spark, sf, "lineitem")
         baseline = [1.0 / 32] * 32
@@ -505,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digit1": q_benford,
         "validate_rules": q_validate,
         "constraint_verdicts": q_constraint_verdicts,
+        "verdicts_per_partition": q_verdicts_per_partition,
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
         "validate_allfilled": q_validate_allfilled,
@@ -764,6 +783,34 @@ SELECT media_id, n_bytes,
      + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
      + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS BIGINT) AS f0_scaled
 FROM h
+"""
+
+    # ---- verdicts_per_partition (per-partition verdict grain) ----
+    verdicts_per_partition_sql = """
+WITH parts AS (SELECT DISTINCT o_orderpriority AS partition FROM orders),
+dup AS (
+  SELECT o.o_orderpriority AS partition, COUNT(*) AS vc
+  FROM orders o
+  JOIN (SELECT o_custkey, o_orderdate FROM orders
+        GROUP BY 1, 2 HAVING COUNT(*) > 1) d
+    USING (o_custkey, o_orderdate)
+  GROUP BY 1),
+dom AS (
+  SELECT o_orderpriority AS partition,
+         SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F') OR o_orderstatus IS NULL
+                  THEN 1 ELSE 0 END) AS vc
+  FROM orders GROUP BY 1),
+pr AS (
+  SELECT o_orderpriority AS partition,
+         SUM(CASE WHEN NOT (o_totalprice >= 0) OR o_totalprice IS NULL
+                  THEN 1 ELSE 0 END) AS vc
+  FROM orders GROUP BY 1)
+SELECT partition, 'unique_cust_date' AS check_name,
+       COALESCE(vc, 0) = 0 AS passed,
+       COALESCE(vc, 0)::BIGINT AS violation_count
+FROM parts LEFT JOIN dup USING (partition)
+UNION ALL SELECT partition, 'status_closed', vc = 0, vc::BIGINT FROM dom
+UNION ALL SELECT partition, 'price_positive', vc = 0, vc::BIGINT FROM pr
 """
 
     # ---- transcript_suite (flagship checks, generator re-derived) ----
@@ -1552,4 +1599,5 @@ FROM src GROUP BY attribute
         "ann_ivf_topk": ann_ivf_sql,
         "profile_approx": profile_approx_sql,
         "transcript_suite": transcript_suite_oracle,
+        "verdicts_per_partition": verdicts_per_partition_sql,
     }
