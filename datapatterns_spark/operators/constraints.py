@@ -191,6 +191,7 @@ def run_checks(
     partition_col: str | Column | None = None,
     key_cols: list[str] | None = None,
     partitions: list[str] | None = None,
+    segment_size: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run every check, returning ``(verdicts, violations)``.
 
@@ -226,6 +227,28 @@ def run_checks(
     over ``Window.partitionBy(g).orderBy(o)`` whenever a monotonic
     check already uses that exact window, so both ride the same Window
     operator.  The two passes are materialized concurrently.
+
+    ``segment_size`` (opt-in skew hardening): a window partitioned by
+    the bare group key puts EVERY row of a group in one task — a
+    pathological group (a viral / runaway-agent conv_id with 10^8+
+    turns) becomes an unsplittable straggler that AQE cannot divide
+    (skew handling can split shuffle partitions, never one window
+    key).  With ``segment_size=S``, every monotonic check whose order
+    key is integral — and any uniqueness check fused onto its window —
+    partitions by ``(group, floor(order / S))`` instead, bounding each
+    task by one segment of the order key; cross-segment adjacency
+    (a regression spanning a segment boundary) is reconciled by a
+    second branch of the same plan that reduces each segment to its
+    first/last ``(order, ts)`` edges with a plain map-side-combining
+    ``min/max(struct)`` aggregation (one extra column-pruned scan, no
+    sort, near-empty shuffle) and replays the lag comparison over the
+    per-group segment list (tiny: one row per non-empty segment).
+    Verdicts and violation rows are identical
+    to the unsegmented plan for any S ≥ 1 (duplicate order keys always
+    share a segment, so the fused uniqueness rewrite is unaffected).
+    Rows with a NULL order key share the NULL segment (ordered first,
+    like the unsegmented NULLS FIRST sort).  Non-integral order keys
+    keep the unsegmented window.
     """
     spark = df.sparkSession
     part = (
@@ -373,6 +396,30 @@ def run_checks(
         for c in group_checks
         if c.params["op"] == "monotonic"
     }
+    # segment_size mode: (group, order) -> the segment expression that
+    # joins the window's partition key (see docstring).  Only integral
+    # order keys segment — floor(o / S) must be exact and NULL-safe.
+    seg_windows: dict[tuple[str, str], Column] = {}
+    if segment_size is not None:
+        if segment_size < 1:
+            raise ValueError("segment_size must be >= 1")
+        integral = {"tinyint", "smallint", "int", "bigint"}
+        for g_o in mono_windows:
+            if dtypes.get(g_o[1]) in integral:
+                # NULL order keys keep a NULL segment: window hash
+                # partitioning groups NULLs together and NULL sorts
+                # first in the boundary branch's sort_array — exactly
+                # the unsegmented NULLS FIRST order.  (A numeric
+                # sentinel would collide with floor(o/S) of negative
+                # keys.)
+                seg_windows[g_o] = F.floor(
+                    F.col(g_o[1]) / F.lit(int(segment_size))
+                ).cast("long")
+
+    def _win_parts(g: str, o: str) -> list[Column]:
+        segc = seg_windows.get((g, o))
+        return [F.col(g)] if segc is None else [F.col(g), segc]
+
     fail_structs = group_fail_structs
     for c in group_checks:
         p = c.params
@@ -390,7 +437,10 @@ def run_checks(
                 # not flagged here; keys with NULLs take the generic
                 # count-window path below.)
                 g, o = p["cols"]
-                w = Window.partitionBy(g).orderBy(
+                # duplicate keys share a segment (same o => same
+                # floor(o/S)), so the fused rewrite survives
+                # segmentation unchanged
+                w = Window.partitionBy(*_win_parts(g, o)).orderBy(
                     o, mono_windows[(g, o)]
                 )
                 oc = F.col(o)
@@ -421,7 +471,9 @@ def run_checks(
         elif p["op"] == "monotonic":
             # ts tiebreak: deterministic neighborhoods for duplicate
             # order keys (see mono_windows note above)
-            w = Window.partitionBy(p["group"]).orderBy(p["order"], p["ts"])
+            w = Window.partitionBy(
+                *_win_parts(p["group"], p["order"])
+            ).orderBy(p["order"], p["ts"])
             prev = F.lag(F.col(p["ts"])).over(w)
             detail = F.concat(
                 F.lit("ts regression: "),
@@ -467,7 +519,8 @@ def run_checks(
         # rows this is the difference between shuffling key bytes and
         # shuffling the whole table.
         slim_cols = sorted(group_check_cols | set(keys))
-        if isinstance(partition_col, str) and partition_col not in slim_cols:
+        phys = isinstance(partition_col, str) and partition_col not in slim_cols
+        if phys:
             # physical partition column: it must ride the shuffle
             slim = df.withColumn("partition", part).select(
                 "partition", *[F.col(c) for c in slim_cols]
@@ -483,6 +536,24 @@ def run_checks(
             slim = df.select(*[F.col(c) for c in slim_cols])
             gpart = part
         gviol = _to_viol(slim, group_fail_structs, gpart.alias("partition"))
+        # segment_size mode: cross-segment adjacency reconciliation —
+        # one extra branch of the SAME plan per segmented check (see
+        # _segment_boundary_viol); unioned before the persist so both
+        # branches materialize in one action and share the exchange
+        for c in group_checks:
+            p = c.params
+            if p["op"] == "monotonic" and (p["group"], p["order"]) in seg_windows:
+                gviol = gviol.unionByName(
+                    _segment_boundary_viol(
+                        slim,
+                        p,
+                        seg_windows[(p["group"], p["order"])],
+                        c.name,
+                        keys,
+                        gpart,
+                        phys,
+                    )
+                )
 
     # Materialize the (at most three) input passes CONCURRENTLY: the
     # row-check scan, the stat counter aggregation, and the group-key
@@ -601,6 +672,94 @@ def run_checks(
         "violation_count long, metric double, sample_violations array<string>",
     )
     return verdicts, viol
+
+
+def _segment_boundary_viol(
+    slim: DataFrame,
+    p: dict,
+    seg: Column,
+    check_name: str,
+    keys: list[str],
+    part_out: Column,
+    physical: bool,
+) -> DataFrame:
+    """Cross-segment reconciliation for ``segment_size`` mode: a
+    monotonic window partitioned by ``(group, segment)`` checks only
+    within-segment adjacency; the pair spanning each boundary between
+    consecutive non-empty segments is checked here.
+
+    Shape: each segment's boundary evidence is just its FIRST edge row
+    (the lag neighbor's successor: order-min by ``(o, ts)``, carrying
+    the violating row's key/partition context) and its last row's ts
+    (order-max by ``(o, ts)``) — both plain ``min/max(struct)``
+    aggregates, so this branch is ONE column-pruned scan + a hash
+    aggregation with map-side partial combine: no sort, and the
+    shuffle carries at most one row per (group, segment) per map task
+    (<= rows/segment_size globally).  A windowed formulation was
+    rejected measured: it re-sorts and re-shuffles the full slim
+    input (rank-limit pushdown can't fire next to the full-frame
+    ``last()`` it needs).  Each group's segments then collapse to one
+    sorted array and ``zip_with`` replays the adjacent-pair ts
+    comparison.  Ties on exact ``(o, ts)`` pick an arbitrary edge row
+    — the same nondeterminism class as the main window's tie order,
+    and the pair VERDICT depends only on (o, ts) so it is stable.
+    Output schema matches the violation side-table."""
+    g, o, ts = p["group"], p["order"], p["ts"]
+    extra = [k for k in keys if k not in (g, o, ts)]
+    if physical:
+        extra = ["partition"] + extra
+    # (o, ts) lead the struct so min/max rank exactly like the window
+    # sort; trailing fields carry the edge row's key/partition context
+    edge = F.struct(
+        F.col(o).alias(o),
+        F.col(ts).alias(ts),
+        *[F.col(k).alias(k) for k in extra],
+    )
+    per_seg = slim.groupBy(F.col(g), seg.alias("_seg")).agg(
+        F.min(edge).alias("_f"),
+        F.max(F.struct(F.col(o).alias("o"), F.col(ts).alias("t")))["t"].alias(
+            "_lts"
+        ),
+    )
+    per_group = per_seg.groupBy(g).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_seg").alias("s"),
+                    F.col("_f").alias("f"),
+                    F.col("_lts").alias("lts"),
+                )
+            )
+        ).alias("_a")
+    )
+    # adjacent (previous segment's last, next segment's first) pairs
+    # whose ts decreases; slice+zip_with yield [] for single-segment
+    # groups, so the common case explodes nothing
+    pairs = F.expr(
+        "filter(zip_with(slice(_a, 1, size(_a) - 1), slice(_a, 2, size(_a) - 1),"
+        " (p, n) -> struct(n.f AS f, p.lts AS lts)),"
+        f" x -> x.f.`{ts}` < x.lts)"
+    )
+    ctx = per_group.select(F.col(g), F.explode(pairs).alias("_p")).select(
+        F.col(g),
+        F.col("_p")["lts"].cast("string").alias("_prev_ts"),
+        "_p.f.*",
+    )
+    key_expr = (
+        F.to_json(F.struct(*[F.col(k) for k in keys])) if keys else F.lit("")
+    ).alias("key")
+    detail = F.concat(
+        F.lit("ts regression: "),
+        F.col(ts).cast("string"),
+        F.lit(" < "),
+        F.col("_prev_ts"),
+    )
+    return ctx.select(
+        F.col("partition").alias("partition") if physical else part_out,
+        key_expr,
+        F.lit(check_name).alias("check_name"),
+        detail.alias("detail"),
+    )
 
 
 def _round_half_up(x: float, nd: int) -> float:

@@ -108,6 +108,32 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines source (one record per line by default — the
+    splittable layout; ``multiline=True`` for whole-file documents,
+    which parse per FILE and should be avoided for large inputs).
+    The reference reads only FLAT/CSV (README.md:316-318, 612); JSON
+    rounds out the ingest surface for transcript dumps.  Prefer an
+    explicit ``schema``: inference costs a full extra pass over the
+    data and infers from a sample otherwise."""
+    reader = spark.read.option("multiLine", multiline)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — same columnar pushdown/pruning guarantees as
+    parquet (predicate pushdown + column projection reach the scan),
+    sharing the small-input split guard."""
+    return balance_scan(spark.read.orc(path))
+
+
 def write_table(
     df: DataFrame,
     ref: str,

@@ -223,3 +223,117 @@ def test_per_turn_text_equality_under_stable_ordering(spark):
     v = validate(a, "RoleFilled:length(trim(role)) > 0").drop("validation_results")
     tv = [r["text"] for r in v.orderBy(*order).select("text").collect()]
     assert tv == ta
+
+
+def _vv_sets(verdicts, viol):
+    v = sorted(
+        map(
+            tuple,
+            verdicts.select(
+                "partition", "check_name", "passed", "violation_count"
+            ).collect(),
+        )
+    )
+    w = sorted(
+        map(tuple, viol.select("partition", "check_name", "key", "detail").collect())
+    )
+    return v, w
+
+
+def test_segmented_group_checks_match_unsegmented(spark):
+    """segment_size mode (skew hardening for hot groups) must return
+    verdicts AND violation rows identical to the unsegmented window for
+    any S >= 1 — regressions within a segment, spanning a segment
+    boundary, and straddling empty segments, plus fused duplicate-key
+    detection, all reconciled."""
+    rows = [
+        # c1: regression inside a segment (t=1->2) and across the
+        # S=4 boundary (t=3 in seg 0 -> t=4 in seg 1)
+        ("c1", 0, 100.0), ("c1", 1, 110.0), ("c1", 2, 105.0),
+        ("c1", 3, 120.0), ("c1", 4, 115.0), ("c1", 5, 130.0),
+        # c2: monotone, spans three segments with a gap (t=0, 9: empty
+        # middle segment at S=4)
+        ("c2", 0, 50.0), ("c2", 9, 60.0),
+        # c3: regression across an EMPTY segment (t=2 -> t=11)
+        ("c3", 2, 80.0), ("c3", 11, 70.0),
+        # c4: duplicate (g, o) keys (fused uniqueness) + boundary pair
+        ("c4", 3, 10.0), ("c4", 3, 10.5), ("c4", 4, 9.0),
+        # c5: NULL and negative order keys — NULL segment sorts first
+        # (like NULLS FIRST), negative keys floor-divide into negative
+        # segments; regression spans the NULL->negative boundary
+        ("c5", None, 40.0), ("c5", -6, 30.0), ("c5", -1, 35.0),
+        ("c5", 2, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "conv string, t int, tsv double").withColumn(
+        "ts", F.timestamp_seconds("tsv")
+    )
+    checks = [
+        C.monotonic("mono", "ts", "conv", "t"),
+        C.unique("uq", ["conv", "t"]),
+    ]
+    base = _vv_sets(
+        *C.run_checks(df, checks, key_cols=["conv", "t"])
+    )
+    assert sum(r[3] for r in base[0]) > 0  # planted violations found
+    for s in (1, 4, 1000):
+        seg = _vv_sets(
+            *C.run_checks(df, checks, key_cols=["conv", "t"], segment_size=s)
+        )
+        assert seg == base, f"segment_size={s} diverged"
+
+
+def test_segmented_suite_on_generated_transcripts(spark):
+    """The full transcript suite (fused unique+monotonic windows, row
+    and stat checks, per-partition grain with a derivable partition
+    expression) is segmentation-invariant on generator output with
+    planted violations."""
+    df = generate_transcripts(spark, n_conversations=300, seed=42, violation_rate=0.01)
+    part = F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    kw = dict(
+        partition_col=part,
+        key_cols=["conv_id", "turn_idx"],
+        partitions=[str(i) for i in range(4)],
+    )
+    suite = transcript_check_suite()
+    base = _vv_sets(*C.run_checks(df, suite, **kw))
+    seg = _vv_sets(*C.run_checks(df, suite, segment_size=8, **kw))
+    assert seg == base
+    assert sum(r[3] for r in base[0]) > 0
+
+
+def test_segmented_physical_partition_column(spark):
+    """Physical partition columns ride the shuffle; the boundary branch
+    must attribute a cross-segment regression to the violating row's
+    own partition value."""
+    rows = [
+        ("p0", "c1", 0, 100.0), ("p0", "c1", 1, 110.0),
+        ("p0", "c1", 2, 90.0),   # within-segment regression (S=2: seg 1)
+        ("p0", "c1", 3, 120.0),
+        ("p0", "c1", 4, 80.0),   # boundary regression into seg 2
+    ]
+    df = spark.createDataFrame(
+        rows, "part string, conv string, t int, tsv double"
+    ).withColumn("ts", F.timestamp_seconds("tsv"))
+    checks = [C.monotonic("mono", "ts", "conv", "t")]
+    kw = dict(partition_col="part", key_cols=["conv", "t"], partitions=["p0"])
+    base = _vv_sets(*C.run_checks(df, checks, **kw))
+    seg = _vv_sets(*C.run_checks(df, checks, segment_size=2, **kw))
+    assert seg == base
+    # adjacent-pair regressions: t=2 (90 < 110) and t=4 (80 < 120)
+    assert base[0][0][3] == 2
+
+
+def test_segmented_nonintegral_order_key_falls_back(spark):
+    """A non-integral order key cannot segment (floor(o/S) undefined);
+    the unsegmented window must be used transparently."""
+    rows = [("c1", "a", 100.0), ("c1", "b", 90.0)]
+    df = spark.createDataFrame(rows, "conv string, o string, tsv double").withColumn(
+        "ts", F.timestamp_seconds("tsv")
+    )
+    checks = [C.monotonic("mono", "ts", "conv", "o")]
+    base = _vv_sets(*C.run_checks(df, checks, key_cols=["conv", "o"]))
+    seg = _vv_sets(
+        *C.run_checks(df, checks, key_cols=["conv", "o"], segment_size=4)
+    )
+    assert seg == base
+    assert base[0][0][3] == 1

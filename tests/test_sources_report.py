@@ -93,3 +93,26 @@ def test_balance_scan_leaves_splittable_inputs_alone(spark, tmp_path):
     df2 = balance_scan(spark.read.parquet(p))
     assert "Repartition" not in df2._jdf.queryExecution().logical().toString()
     assert df2.count() == n
+
+
+def test_read_json_lines(spark, tmp_path):
+    from datapatterns_spark.sources.tables import read_json
+
+    p = tmp_path / "t.jsonl"
+    p.write_text('{"name": "Dan", "age": 42}\n{"name": "Mia", "age": 7}\n')
+    df = read_json(spark, str(p), schema="name string, age int")
+    rows = {r["name"]: r["age"] for r in df.collect()}
+    assert rows == {"Dan": 42, "Mia": 7}
+    # inferred variant agrees on values
+    df2 = read_json(spark, str(p))
+    assert {r["name"]: r["age"] for r in df2.collect()} == rows
+
+
+def test_read_orc_roundtrip(spark, tmp_path):
+    from datapatterns_spark.sources.tables import read_orc
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    out = str(tmp_path / "t.orc")
+    df.write.orc(out)
+    back = read_orc(spark, out)
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
