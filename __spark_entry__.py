@@ -401,6 +401,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return best_record_structure(_t(spark, sf, "events"))
 
+    def q_apply_best_types(spark, sf):
+        """Spark-native rewrite TRANSFORM (the reference's
+        emitTransform, BestRecordStructure.ecl:14-16): columns stored
+        as strings are cast to the lattice's recommendation; native
+        temporal and already-numeric columns pass through."""
+        from datapatterns_spark.operators.best_record import apply_best_types
+
+        src = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("string").alias("o_orderkey"),
+            F.col("o_totalprice").cast("string").alias("o_totalprice"),
+            "o_orderstatus",
+            "o_orderdate",
+        )
+        return apply_best_types(src)
+
     def q_text_fingerprint(spark, sf):
         d = _t(spark, sf, "documents")
         return d.select("doc_id", TA.fingerprint(F.col("text")).alias("fp"))
@@ -549,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "ann_ivf_topk": q_ann_ivf,
         "best_record_structure": q_best_record,
+        "apply_best_types": q_apply_best_types,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
         "dedup_winnow": q_winnow_dups,
@@ -750,6 +766,20 @@ FROM agg
         + f" UNION ALL SELECT 'ts' AS attribute, {_ts_render} AS value"
         " FROM events WHERE ts IS NOT NULL"
     )
+    # apply_best_types: the lattice itself is oracled end-to-end by
+    # profile_best_type / best_record_structure; this oracle pins the
+    # REWRITE — the expected inferred targets (o_orderkey 5-digit
+    # unsigned3 -> INTEGER, o_totalprice 8-digit float -> DOUBLE) as
+    # literal casts, plus passthrough of string/timestamp columns.  A
+    # drifted inference changes the Spark schema and fails the match.
+    apply_best_types_sql = """
+SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       o_orderstatus,
+       o_orderdate
+FROM orders
+"""
+
     best_record_sql = f"""
 WITH best AS ({_bt_lattice(brs_src)})
 SELECT 'NewLayout := RECORD' AS txt
@@ -1588,6 +1618,7 @@ FROM src GROUP BY attribute
         "profile_incremental": profile_incremental_sql,
         "profile_compare": profile_compare_sql,
         "best_record_structure": best_record_sql,
+        "apply_best_types": apply_best_types_sql,
         "text_winnow": text_winnow_sql,
         "dedup_winnow": winnow_dups_sql,
         "multimodal_features": multimodal_features_sql,

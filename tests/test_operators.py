@@ -217,3 +217,57 @@ def test_best_record_structure(spark):
     assert lines[-1] == "END;"
     assert any("unsigned" in ln and " n;" in ln for ln in lines)
     assert any("string3 s;" in ln for ln in lines)
+
+
+def test_best_record_transform_emission(spark):
+    """emit_transform appends the reference's rewrite-TRANSFORM block
+    (BestRecordStructure.ecl:390-440): coercion assignments only for
+    fields whose generic type class changes, then the SELF := r
+    passthrough and the sample PROJECT kickoff."""
+    df = spark.createDataFrame(
+        [("100", "abc", 7)], "n string, s string, k int"
+    )
+    lines = [
+        r["txt"]
+        for r in best_record_structure(df, emit_transform=True).collect()
+    ]
+    assert "NewLayout Make_NewLayout(r) := TRANSFORM" in lines
+    # n: string -> unsigned* (class change) gets a coercion; s stays
+    # string and k stays numeric -> no assignment
+    assert any(ln.strip().startswith("SELF.n := (UNSIGNED") for ln in lines)
+    assert not any("SELF.s :=" in ln for ln in lines)
+    assert not any("SELF.k :=" in ln for ln in lines)
+    assert "    SELF := r;" in lines
+    assert lines[-1] == "newDS := PROJECT(oldDS, Make_NewLayout(LEFT));"
+    # default output is unchanged (oracle pins it)
+    plain = [r["txt"] for r in best_record_structure(df).collect()]
+    assert plain == lines[: len(plain)]
+
+
+def test_apply_best_types(spark):
+    """apply_best_types casts columns whose generic class changes to
+    the lattice's Spark recommendation and leaves everything else
+    stored as-is (width-only changes keep the stored type, mirroring
+    SELF := r)."""
+    from datapatterns_spark.operators.best_record import apply_best_types
+
+    df = spark.createDataFrame(
+        [
+            ("123", "-45", "3.5", "0042", "abc", 7),
+            ("999", "8", "2.25", "7", "xy", 9),
+        ],
+        "u string, i string, f string, z string, s string, k int",
+    )
+    out = apply_best_types(df)
+    t = dict(out.dtypes)
+    assert t["u"] in ("smallint", "int")      # unsigned3 digits
+    assert t["i"] in ("tinyint", "smallint", "int")  # signed
+    assert t["f"] in ("float", "double")
+    assert t["z"] == "string"                 # leading zeros stay string
+    assert t["s"] == "string"
+    assert t["k"] == "int"                    # numeric already: untouched
+    rows = sorted(
+        (r["u"], r["i"], float(r["f"]), r["z"]) for r in out.collect()
+    )
+    assert rows == [(123, -45, 3.5, "0042"), (999, 8, 2.25, "7")]
+    assert out.columns == df.columns
