@@ -337,3 +337,78 @@ def test_segmented_nonintegral_order_key_falls_back(spark):
     )
     assert seg == base
     assert base[0][0][3] == 1
+
+
+def test_run_checks_randomized_differential(spark):
+    """Randomized differential: a pure-Python model of the check
+    semantics (domain row rule; fused uniqueness = equal adjacent
+    non-NULL order keys; monotonic = adjacent ts regressions in
+    (order NULLS FIRST, ts) order) must agree with the engine on
+    verdict counts AND violation (check, key) multisets, for the
+    unsegmented window and for segment sizes spanning the data."""
+    import json
+    import random
+    from collections import Counter
+
+    domain = ["user", "assistant", "tool"]
+    for seed in (1, 7, 42):
+        rnd = random.Random(seed)
+        rows = []
+        for _ in range(180):
+            conv = f"c{rnd.randrange(12)}"
+            t = rnd.choice([None] + list(range(12)))
+            tsv = float(rnd.randrange(50, 200)) if rnd.random() > 0.05 else None
+            role = rnd.choice(domain + ["alien", None])
+            rows.append((conv, t, tsv, role))
+        df = spark.createDataFrame(
+            rows, "conv string, t int, tsv double, role string"
+        ).withColumn("ts", F.timestamp_seconds("tsv")).drop("tsv")
+
+        # ---- python model ----
+        def key_of(conv, t):
+            d = {"conv": conv}
+            if t is not None:
+                d["t"] = t
+            return json.dumps(d, separators=(",", ":"))
+
+        py_viol = Counter()
+        counts = {"dom": 0, "uq": 0, "mono": 0}
+        for conv, t, tsv, role in rows:
+            if role not in domain:
+                counts["dom"] += 1
+                py_viol[("dom", key_of(conv, t))] += 1
+        groups = {}
+        for conv, t, tsv, role in rows:
+            groups.setdefault(conv, []).append((t, tsv))
+        for conv, items in groups.items():
+            items.sort(key=lambda x: (x[0] is not None, x[0] if x[0] is not None else 0,
+                                      x[1] is not None, x[1] if x[1] is not None else 0.0))
+            for i, (t, tsv) in enumerate(items):
+                dup = (i > 0 and items[i - 1][0] == t and t is not None) or (
+                    i + 1 < len(items) and items[i + 1][0] == t and t is not None
+                )
+                if dup:
+                    counts["uq"] += 1
+                    py_viol[("uq", key_of(conv, t))] += 1
+                if i > 0:
+                    pv = items[i - 1][1]
+                    if pv is not None and tsv is not None and tsv < pv:
+                        counts["mono"] += 1
+                        py_viol[("mono", key_of(conv, t))] += 1
+
+        checks = [
+            C.in_domain("dom", "role", domain),
+            C.unique("uq", ["conv", "t"]),
+            C.monotonic("mono", "ts", "conv", "t"),
+        ]
+        for s in (None, 1, 4):
+            v, viol = C.run_checks(
+                df, checks, key_cols=["conv", "t"], segment_size=s
+            )
+            got = {r["check_name"]: r["violation_count"] for r in v.collect()}
+            assert got == counts, f"seed={seed} segment_size={s}: {got} != {counts}"
+            gv = Counter(
+                (r["check_name"], r["key"]) for r in viol.collect()
+            )
+            assert gv == py_viol, f"seed={seed} segment_size={s} violations diverge"
+            viol.unpersist()
