@@ -271,3 +271,75 @@ def test_apply_best_types(spark):
     )
     assert rows == [(123, -45, 3.5, "0042"), (999, 8, 2.25, "7")]
     assert out.columns == df.columns
+
+
+def test_validation_readme_walkthrough(spark):
+    """Port of the reference README's complete Validate() + Fix()
+    stock-data walkthrough (/root/reference/README.md:594-727), with
+    its ECL expressions re-expressed in this engine's Spark-SQL spec
+    dialect (custom external functions like IsValidPrice become inline
+    expressions).  Note the README's own fix spec references
+    'LowPriceLessThanOrEqualToHighPrice' while the check is named
+    'LowPriceLessOrEqualToHighPrice' — a reference typo that would
+    make the swap never fire; the matching name is used here."""
+    from datapatterns_spark.operators.validation import fix, validate
+
+    cols = ("trade_date exchange_code stock_symbol opening_price high_price "
+            "low_price closing_price shares_traded share_value").split()
+    rows = [
+        # clean row
+        ("20180102", "N", "AAPL", "172.26", "174.55", "171.96", "172.23", "100", "17223"),
+        # low/high flipped
+        ("20180102", "N", "AAXX", "5.00", "100.00", "200.00", "5.10", "10", "51"),
+        # suspicious round prices >= 10000 (IsValidPrice fails both)
+        ("20180102", "N", "AABC", "12300", "45600", "12000", "45600", "5", "228000"),
+        # opening price not > 1
+        ("20180102", "N", "AAYY", "0.50", "1.10", "0.40", "1.00", "7", "7"),
+        # empty field (AllFieldsFilled fails)
+        ("20180102", "", "AAZZ", "3.00", "3.50", "2.90", "3.10", "9", "27"),
+        # symbol does not start with AA
+        ("20180102", "N", "IBM", "150.00", "151.00", "149.00", "150.50", "20", "3010"),
+    ]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in cols))
+
+    checks = (
+        "NonZeroLowPrice:cast(low_price as double) > 0"
+        "; NonZeroHighPrice:cast(high_price as double) > 0"
+        "; LowPriceLessOrEqualToHighPrice:"
+        "cast(low_price as double) <= cast(high_price as double)"
+        "; OpeningPriceGreaterThanOne:cast(opening_price as double) > 1"
+        "; OpeningPriceFormat:Patternize(opening_price) rlike '9+(\\\\.9{1,2})?'"
+        "; OpeningPriceValid:NOT((opening_price rlike '^[0-9]+?00$')"
+        " AND cast(opening_price as bigint) >= 10000)"
+        "; ClosingPriceValid:NOT((closing_price rlike '^[0-9]+?00$')"
+        " AND cast(closing_price as bigint) >= 10000)"
+        "; SymbolStartsWithAA:substring(stock_symbol, 1, 2) = 'AA'"
+        "; EveryFieldPresent:AllFieldsFilled()"
+    )
+    checked = validate(df, checks)
+    out = {
+        r["stock_symbol"]: r["validation_results"]
+        for r in checked.collect()
+    }
+    assert out["AAPL"]["num_violations"] == 0
+    assert out["AAXX"]["violations"] == ["LowPriceLessOrEqualToHighPrice"]
+    assert sorted(out["AABC"]["violations"]) == [
+        "ClosingPriceValid", "OpeningPriceValid"
+    ]
+    assert out["AAYY"]["violations"] == ["OpeningPriceGreaterThanOne"]
+    assert out["AAZZ"]["violations"] == ["EveryFieldPresent"]
+    assert out["IBM"]["violations"] == ["SymbolStartsWithAA"]
+
+    repairs = (
+        "LowPriceLessOrEqualToHighPrice:Swap(high_price, low_price)"
+        "; OpeningPriceValid AND ClosingPriceValid:SkipRecord()"
+        "; OpeningPriceGreaterThanOne:opening_price := '2'"
+    )
+    fixed = {r["stock_symbol"]: r for r in fix(checked, repairs).collect()}
+    assert "AABC" not in fixed            # SkipRecord dropped it
+    assert len(fixed) == 5
+    assert fixed["AAXX"]["high_price"] == "200.00"   # swapped
+    assert fixed["AAXX"]["low_price"] == "100.00"
+    assert fixed["AAYY"]["opening_price"] == "2"     # reassigned
+    assert fixed["AAPL"]["opening_price"] == "172.26"  # untouched
+    assert "validation_results" not in fix(checked, repairs).columns
