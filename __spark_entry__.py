@@ -416,6 +416,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return apply_best_types(src)
 
+    def q_sample_stratified(spark, sf):
+        """Seeded per-stratum uniform draw (k docs per language) —
+        deterministic across runs/engines via the shared xxhash64
+        ranking; skew-free via the salted two-phase top-k."""
+        from datapatterns_spark.operators.sampling import sample_stratified
+
+        d = _t(spark, sf, "documents").select("doc_id", "lang")
+        return sample_stratified(d, ["lang"], k=40, key_cols=["doc_id"], seed=7)
+
     def q_text_fingerprint(spark, sf):
         d = _t(spark, sf, "documents")
         return d.select("doc_id", TA.fingerprint(F.col("text")).alias("fp"))
@@ -565,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "best_record_structure": q_best_record,
         "apply_best_types": q_apply_best_types,
+        "sample_stratified": q_sample_stratified,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
         "dedup_winnow": q_winnow_dups,
@@ -928,9 +938,35 @@ WHERE shared * 1000000 >= 500000 * least(sa.n_fp, sb.n_fp)
     # hash-valued operators get exact oracles instead of rows-only.
     from datapatterns_spark.functions.xxh64_sql import (
         hash_int_steps,
+        hash_long_steps,
+        multi_hash_sql,
+        to_signed,
+        xxh64_int_py,
         xxh64_str_sql,
     )
     from datapatterns_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    # ---- sample_stratified: seeded per-stratum uniform draw ----
+    # Spark ranks by xxhash64(lit(7), doc_id) = hashLong(doc_id,
+    # seed=hashInt(7, 42)); the int fold of the literal seed is a
+    # constant precomputed here, the long fold replays per row.
+    _ss_seed = xxh64_int_py(7, 42)
+    _ss_hash = multi_hash_sql(
+        "(SELECT doc_id::HUGEINT AS did, doc_id, lang FROM documents)",
+        ["did", "doc_id", "lang"],
+        [("h1", str(_ss_seed), hash_long_steps("did"))],
+        "smp",
+    )
+    sample_stratified_sql = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {to_signed("h1")}, doc_id) AS sample_rank
+  FROM ({_ss_hash})
+)
+SELECT doc_id, lang, CAST(sample_rank AS INTEGER) AS sample_rank
+FROM ranked WHERE sample_rank <= 40
+"""
 
     norm_text = _NORM_SQL.format(v="text")
     text_fp_sql = xxh64_str_sql(
@@ -1619,6 +1655,7 @@ FROM src GROUP BY attribute
         "profile_compare": profile_compare_sql,
         "best_record_structure": best_record_sql,
         "apply_best_types": apply_best_types_sql,
+        "sample_stratified": sample_stratified_sql,
         "text_winnow": text_winnow_sql,
         "dedup_winnow": winnow_dups_sql,
         "multimodal_features": multimodal_features_sql,

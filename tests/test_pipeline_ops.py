@@ -249,3 +249,41 @@ def test_winnow_near_dups(spark, docs):
     assert any(4 in p for p in pairs)
     # 5 (different content) and 6 (German) pair with nobody
     assert all(5 not in p and 6 not in p for p in pairs)
+
+
+def test_sample_stratified(spark):
+    """Seeded stratified sampling: exactly k per stratum, deterministic
+    across plans, identical to a single-window reference ranking."""
+    from pyspark.sql import Window
+
+    from datapatterns_spark.operators.sampling import sample_stratified
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.pmod("id", F.lit(3)).cast("string").alias("lang"),
+    )
+    out = sample_stratified(df, ["lang"], k=10, key_cols=["doc_id"], seed=7)
+    rows = [(r["lang"], r["doc_id"], r["sample_rank"]) for r in out.collect()]
+    per = {}
+    for lang, did, rn in rows:
+        per.setdefault(lang, []).append((rn, did))
+    assert set(per) == {"0", "1", "2"}
+    assert all(sorted(rn for rn, _ in v) == list(range(1, 11)) for v in per.values())
+    # deterministic: re-run matches exactly
+    rows2 = [(r["lang"], r["doc_id"], r["sample_rank"])
+             for r in sample_stratified(df, ["lang"], 10, ["doc_id"], seed=7).collect()]
+    assert sorted(rows) == sorted(rows2)
+    # different seed draws a different sample
+    rows3 = {r["doc_id"] for r in
+             sample_stratified(df, ["lang"], 10, ["doc_id"], seed=8).collect()}
+    assert rows3 != {d for _, d, _ in rows}
+    # reference: plain single-window ranking (no salting)
+    h = F.xxhash64(F.lit(7), F.col("doc_id"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ref = df.withColumn("rn", F.row_number().over(w)).filter("rn <= 10")
+    ref_rows = sorted((r["lang"], r["doc_id"], r["rn"]) for r in ref.collect())
+    assert sorted(rows) == ref_rows
+    # a stratum smaller than k keeps all its rows
+    small = df.filter("doc_id < 4")
+    got = sample_stratified(small, ["lang"], 10, ["doc_id"], seed=7).count()
+    assert got == 4
