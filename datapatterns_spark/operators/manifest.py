@@ -58,6 +58,7 @@ def run_with_manifest(
     key_cols: list[str] | None = None,
     batch_size: int = 8,
     snapshot_id: str = "",
+    segment_size: int | None = None,
 ) -> DataFrame:
     """Run ``checks`` per partition with checkpoint/resume.
 
@@ -88,6 +89,7 @@ def run_with_manifest(
             partition_col=partition_col,
             key_cols=key_cols,
             partitions=batch,  # known -> no distinct scan per batch
+            segment_size=segment_size,
         )
         verdicts = verdicts.cache()
         verdicts.write.mode("append").parquet(f"{output_path}/verdicts")

@@ -48,6 +48,10 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true",
                     help="skip partitions already COMPLETE in the manifest")
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--segment-size", type=int, default=None,
+                    help="bound group-check window tasks by this many "
+                         "turn_idx values per segment (hot-conversation "
+                         "skew hardening; see constraints.run_checks)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -113,6 +117,7 @@ def main() -> None:
             key_cols=["conv_id", "turn_idx"],
             batch_size=args.batch_size,
             snapshot_id=snap,
+            segment_size=args.segment_size,
         )
         f_prof.result()
     n_fail = verdicts.filter(~F.col("passed")).count()

@@ -53,3 +53,27 @@ def test_run_job_generate_and_resume(tmp_path, spark):
     assert spark.read.parquet(f"{outdir}/manifest").count() == n_manifest
     v_after = sorted(map(str, spark.read.parquet(f"{outdir}/verdicts").collect()))
     assert v_after == v_before
+
+
+def test_run_job_segment_size(tmp_path):
+    """The spark-submit entry accepts --segment-size and produces the
+    same verdict set as the unsegmented run."""
+    import subprocess
+    import sys
+
+    outs = []
+    for extra in ([], ["--segment-size", "8"]):
+        out = str(tmp_path / ("seg" if extra else "plain"))
+        r = subprocess.run(
+            [sys.executable, "scripts/run_job.py", "--generate", "150",
+             "--output", out, "--master", "local[4]"] + extra,
+            capture_output=True, text=True, cwd="/root/repo", timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        import duckdb
+        rows = duckdb.sql(
+            f"SELECT partition, check_name, passed, violation_count "
+            f"FROM '{out}/verdicts/*.parquet' ORDER BY 1, 2"
+        ).fetchall()
+        outs.append(rows)
+    assert outs[0] == outs[1] and len(outs[0]) > 0
