@@ -451,6 +451,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf):
         return D.simhash_pairs(_t(spark, sf, "documents"), "text", "doc_id", max_hamming=3)
 
+    def q_dedup_components(spark, sf):
+        """Near-dup pairs -> dedup clusters + canonical keep-list via
+        large-star/small-star connected components."""
+        pairs = D.minhash_lsh_pairs(
+            _t(spark, sf, "documents"), "text", "doc_id", threshold=0.7
+        )
+        return D.dedup_components(pairs.select("id_a", "id_b"))
+
     def q_transcript_suite(spark, sf):
         df = generate_transcripts(spark, n_conversations=2000, seed=42, violation_rate=0.003)
         verdicts, _ = C.run_checks(
@@ -575,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_record_structure": q_best_record,
         "apply_best_types": q_apply_best_types,
         "sample_stratified": q_sample_stratified,
+        "dedup_components": q_dedup_components,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
         "dedup_winnow": q_winnow_dups,
@@ -1072,6 +1081,26 @@ scored AS (
                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
   FROM cand c JOIN shc a ON a.id = c.id_a JOIN shc b ON b.id = c.id_b)
 SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7
+"""
+
+    # ---- dedup_components: CC over the minhash pairs ----
+    # Independent algorithm as the oracle: a recursive label-
+    # propagation closure (min reachable id per node) vs Spark's
+    # large-star/small-star — same labels iff both are correct.
+    dedup_components_sql = f"""
+WITH RECURSIVE
+edges0 AS (SELECT id_a, id_b FROM (
+{minhash_sql}
+) mh),
+edges AS (SELECT id_a AS a, id_b AS b FROM edges0
+          UNION SELECT id_b, id_a FROM edges0),
+walk(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.lab FROM edges e JOIN walk w ON w.node = e.b
+)
+SELECT node, MIN(lab) AS component, (node = MIN(lab)) AS keep
+FROM walk GROUP BY node
 """
 
     # ---- cardinality_histogram (raw values, no trim/filter) ----
@@ -1656,6 +1685,7 @@ FROM src GROUP BY attribute
         "best_record_structure": best_record_sql,
         "apply_best_types": apply_best_types_sql,
         "sample_stratified": sample_stratified_sql,
+        "dedup_components": dedup_components_sql,
         "text_winnow": text_winnow_sql,
         "dedup_winnow": winnow_dups_sql,
         "multimodal_features": multimodal_features_sql,

@@ -504,3 +504,130 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label the connected components of an undirected pair graph —
+    the clustering step that turns near-dup PAIRS (MinHash / SimHash /
+    winnowing output) into dedup groups with one canonical survivor.
+
+    Algorithm: alternating **large-star / small-star** (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the standard O(log n)-round formulation for massive graphs.  Each
+    round is two bounded shuffles built from ``groupBy(u).min`` +
+    a join (never ``collect_list`` of a neighborhood, so a hot node —
+    one document near-duplicated millions of times — stays a
+    map-side-combinable aggregation, not a task-sized list).
+    Convergence is detected by an order-independent edge-set signature
+    (count + sum of pair hashes); the loop stops when two consecutive
+    rounds agree.  Node ids must be orderable (the component label is
+    the component's minimum id).
+
+    Returns ``(node, component)`` — every node of any input edge,
+    labeled with its component's minimum node id.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    if e.isEmpty():
+        nodes.unpersist()
+        # empty frame preserving the input id type
+        return edges.select(
+            F.col(src).alias("node"), F.col(src).alias("component")
+        ).limit(0)
+
+    def signature(frame: DataFrame) -> tuple:
+        r = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: connect every neighbor larger than the center to
+        # the neighborhood minimum (self included)
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star: on canonical (u > v) edges, connect every
+        # smaller-or-equal neighbor (and the center) to the minimum
+        e2 = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v")).distinct()
+        mins2 = e2.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = e2.join(mins2, "u")
+        small = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(joined.select(F.col("u"), F.col("m").alias("v")))
+        )
+        # localCheckpoint: an ITERATIVE DataFrame loop must truncate
+        # lineage each round — persist() caches data but keeps the
+        # logical plan, which doubles per iteration until Catalyst
+        # chokes on the tree (measured: a 12-edge chain blew the plan
+        # printer before converging)
+        e = (
+            small.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged edges form stars centered at component minima
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = sym.groupBy("u").agg(F.min("v").alias("_m"))
+    out = (
+        nodes.join(labels, nodes["node"] == labels["u"], "left")
+        .select(
+            "node",
+            F.least(F.coalesce(F.col("_m"), F.col("node")), F.col("node")).alias(
+                "component"
+            ),
+        )
+    )
+    return out
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs -> ``(node, component, keep)``: one row per
+    document appearing in any pair, labeled with its dedup cluster and
+    whether it is the cluster's canonical survivor (minimum id — a
+    deterministic, join-free keep rule)."""
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    return cc.select(
+        "node", "component", (F.col("node") == F.col("component")).alias("keep")
+    )

@@ -287,3 +287,54 @@ def test_sample_stratified(spark):
     small = df.filter("doc_id < 4")
     got = sample_stratified(small, ["lang"], 10, ["doc_id"], seed=7).count()
     assert got == 4
+
+
+def _py_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_random_graphs(spark):
+    """Large-star/small-star labeling matches a union-find oracle on
+    random graphs (chains, cliques, singleton-pair mixes)."""
+    import random
+
+    from datapatterns_spark.operators.dedup import connected_components
+
+    for seed in (3, 11):
+        rnd = random.Random(seed)
+        edges = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(70)]
+        edges += [(100 + i, 100 + i + 1) for i in range(12)]  # long chain
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        want = _py_components([(a, b) for a, b in edges if a != b])
+        assert got == want, f"seed={seed}"
+
+
+def test_dedup_components_keep_list(spark):
+    from datapatterns_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("d9", "d8")], "id_a string, id_b string"
+    )
+    out = {r["node"]: (r["component"], r["keep"])
+           for r in dedup_components(pairs).collect()}
+    assert out == {
+        "d1": ("d1", True), "d2": ("d1", False), "d3": ("d1", False),
+        "d8": ("d8", True), "d9": ("d8", False),
+    }
