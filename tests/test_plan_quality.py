@@ -185,3 +185,39 @@ def test_incremental_state_prunes_and_stays_jvm(spark):
     merged = merge_states(st)
     mplan = _plan(merged)
     assert "BatchEvalPython" not in mplan and "ArrowEvalPython" not in mplan
+
+
+def test_stratified_sample_skew_safe_shape(spark):
+    """sample_stratified must rank through the salted two-phase top-k:
+    two Window operators whose first partitions by (strata, salt) —
+    never one window partition per stratum — and no Python eval."""
+    from datapatterns_spark.operators.sampling import sample_stratified
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "lang")
+    import re
+
+    plan = _plan(sample_stratified(df, ["lang"], 5, ["doc_id"], seed=1))
+    # phase-1 window partitions by (lang, salt-projection) — two keys
+    assert re.search(r"windowspecdefinition\(lang#\d+, _w\d+#\d+L,", plan)
+    # the salt is the hash pmod, projected below the window
+    assert re.search(r"pmod\(xxhash64\(doc_id#\d+L, 42\), 64\)", plan)
+    # rank-limit pushdown truncates each (stratum, salt) group to k
+    # rows map-side (Partial) before the shuffle — better than the
+    # plain two-phase claim, assert it stays
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_connected_components_round_is_agg_and_join(spark):
+    """One CC round must be groupBy-min + join — no collect_list /
+    collect_set of a neighborhood (a hot node would otherwise become
+    one task-sized list) and no Python eval."""
+    from datapatterns_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    out = connected_components(edges, max_iter=3)
+    plan = _plan(out)
+    assert "collect_list" not in plan and "collect_set" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
