@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import math
 import random
+import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -527,42 +528,62 @@ def connected_components(
     one document near-duplicated millions of times — stays a
     map-side-combinable aggregation, not a task-sized list).
     Convergence is detected by an order-independent edge-set signature
-    (count + sum of pair hashes); the loop stops when two consecutive
-    rounds agree.  Node ids must be orderable (the component label is
-    the component's minimum id).
+    (count + XOR-fold and wide-decimal sum of pair hashes — both closed
+    over their domains, so no ANSI overflow at any edge count); the
+    loop stops when two consecutive rounds agree.  The signature
+    aggregation is ALSO the action that materializes each round's lazy
+    ``localCheckpoint`` — one Spark job per iteration, not a
+    materialize job plus a separate convergence job.  Node ids must be
+    orderable (the component label is the component's minimum id).
 
-    Returns ``(node, component)`` — every node of any input edge,
-    labeled with its component's minimum node id.
+    Returns ``(node, component)`` — every node of any input edge
+    (self-loop-only nodes included, labeled as their own singleton
+    component), labeled with its component's minimum node id.
     """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # nodes come from the RAW pairs (before the self-loop filter) so a
+    # document appearing only in a self-pair still gets a label; eager
+    # localCheckpoint instead of persist() — materialized once, lineage
+    # cut, and freed by the ContextCleaner when unreferenced (a plain
+    # persist here leaked a cached frame for the session's lifetime)
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionAll(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-    )
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .distinct()
-        .persist()
+        # eager: the input pair pipeline (often a full LSH run) is
+        # evaluated ONCE here; every reference inside the first star
+        # round reads the checkpointed partitions
+        .localCheckpoint()
     )
     if e.isEmpty():
-        nodes.unpersist()
         # empty frame preserving the input id type
         return edges.select(
             F.col(src).alias("node"), F.col(src).alias("component")
         ).limit(0)
 
     def signature(frame: DataFrame) -> tuple:
+        # order-independent and overflow-free: xxhash64 spans the full
+        # int64 range, so a plain SUM overflows under ANSI mode on real
+        # inputs (the round-1 red row); XOR is closed over int64 and a
+        # decimal(38,0) sum holds ~2^63 * 10^19 edges
+        h = F.xxhash64("u", "v")
         r = frame.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("h"),
+            F.bit_xor(h).alias("x"),
+            F.sum(h.cast("decimal(38,0)")).alias("s"),
         ).collect()[0]
-        return (r["n"], r["h"])
+        return (r["n"], r["x"], r["s"])
 
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         # large-star: connect every neighbor larger than the center to
         # the neighborhood minimum (self included)
@@ -592,17 +613,29 @@ def connected_components(
         # lineage each round — persist() caches data but keeps the
         # logical plan, which doubles per iteration until Catalyst
         # chokes on the tree (measured: a 12-edge chain blew the plan
-        # printer before converging)
+        # printer before converging).  LAZY here: the signature
+        # aggregation right below is the materializing action, so each
+        # round runs exactly one Spark job (the agg's full scan
+        # computes — and therefore checkpoints — every partition)
         e = (
             small.filter(F.col("u") != F.col("v"))
             .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         sig = signature(e)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        warnings.warn(
+            f"connected_components: star rounds did not converge within "
+            f"max_iter={max_iter}; labels may split true components. "
+            f"Re-run with a larger max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # converged edges form stars centered at component minima
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = sym.groupBy("u").agg(F.min("v").alias("_m"))

@@ -323,10 +323,79 @@ def test_connected_components_random_graphs(spark):
             for r in connected_components(df).collect()
         }
         want = _py_components([(a, b) for a, b in edges if a != b])
+        # a node appearing ONLY in self-pairs is its own singleton
+        # component (nodes are collected before the self-loop filter)
+        for a, b in edges:
+            want.setdefault(a, a)
+            want.setdefault(b, b)
         assert got == want, f"seed={seed}"
 
 
-def test_dedup_components_keep_list(spark):
+def test_connected_components_signature_overflow(spark):
+    """Regression for the round-1 red row: the convergence signature
+    summed raw ``xxhash64(u, v)`` values, which overflows an int64
+    under ANSI mode on real edge sets.  This graph's edge hashes are
+    verified to overflow a plain 64-bit sum; the labeling must still
+    complete and match union-find."""
+    from pyspark.sql import functions as F
+
+    from datapatterns_spark.operators.dedup import connected_components
+
+    # one big clique + chains: enough canonical edges that the int64
+    # sum of their hashes overflows (asserted below, not assumed)
+    edges = [(a, b) for a in range(40) for b in range(a + 1, 40)]
+    edges += [(1000 + i, 1000 + i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    hashes = [
+        r["h"]
+        for r in df.select(
+            F.xxhash64(
+                F.least("src", "dst"), F.greatest("src", "dst")
+            ).alias("h")
+        ).collect()
+    ]
+    total = sum(hashes)  # Python int: arbitrary precision
+    assert not (-(2**63) <= total < 2**63), (
+        "fixture no longer overflows an int64 sum — pick different edges"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    want = _py_components(edges)
+    assert got == want
+
+
+def test_connected_components_one_action_per_round(spark):
+    """Each star round's convergence signature must be the SAME action
+    that materializes the round's lazy localCheckpoint — not a
+    checkpoint job plus a separate count+hash pass.  Measured as the
+    per-round JOB DELTA between runs capped at different round counts
+    (self-calibrating: upfront node/edge checkpoints and the final
+    collect cancel out).  Under AQE one round's agg plans ~10 stage
+    jobs; a reintroduced separate signature pass adds >=2 more per
+    round and trips the bound."""
+    import warnings as _w
+
+    from datapatterns_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    edges = [(i, i + 1) for i in range(64)]  # chain: needs ~7 rounds
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def jobs_with_max_iter(mi, tag):
+        sc.setJobGroup(tag, tag)
+        try:
+            with _w.catch_warnings():
+                _w.simplefilter("ignore", RuntimeWarning)
+                connected_components(df, max_iter=mi).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    j1 = jobs_with_max_iter(1, "cc-jobs-1r")
+    j3 = jobs_with_max_iter(3, "cc-jobs-3r")
+    per_round = (j3 - j1) / 2
+    assert per_round <= 11, f"{per_round} jobs per CC round (expected ~10)"
     from datapatterns_spark.operators.dedup import dedup_components
 
     pairs = spark.createDataFrame(
