@@ -195,6 +195,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_hashes: int = 64,
     bands: int = 16,
+    bucket_cap: int = 2000,
 ) -> DataFrame:
     """Near-duplicate pairs: shingle -> minhash -> band -> bucket-join
     -> exact-Jaccard verification (no false positives; recall is the
@@ -205,6 +206,18 @@ def minhash_lsh_pairs(
     once (an inline array-expression signature gets duplicated into
     every band struct by Catalyst's CollapseProject, multiplying the
     work ~bands-fold), and the shuffle carries hashes, not text.
+
+    **Hot-bucket cap**: a band bucket holding a web-scale boilerplate
+    cluster (1M near-identical pages) would emit C(n, 2) ~ 5*10^11
+    pairs under a plain self-join.  Buckets over ``bucket_cap`` members
+    instead emit STAR edges — every member paired with the bucket's
+    minimum id — which is linear in bucket size and exactly the input
+    :func:`connected_components` needs to keep the cluster connected.
+    Star pairs still pass exact-Jaccard verification; the recall trade
+    (a member similar to another member but not to the anchor is
+    dropped) only arises in pathological buckets whose members are
+    near-identical anyway.  Buckets at or under the cap keep the exact
+    all-pairs semantics.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -251,16 +264,30 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    left = buckets.toDF("id_a", "band", "bucket")
-    right = buckets.toDF("id_b", "band_r", "bucket_r")
+    # per-bucket size + anchor (minimum id): one map-side-combinable
+    # aggregation on the same (band, bucket) keys the self-join
+    # shuffles on
+    meta = buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bsz"), F.min("id").alias("anchor")
+    )
+    sized = buckets.join(meta, ["band", "bucket"])
+    small = sized.filter(F.col("bsz") <= F.lit(bucket_cap)).select(
+        "id", "band", "bucket"
+    )
+    left = small.toDF("id_a", "band", "bucket")
+    right = small.toDF("id_b", "band_r", "bucket_r")
+    all_pairs = left.join(
+        right,
+        (F.col("band") == F.col("band_r"))
+        & (F.col("bucket") == F.col("bucket_r"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b")
+    # oversized buckets: anchor-star edges, O(members) not O(members^2)
+    star = sized.filter(
+        (F.col("bsz") > F.lit(bucket_cap)) & (F.col("id") != F.col("anchor"))
+    ).select(F.col("anchor").alias("id_a"), F.col("id").alias("id_b"))
     cands = (
-        left.join(
-            right,
-            (F.col("band") == F.col("band_r"))
-            & (F.col("bucket") == F.col("bucket_r"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
+        all_pairs.unionAll(star)
         .dropDuplicates(["id_a", "id_b"])
         # the candidate-pair frame is referenced TWICE downstream (the
         # verify join's base + the cand_ids semi-join input): persisted

@@ -56,6 +56,30 @@ def test_minhash_lsh_pairs(spark, docs):
     assert all(v >= 0.5 for v in j.values())
 
 
+def test_minhash_lsh_hot_bucket_emits_linear_star_edges(spark):
+    """A planted hot bucket (one boilerplate cluster of n identical
+    docs — every band hashes them to the same bucket) must emit O(n)
+    anchor-star pairs, not C(n, 2): the round-1 scale killer.  With
+    identical texts every star pair survives Jaccard verification, so
+    the output is exactly n-1 rows anchored at the minimum id, and the
+    cluster stays fully connected for connected_components."""
+    n = 3000
+    cap = 100
+    rows = [(i, "the same boilerplate page text repeated verbatim " * 4)
+            for i in range(n)]
+    # a couple of unrelated docs in buckets under the cap keep the
+    # all-pairs path exercised in the same run
+    rows += [(n + 1, "completely different content about gardens and rivers"),
+             (n + 2, "completely different content about gardens and rivers")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_lsh_pairs(
+        df, "text", "doc_id", n=3, threshold=0.8, bucket_cap=cap
+    ).collect()
+    hot = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] <= n}
+    assert hot == {(0, i) for i in range(1, n)}  # star at min id, O(n)
+    assert (n + 1, n + 2) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
 def test_simhash_pairs(spark, docs):
     pairs = D.simhash_pairs(docs, "text", "doc_id", max_hamming=8).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
