@@ -394,7 +394,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ann_ivf(spark, sf):
         emb = _t(spark, sf, "embeddings")
         qs = emb.filter(F.col("vec_id").isin([1, 2, 3]))
-        return S.ivf_topk(emb, qs, k=5, n_cells=16, n_probe=8)
+        # refine_sweeps=0 pins the raw seeded centroids so the DuckDB
+        # oracle can replay them as literals; the library default is
+        # one Lloyd sweep (recall/balance measured in BASELINE.md)
+        return S.ivf_topk(
+            emb, qs, k=5, n_cells=16, n_probe=8, dim=64, refine_sweeps=0
+        )
 
     def q_best_record(spark, sf):
         from datapatterns_spark.operators.best_record import best_record_structure

@@ -6,10 +6,15 @@ the reference).
   the (small) query set, one pass over the corpus, per-query window
   top-k.  The correctness baseline.
 * :func:`ivf_topk` — IVF-style scale path: corpus assigned to
-  ``n_cells`` centroid cells (deterministic seeded centroids, one
-  refinement sweep); a query scans only its ``n_probe`` nearest
-  cells.  Recall is tunable via n_probe; exactness is NOT guaranteed
-  (documented) — use brute force to measure recall.
+  ``n_cells`` centroid cells; a query scans only its ``n_probe``
+  nearest cells.  Centroids start as deterministic seeded Gaussians
+  and by default get ``refine_sweeps=1`` Lloyd sweep(s) over a
+  bounded deterministic corpus sample (driver-side k-means on
+  <= n_cells*sample_per_cell vectors), which balances cell sizes —
+  unrefined random centroids leave hot cells that dominate the probe
+  scan at scale.  Recall is tunable via n_probe; exactness is NOT
+  guaranteed (documented) — use brute force to measure recall
+  (measured on testdata in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -49,6 +54,59 @@ def _unit(vec: list[float]) -> list[float]:
 def _random_centroids(dim: int, n_cells: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [_unit([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(n_cells)]
+
+
+def _refined_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_cells: int,
+    seed: int,
+    sweeps: int,
+    sample_per_cell: int = 64,
+) -> list[list[float]]:
+    """Seeded Gaussian centroids plus ``sweeps`` Lloyd iterations over
+    a bounded DETERMINISTIC corpus sample: the ``n_cells *
+    sample_per_cell`` rows with the smallest ``xxhash64(id)`` (a
+    TakeOrdered job — no full sort, no ``rand()``), averaged per
+    nearest-cell driver-side.  The driver transfer is bounded
+    (sample_size * dim doubles) and the result is a pure function of
+    (data, seed), so repeated runs plan identical literal centroids.
+    Empty cells keep their previous centroid."""
+    cents = _random_centroids(dim, n_cells, seed)
+    if sweeps <= 0:
+        return cents
+    n_sample = n_cells * sample_per_cell
+    sample = [
+        [float(x) for x in r["v"]]
+        for r in corpus.select(
+            F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h")
+        )
+        .orderBy("h")
+        .limit(n_sample)
+        .collect()
+    ]
+    if not sample:
+        return cents
+    for _ in range(sweeps):
+        sums = [[0.0] * dim for _ in range(n_cells)]
+        counts = [0] * n_cells
+        for v in sample:
+            best, best_dot = 0, float("-inf")
+            for i, c in enumerate(cents):
+                d = sum(x * w for x, w in zip(v, c))
+                if d > best_dot:
+                    best, best_dot = i, d
+            counts[best] += 1
+            s = sums[best]
+            for j, x in enumerate(v):
+                s[j] += x
+        cents = [
+            _unit([x / counts[i] for x in sums[i]]) if counts[i] else cents[i]
+            for i in range(n_cells)
+        ]
+    return cents
 
 
 def _nearest_cells(vec: Column, centroids: list[list[float]], top: int) -> Column:
@@ -107,13 +165,24 @@ def ivf_topk(
     n_probe: int = 4,
     dim: int | None = None,
     seed: int = 42,
+    refine_sweeps: int = 1,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.  Corpus rows are assigned to
     their nearest centroid cell once; each query joins only its
-    n_probe nearest cells — the scan shrinks ~n_probe/n_cells."""
+    n_probe nearest cells — the scan shrinks ~n_probe/n_cells.
+
+    ``refine_sweeps`` Lloyd sweeps over a bounded deterministic sample
+    (see :func:`_refined_centroids`) balance cell populations; pass 0
+    to pin the raw seeded centroids (used by the SQL oracle, which
+    replays them as literals).  When ``dim`` is omitted it is probed
+    from ONE row of the QUERY frame — the small broadcast side, never
+    a corpus scan; pass ``dim`` explicitly to avoid the extra tiny
+    job on hot paths."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    centroids = _random_centroids(dim, n_cells, seed)
+        dim = len(queries.select(vec_col).first()[0])
+    centroids = _refined_centroids(
+        corpus, vec_col, id_col, dim, n_cells, seed, refine_sweeps
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),

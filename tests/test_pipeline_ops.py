@@ -149,6 +149,67 @@ def test_similarity_topk_real_embeddings(spark):
     assert recall >= 0.5  # n_probe=4 of 8 cells
 
 
+def test_ivf_refined_centroids_deterministic_and_balanced(spark):
+    """The Lloyd refinement sweep must (a) be a pure function of
+    (data, seed) — repeated runs plan identical literal centroids, so
+    IVF results are reproducible — and (b) not worsen cell balance vs
+    raw random centroids (hot cells are the scale hazard: a cell
+    holding half the corpus makes every probe that touches it a
+    half-corpus scan)."""
+    from datapatterns_spark.operators.similarity import (
+        _nearest_cells,
+        _random_centroids,
+        _refined_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(vec_col="embedding", id_col="vec_id", dim=64, n_cells=8, seed=42)
+    c1 = _refined_centroids(emb, sweeps=1, **kw)
+    c2 = _refined_centroids(emb, sweeps=1, **kw)
+    assert c1 == c2  # deterministic
+    raw = _random_centroids(64, 8, 42)
+    assert c1 != raw  # the sweep actually moved the centroids
+
+    def max_cell_share(cents):
+        sizes = (
+            emb.select(
+                _nearest_cells(F.col("embedding"), cents, 1)[0].alias("cell")
+            )
+            .groupBy("cell")
+            .count()
+            .collect()
+        )
+        total = sum(r["count"] for r in sizes)
+        return max(r["count"] for r in sizes) / total
+
+    assert max_cell_share(c1) <= max_cell_share(raw) + 0.02
+
+
+def test_ivf_refined_recall_not_worse(spark):
+    """Refined IVF (library default refine_sweeps=1) must recall at
+    least as much of the brute-force top-k as the unrefined seeded
+    centroids on real testdata embeddings."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(sweeps):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivf_topk(
+                emb, queries, k=5, n_cells=8, n_probe=4, refine_sweeps=sweeps
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0 - 0.04  # refinement must not cost recall
+    assert r1 >= 0.5
+
+
 def test_text_analysis(spark, docs):
     out = {r["doc_id"]: r for r in TA.analyze_documents(docs).collect()}
     assert out[1]["ws_tokens"] == 9
