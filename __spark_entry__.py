@@ -500,6 +500,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("f0_scaled"),
         )
 
+    def q_multimodal_real_features(spark, sf):
+        # the REAL decode path: stdlib PNG/WAV codecs inside the Arrow
+        # mapInPandas workers — no fake=True anywhere.  Pixel decoding
+        # is not SQL-expressible, so this is a rows-only entry; exact
+        # feature parity vs the pure-Python codecs is test-pinned
+        # (tests/test_codecs.py::test_extract_features_real_path).
+        from datapatterns_spark.operators import multimodal as MM
+
+        media = MM.make_real_media_table(spark, n=24)
+        feats = MM.extract_features(media)  # fake defaults to False
+        return feats.select(
+            "media_id",
+            "n_bytes",
+            F.round(F.element_at("features", 1), 5).alias("f0"),
+        )
+
     def q_multimodal_frames(spark, sf):
         from datapatterns_spark.operators import multimodal as MM
 
@@ -582,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_suite": q_transcript_suite,
         "profile_approx": q_profile_approx,
         "multimodal_features": q_multimodal_features,
+        "multimodal_real_features": q_multimodal_real_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
         "ann_ivf_topk": q_ann_ivf,

@@ -1,0 +1,242 @@
+"""Stdlib-only media codecs for the multimodal operators.
+
+The container ships no image/audio libraries, so the REAL decode path
+for :mod:`datapatterns_spark.operators.multimodal` is implemented here
+from the public format specs with nothing but ``zlib``/``struct``/
+``wave``:
+
+* **PNG** — decode (8-bit greyscale / grey+alpha / RGB / RGBA, all
+  five scanline filters incl. Paeth, per the PNG spec, RFC 2083) and
+  encode (filter 0 + zlib).  Interlaced (Adam7) and palette images are
+  rejected with a clear error.
+* **WAV** — PCM decode via the stdlib ``wave`` module (8/16/32-bit).
+
+On top of the decoders: deterministic feature extractors (a 4x4
+mean-intensity grid for images, a 16-bin RMS energy envelope for
+audio — both exactly ``FEATURE_DIM=16`` floats) and a box-average
+image resampler with PNG re-encode.  Everything is a pure function of
+the payload bytes, so results are reproducible across workers and
+runs.
+
+These run inside Arrow-batched ``mapInPandas`` workers (the payload
+bytes never cross the JVM/Python boundary row-at-a-time); the worker
+processes import this module from the shipped package
+(``spark-submit --py-files``, or the local filesystem in local mode).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (8-bit only; palette/interlace out
+# of scope for a validation-pipeline decoder)
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode an 8-bit PNG to ``(width, height, channels, pixels)``
+    with ``pixels`` row-major interleaved bytes."""
+    if not data.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(PNG_SIG)
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[
+            pos + 4 : pos + 8
+        ]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", chunk)
+            )
+            if bit_depth != 8:
+                raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8)")
+            if color_type not in _CHANNELS:
+                raise NotImplementedError(
+                    f"PNG color type {color_type} (no palette support)"
+                )
+            if interlace:
+                raise NotImplementedError("interlaced (Adam7) PNG")
+            channels = _CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(stride * height)
+    bpp = channels
+    for y in range(height):
+        fbyte = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        o = y * stride
+        po = o - stride
+        if fbyte == 0:  # None
+            out[o : o + stride] = line
+        elif fbyte == 1:  # Sub
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                out[o + x] = (line[x] + left) & 0xFF
+        elif fbyte == 2:  # Up
+            for x in range(stride):
+                up = out[po + x] if y else 0
+                out[o + x] = (line[x] + up) & 0xFF
+        elif fbyte == 3:  # Average
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                up = out[po + x] if y else 0
+                out[o + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif fbyte == 4:  # Paeth
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                up = out[po + x] if y else 0
+                ul = out[po + x - bpp] if (y and x >= bpp) else 0
+                out[o + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter byte {fbyte}")
+    return width, height, channels, out
+
+
+def png_encode(
+    pixels: bytes | bytearray, width: int, height: int, channels: int
+) -> bytes:
+    """Encode row-major interleaved 8-bit pixels as a PNG (filter 0,
+    zlib level 6)."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += pixels[y * stride : (y + 1) * stride]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_box(
+    pixels: bytes | bytearray,
+    width: int,
+    height: int,
+    channels: int,
+    new_w: int,
+    new_h: int,
+) -> bytearray:
+    """Box-average resample (each target pixel averages its source
+    cell — correct for downscales, nearest-equivalent for upscales)."""
+    out = bytearray(new_w * new_h * channels)
+    for ty in range(new_h):
+        y0 = ty * height // new_h
+        y1 = max(y0 + 1, (ty + 1) * height // new_h)
+        for tx in range(new_w):
+            x0 = tx * width // new_w
+            x1 = max(x0 + 1, (tx + 1) * width // new_w)
+            n = (y1 - y0) * (x1 - x0)
+            for c in range(channels):
+                acc = 0
+                for sy in range(y0, y1):
+                    base = (sy * width) * channels + c
+                    for sx in range(x0, x1):
+                        acc += pixels[base + sx * channels]
+                out[(ty * new_w + tx) * channels + c] = acc // n
+    return out
+
+
+def wav_decode(data: bytes) -> tuple[int, int, list[float]]:
+    """Decode a PCM WAV payload to ``(n_channels, framerate,
+    samples)`` with samples channel-averaged and scaled to [-1, 1]."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        nch, sw, rate, nframes = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        frames = w.readframes(nframes)
+    if sw == 1:  # unsigned 8-bit
+        vals = [(b - 128) / 128.0 for b in frames]
+    elif sw == 2:
+        vals = [
+            v / 32768.0 for (v,) in struct.iter_unpack("<h", frames)
+        ]
+    elif sw == 4:
+        vals = [
+            v / 2147483648.0 for (v,) in struct.iter_unpack("<i", frames)
+        ]
+    else:
+        raise NotImplementedError(f"WAV sample width {sw}")
+    if nch > 1:
+        vals = [
+            sum(vals[i : i + nch]) / nch for i in range(0, len(vals), nch)
+        ]
+    return nch, rate, vals
+
+
+def image_features(data: bytes, grid: int = 4) -> list[float]:
+    """``grid*grid`` mean-intensity cells (row-major, [0, 1]) of the
+    decoded image — 16 floats at the default grid, matching
+    ``FEATURE_DIM``."""
+    w, h, c, px = png_decode(data)
+    color = min(c, 3)  # ignore alpha for intensity
+    feats = []
+    for gy in range(grid):
+        y0, y1 = gy * h // grid, max(gy * h // grid + 1, (gy + 1) * h // grid)
+        for gx in range(grid):
+            x0 = gx * w // grid
+            x1 = max(x0 + 1, (gx + 1) * w // grid)
+            acc = n = 0
+            for sy in range(y0, min(y1, h)):
+                base = sy * w * c
+                for sx in range(x0, min(x1, w)):
+                    p = base + sx * c
+                    acc += sum(px[p : p + color])
+                    n += color
+            feats.append(acc / (255.0 * n) if n else 0.0)
+    return feats
+
+
+def audio_features(data: bytes, bins: int = 16) -> list[float]:
+    """``bins`` RMS energy values over equal time slices of the
+    channel-averaged signal — 16 floats at the default."""
+    _, _, samples = wav_decode(data)
+    n = len(samples)
+    feats = []
+    for b in range(bins):
+        i0, i1 = b * n // bins, max(b * n // bins + 1, (b + 1) * n // bins)
+        seg = samples[i0:min(i1, n)]
+        feats.append(
+            (sum(x * x for x in seg) / len(seg)) ** 0.5 if seg else 0.0
+        )
+    return feats

@@ -2,11 +2,17 @@
 
 Media travel as opaque ``binary`` columns with a typed metadata
 struct.  The Spark side — schema, partitioning, Arrow batch shape,
-``mapInPandas`` UDF signatures — is real and tested; the actual codec
-work is stubbed (no image/audio libraries in this container): decode
-raises :class:`NotImplementedError` unless ``fake=True``, which
-substitutes a deterministic hash-derived feature vector so pipelines
-remain end-to-end testable.
+``mapInPandas`` UDF signatures — is real and tested.  The REAL decode
+path (``fake=False``, the default) uses the stdlib-only codecs in
+:mod:`datapatterns_spark.functions.codecs`: 8-bit PNG (all five
+scanline filters) and PCM WAV, dispatched on the payload's magic
+bytes — features are a 4x4 mean-intensity grid for images and a
+16-bin RMS envelope for audio, and :func:`resize_media` really
+decodes, box-resamples, and re-encodes PNG.  Formats needing codec
+libraries this container lacks (JPEG, MP4 video) raise
+:class:`NotImplementedError` naming what IS supported.  ``fake=True``
+substitutes a deterministic hash-derived result so SQL oracles can
+replay the pipeline exactly.
 """
 
 from __future__ import annotations
@@ -50,8 +56,11 @@ def extract_features(
     (Arrow-batched; the scale-correct shape for binary columns: bytes
     never pass through Python row-at-a-time).
 
-    Real decode is stubbed; ``fake=True`` produces deterministic
-    features so downstream similarity/dedup plumbing can be tested.
+    The default real path dispatches on the payload's magic bytes —
+    PNG -> 4x4 mean-intensity grid, WAV -> 16-bin RMS envelope (both
+    ``FEATURE_DIM`` floats, stdlib-only codecs); other formats raise.
+    ``fake=True`` substitutes deterministic sha256-derived features so
+    a SQL oracle can replay the pipeline.
     """
     out_schema = T.StructType(
         [
@@ -63,25 +72,36 @@ def extract_features(
 
     dim = FEATURE_DIM
 
-    # self-contained closure: everything it touches is a local or
-    # stdlib, so cloudpickle ships it by value and workers need no
-    # importable copy of this package
+    # the fake path's closure is stdlib-only; the real path imports the
+    # package's codec module on the worker (present under local mode or
+    # spark-submit --py-files, the deployment contract)
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
-        def feats(payload: bytes) -> list[float]:
+        def fake_feats(payload: bytes) -> list[float]:
             h = _hl.sha256(payload or b"").digest()
             return [
                 int.from_bytes(h[2 * i : 2 * i + 2], "big") / 65535.0
                 for i in range(dim)
             ]
 
-        for pdf in it:
-            if not fake:
+        if not fake:
+            from datapatterns_spark.functions import codecs as _cd
+
+            def real_feats(payload: bytes) -> list[float]:
+                b = bytes(payload or b"")
+                if b.startswith(_cd.PNG_SIG):
+                    return _cd.image_features(b, grid=4)
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    return _cd.audio_features(b, bins=dim)
                 raise NotImplementedError(
-                    "media decoding requires codec libraries not present in "
-                    "this environment; pass fake=True for the deterministic stub"
+                    "real decode supports 8-bit PNG and PCM WAV payloads "
+                    "(stdlib codecs); JPEG/MP4 need codec libraries not in "
+                    "this environment — pass fake=True for the stub"
                 )
+
+        feats = fake_feats if fake else real_feats
+        for pdf in it:
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
@@ -118,8 +138,10 @@ def sample_frames(
         for pdf in it:
             if not fake:
                 raise NotImplementedError(
-                    "video decoding requires codec libraries not present in "
-                    "this environment; pass fake=True for the deterministic stub"
+                    "video container decoding (MP4/H.264) requires codec "
+                    "libraries not present in this environment — unlike the "
+                    "PNG/WAV paths in extract_features/resize_media there is "
+                    "no stdlib decoder; pass fake=True for the stub"
                 )
             ids, times, frames = [], [], []
             for mid, payload, dur in zip(
@@ -146,8 +168,9 @@ def resize_media(
     fake: bool = False,
 ) -> DataFrame:
     """Resize plumbing for image payloads: one output row per input
-    with the re-encoded payload and updated dimensions.  Real decode/
-    re-encode is stubbed (no codec libraries here); ``fake=True``
+    with the re-encoded payload and updated dimensions.  The real path
+    decodes 8-bit PNG, box-resamples to (width, height), and
+    re-encodes PNG (stdlib codecs; other formats raise).  ``fake=True``
     derives the "resized" payload deterministically as the hex digest
     of (payload + "WxH") — keeping the ASCII-text payload convention of
     :func:`make_fake_media_table` so a SQL oracle reproduces it."""
@@ -162,23 +185,33 @@ def resize_media(
     w, h = int(width), int(height)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hl  # self-contained: see extract_features
+        import hashlib as _hl  # fake path: stdlib-only
+
+        if fake:
+            def resize(b: bytes) -> bytes:
+                return (
+                    _hl.sha256((b or b"") + f"{w}x{h}".encode())
+                    .hexdigest()
+                    .encode()
+                )
+        else:
+            from datapatterns_spark.functions import codecs as _cd
+
+            def resize(b: bytes) -> bytes:
+                b = bytes(b or b"")
+                if not b.startswith(_cd.PNG_SIG):
+                    raise NotImplementedError(
+                        "real resize supports 8-bit PNG payloads (stdlib "
+                        "codec); pass fake=True for the stub"
+                    )
+                sw, sh, c, px = _cd.png_decode(b)
+                return _cd.png_encode(_cd.resize_box(px, sw, sh, c, w, h), w, h, c)
 
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "image resizing requires codec libraries not present in "
-                    "this environment; pass fake=True for the deterministic stub"
-                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
-                    "media": [
-                        _hl.sha256((b or b"") + f"{w}x{h}".encode())
-                        .hexdigest()
-                        .encode()
-                        for b in pdf[media_col]
-                    ],
+                    "media": [resize(b) for b in pdf[media_col]],
                     "width": w,
                     "height": h,
                 }
@@ -186,6 +219,60 @@ def resize_media(
 
     slim = df.select(id_col, media_col)
     return slim.mapInPandas(batches, out_schema)
+
+
+def make_real_media_table(spark, n: int = 24, seed: int = 42) -> DataFrame:
+    """Deterministic media table whose payloads are REAL encoded
+    formats — 8-bit RGB PNGs (seeded gradient+checker patterns) and
+    PCM-16 WAV tones — so the non-fake decode path can run end-to-end
+    with no external fixtures.  Pure function of (n, seed)."""
+    import io as _io
+    import math as _math
+    import wave as _wave
+
+    from datapatterns_spark.functions import codecs as _cd
+
+    rows = []
+    for i in range(n):
+        if i % 3:  # image rows
+            w, h = 24, 16
+            px = bytearray(w * h * 3)
+            for y in range(h):
+                for x in range(w):
+                    o = (y * w + x) * 3
+                    px[o] = (x * 255 // (w - 1) + seed + i) % 256
+                    px[o + 1] = (y * 255 // (h - 1) + 2 * i) % 256
+                    px[o + 2] = 255 if (x // 4 + y // 4 + i) % 2 else 0
+            payload = _cd.png_encode(px, w, h, 3)
+            meta = ("image", "png", w, h, 0)
+        else:  # audio rows: 0.05s of a seeded sine at 8kHz, PCM-16
+            rate, dur_ms = 8000, 50
+            freq = 200.0 + 37.0 * ((seed + i) % 11)
+            nsamp = rate * dur_ms // 1000
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as wv:
+                wv.setnchannels(1)
+                wv.setsampwidth(2)
+                wv.setframerate(rate)
+                wv.writeframes(
+                    b"".join(
+                        int(
+                            20000 * _math.sin(2 * _math.pi * freq * t / rate)
+                        ).to_bytes(2, "little", signed=True)
+                        for t in range(nsamp)
+                    )
+                )
+            payload = buf.getvalue()
+            meta = ("audio", "wav", 0, 0, dur_ms)
+        rows.append((i, payload, meta))
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("meta", MEDIA_META_SCHEMA),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def make_fake_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:

@@ -1,0 +1,225 @@
+"""Stdlib codec layer (functions/codecs.py) + the REAL (non-fake)
+multimodal decode path: PNG round-trips, all five PNG scanline
+filters, WAV decode, feature extractors, and the Arrow mapInPandas
+operators running on real encoded payloads."""
+
+from __future__ import annotations
+
+import io
+import math
+import struct
+import wave
+import zlib
+
+import pytest
+
+from datapatterns_spark.functions import codecs as cd
+
+
+def _gradient(w, h, c):
+    px = bytearray(w * h * c)
+    for y in range(h):
+        for x in range(w):
+            for ch in range(c):
+                px[(y * w + x) * c + ch] = (x * 7 + y * 13 + ch * 31) % 256
+    return px
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip(channels):
+    w, h = 13, 9  # odd sizes: no stride alignment luck
+    px = _gradient(w, h, channels)
+    data = cd.png_encode(px, w, h, channels)
+    w2, h2, c2, px2 = cd.png_decode(data)
+    assert (w2, h2, c2) == (w, h, channels)
+    assert px2 == px
+
+
+def _encode_with_filter(px, w, h, c, fbyte):
+    """Build a valid PNG whose every scanline uses filter `fbyte` —
+    exercises the decoder's un-filtering, which png_encode (filter 0)
+    never does."""
+    stride, bpp = w * c, c
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = px[y * stride : (y + 1) * stride]
+        raw.append(fbyte)
+        for x in range(stride):
+            left = line[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if fbyte == 0:
+                f = line[x]
+            elif fbyte == 1:
+                f = line[x] - left
+            elif fbyte == 2:
+                f = line[x] - up
+            elif fbyte == 3:
+                f = line[x] - ((left + up) >> 1)
+            else:
+                f = line[x] - cd._paeth(left, up, ul)
+            raw.append(f & 0xFF)
+        prev = line
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        cd.PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("fbyte", [0, 1, 2, 3, 4])
+def test_png_decode_all_filters(fbyte):
+    w, h, c = 11, 7, 3
+    px = _gradient(w, h, c)
+    data = _encode_with_filter(px, w, h, c, fbyte)
+    w2, h2, c2, px2 = cd.png_decode(data)
+    assert (w2, h2, c2) == (w, h, c)
+    assert px2 == px
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError):
+        cd.png_decode(b"not a png at all")
+    # palette image header (color type 3)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    with pytest.raises(NotImplementedError):
+        cd.png_decode(cd.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+
+
+def test_resize_box_constant_and_dims():
+    w, h, c = 16, 12, 3
+    px = bytearray([100, 150, 200] * (w * h))
+    out = cd.resize_box(px, w, h, c, 4, 3)
+    assert len(out) == 4 * 3 * c
+    assert set(out[0::3]) == {100} and set(out[1::3]) == {150}
+    assert set(out[2::3]) == {200}  # box average of a constant is itself
+
+
+def _wav_bytes(freq=440.0, rate=8000, nsamp=400, amp=20000):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(
+            b"".join(
+                int(amp * math.sin(2 * math.pi * freq * t / rate)).to_bytes(
+                    2, "little", signed=True
+                )
+                for t in range(nsamp)
+            )
+        )
+    return buf.getvalue()
+
+
+def test_wav_decode_and_features():
+    data = _wav_bytes()
+    nch, rate, samples = cd.wav_decode(data)
+    assert (nch, rate, len(samples)) == (1, 8000, 400)
+    assert max(abs(s) for s in samples) <= 1.0
+    feats = cd.audio_features(data, bins=16)
+    assert len(feats) == 16
+    # a steady sine's RMS is ~amp/sqrt(2) in every bin
+    expected = (20000 / 32768.0) / math.sqrt(2)
+    assert all(abs(f - expected) < 0.05 for f in feats)
+
+
+def test_image_features_grid():
+    # left half black, right half white -> grid columns 0,1 dark and
+    # 2,3 bright
+    w, h, c = 16, 16, 3
+    px = bytearray(w * h * c)
+    for y in range(h):
+        for x in range(w // 2, w):
+            o = (y * w + x) * c
+            px[o : o + 3] = b"\xff\xff\xff"
+    feats = cd.image_features(cd.png_encode(px, w, h, c), grid=4)
+    assert len(feats) == 16
+    for row in range(4):
+        assert feats[4 * row] == 0.0 and feats[4 * row + 1] == 0.0
+        assert feats[4 * row + 2] == 1.0 and feats[4 * row + 3] == 1.0
+
+
+def test_extract_features_real_path(spark):
+    """The non-fake mapInPandas path decodes real PNG and WAV payloads
+    and matches the pure-Python codec output exactly."""
+    from datapatterns_spark.operators.multimodal import (
+        extract_features,
+        make_real_media_table,
+    )
+
+    media = make_real_media_table(spark, n=12)
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(out) == 12
+    local = {r["media_id"]: bytes(r["media"]) for r in media.collect()}
+    for mid, payload in local.items():
+        want = (
+            cd.image_features(payload)
+            if payload.startswith(cd.PNG_SIG)
+            else cd.audio_features(payload)
+        )
+        got = out[mid]["features"]
+        assert len(got) == 16
+        assert all(abs(a - b) < 1e-6 for a, b in zip(got, want))
+        assert out[mid]["n_bytes"] == len(payload)
+
+
+def test_resize_media_real_path(spark):
+    """Non-fake resize really decodes, box-resamples, and re-encodes
+    PNG: output payloads are valid PNGs at the target dimensions with
+    box-averaged content."""
+    from datapatterns_spark.operators.multimodal import (
+        make_real_media_table,
+        resize_media,
+    )
+
+    media = make_real_media_table(spark, n=12).filter(
+        "meta.media_type = 'image'"
+    )
+    out = resize_media(media, width=6, height=4).collect()
+    assert len(out) == media.count()
+    src = {r["media_id"]: bytes(r["media"]) for r in media.collect()}
+    for r in out:
+        w, h, c, px = cd.png_decode(bytes(r["media"]))
+        assert (w, h, r["width"], r["height"]) == (6, 4, 6, 4)
+        sw, sh, sc, spx = cd.png_decode(src[r["media_id"]])
+        assert bytes(px) == bytes(cd.resize_box(spx, sw, sh, sc, 6, 4))
+
+
+def test_extract_features_real_path_rejects_unknown_format(spark):
+    from pyspark.sql import types as T
+    from pyspark.errors import PythonException
+
+    from datapatterns_spark.operators.multimodal import extract_features
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, b"\xff\xd8\xff\xe0 fake jpeg")], schema)
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        extract_features(df).collect()
