@@ -175,6 +175,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             field_list=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
         )
 
+    def q_benford_stock(spark, sf):
+        # the reference README's Benford stock-data walkthrough
+        # (README.md:846-865) at correctness scale: same column shape,
+        # deterministic synthetic quotes (sources/stock.py), exact
+        # DuckDB oracle regenerating the table from (n_rows, seed).
+        # bench.py runs the same workload at the walkthrough's 20.9M
+        # rows as a second headline.
+        from datapatterns_spark.sources.stock import generate_stock_quotes
+
+        return benford(
+            generate_stock_quotes(spark, 50_000),
+            field_list=["opening_price", "closing_price", "trade_date"],
+        )
+
     def q_validate(spark, sf):
         v = validate(
             _t(spark, sf, "lineitem"),
@@ -574,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_best_type": q_profile_best_type,
         "cardinality_histogram": q_cardinality_histogram,
         "benford_digit1": q_benford,
+        "benford_stock": q_benford_stock,
         "validate_rules": q_validate,
         "constraint_verdicts": q_constraint_verdicts,
         "verdicts_per_partition": q_verdicts_per_partition,
@@ -1171,6 +1186,41 @@ FROM (
 ) ORDER BY ord
 """
 
+    # ---- benford_stock (README stock walkthrough; input regenerated
+    # in DuckDB from (n_rows, seed) via the pure-SQL XXH64 pipeline) ----
+    from datapatterns_spark.functions.stock_sql import stock_rows_sql
+
+    stock_rel = stock_rows_sql(50_000)
+    stock_cols = ["opening_price", "closing_price", "trade_date"]
+    stock_src_parts = [
+        f"SELECT {i + 1} AS ord, '{c}' AS attribute,"
+        f" CASE WHEN regexp_extract(CAST({c} AS VARCHAR), '[1-9]') <> ''"
+        f" THEN CAST(regexp_extract(CAST({c} AS VARCHAR), '[1-9]') AS INT)"
+        f" WHEN contains(CAST({c} AS VARCHAR), '.') THEN 0 ELSE 10 END AS n"
+        f" FROM stockq"
+        for i, c in enumerate(stock_cols)
+    ]
+    benford_stock_sql = f"""
+WITH stockq AS MATERIALIZED (SELECT * FROM {stock_rel}),
+src AS ({' UNION ALL '.join(stock_src_parts)}),
+agg AS (
+  SELECT ord, attribute,
+       {pct_cols},
+       COUNT(*) AS num_values
+  FROM src WHERE n <> 10 GROUP BY ord, attribute),
+withchi AS (
+  SELECT attribute, CAST(-1.0 AS DOUBLE) AS zero, one, two, three, four, five, six, seven, eight, nine,
+         ROUND({chi}, 3) AS chi_squared, CAST(num_values AS BIGINT) AS num_values, ord
+  FROM agg)
+SELECT attribute, zero, one, two, three, four, five, six, seven, eight, nine, chi_squared, num_values
+FROM (
+  SELECT * FROM withchi
+  UNION ALL
+  SELECT '-- EXPECTED DIGIT 1 --', CAST(-1.0 AS DOUBLE), 30.1, 17.6, 12.5, 9.7, 7.9, 6.7, 5.8, 5.1, 4.6,
+         CAST(20.090 AS DOUBLE), (SELECT COUNT(*) FROM stockq), 0
+) ORDER BY ord
+"""
+
     # ---- validate ----
     tests = [
         ("QtyPositive", "l_quantity > 0"),
@@ -1684,6 +1734,7 @@ FROM src GROUP BY attribute
         "profile_best_type": profile_best_type,
         "cardinality_histogram": cardinality_histogram,
         "benford_digit1": benford_sql,
+        "benford_stock": benford_stock_sql,
         "validate_rules": validate_sql,
         "constraint_verdicts": constraint_sql,
         "drift_psi": drift_sql,

@@ -175,6 +175,39 @@ def prepare_transcripts(spark, n_convs: int) -> str:
     return path
 
 
+def prepare_stock(spark, n_rows: int) -> str:
+    """Materialize the Benford-walkthrough stock table ONCE (the
+    reference README's 20,959,177-row stock example scale,
+    README.md:846-865) — deterministic synthetic quotes from
+    sources/stock.py, written as splittable parquet."""
+    import glob
+
+    from datapatterns_spark.sources.stock import generate_stock_quotes
+
+    path = f"/tmp/dp_bench/stock-{n_rows}-seed42"
+    if not glob.glob(f"{path}/_SUCCESS"):
+        generate_stock_quotes(spark, n_rows).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def benford_stock(spark, path: str) -> None:
+    """Second headline: Benford digit-1 conformance over the stock
+    table's price/date columns — the README walkthrough at its
+    published scale."""
+    from datapatterns_spark.operators.benford import benford
+
+    benford(
+        spark.read.parquet(path),
+        field_list=["opening_price", "closing_price", "trade_date"],
+    ).collect()
+
+
+# The walkthrough's published row count; env-tunable for quick runs.
+STOCK_ROWS = int(os.environ.get("SPARK_GRAFT_STOCK_ROWS", "20959177"))
+
+
 def flagship_profile_validate(spark, input_path: str) -> int:
     """The BASELINE.json metric workload: full Profile (approx/sketch
     mode — the 10^12-row path) + all transcript constraint checks over
@@ -272,6 +305,20 @@ def run_suite() -> dict:
         flagship_best = min(flagship_best, time.time() - t0)
     timings["profile_validate_transcripts"] = round(flagship_best, 3)
     turns_per_sec = n_turns / timings["profile_validate_transcripts"]
+
+    # Second headline: the README Benford stock walkthrough at its
+    # published ~20.9M-row scale.  Same steady-state protocol: warm the
+    # plan shapes on a distinct smaller input, clear caches, best-of-2.
+    stock_inp = prepare_stock(spark, STOCK_ROWS)
+    stock_warm = prepare_stock(spark, max(100_000, STOCK_ROWS // 16))
+    benford_stock(spark, stock_warm)
+    stock_best = float("inf")
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        benford_stock(spark, stock_inp)
+        stock_best = min(stock_best, time.time() - t0)
+    timings["benford_stock_20m"] = round(stock_best, 3)
 
     qs = entrymod.queries()
     headline = [

@@ -33,7 +33,11 @@ def _generic_digits(s: Column, pos: int) -> Column:
 
 
 def nth_digit(
-    col: Column, pos: int, integral: bool = False, fractional: bool = False
+    col: Column,
+    pos: int,
+    integral: bool = False,
+    fractional: bool = False,
+    decimal_scale: int | None = None,
 ) -> Column:
     """The ``pos``-th significant digit of the string form of ``col``.
 
@@ -52,7 +56,25 @@ def nth_digit(
     strip replaces the three regexes.  Scientific notation (``E``),
     ``NaN`` and ``Infinity`` renderings route to the generic scanner —
     same result by construction, just off the hot path.
+
+    ``decimal_scale`` (not None) is the decimal-typed fast path: a
+    decimal renders as ``[-]digits[.digits]`` — never scientific, never
+    NaN/Inf — so the float path's guards drop too.  An all-zero value
+    renders with a decimal point iff the type's scale > 0, which is a
+    PLAN-time constant: the generic scanner's per-row ``contains('.')``
+    becomes ``lit(0)`` or ``lit(10)``.
     """
+    if decimal_scale is not None:
+        s = F.abs(col).cast("string")
+        sig = F.regexp_replace(F.translate(s, ".", ""), "^0+", "")
+        return (
+            F.when(col.isNull(), F.lit(10))
+            .when(F.length(sig) >= pos, F.substring(sig, pos, 1).cast("int"))
+            .when(F.length(sig) > 0, F.lit(0))  # implied trailing zero
+            # value is exactly zero: "0.000" saw a point -> 0; scale-0
+            # "0" saw none -> sentinel
+            .otherwise(F.lit(0) if decimal_scale > 0 else F.lit(10))
+        )
     if integral:
         s = F.abs(col).cast("string")
         return (

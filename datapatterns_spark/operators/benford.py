@@ -65,6 +65,12 @@ def benford(
     sampled = _deterministic_sample(df, sample_size)
     total = sampled.count()
 
+    def _dec_scale(t: str) -> int | None:
+        # "decimal(12,3)" -> 3; None for non-decimal types
+        if not t.startswith("decimal("):
+            return None
+        return int(t[t.rindex(",") + 1 : -1])
+
     structs = [
         F.struct(
             F.lit(a.name).alias("attribute"),
@@ -73,6 +79,7 @@ def benford(
                 clamped,
                 integral=a.given_type in INTEGRAL_TYPES,
                 fractional=a.given_type in FRACTIONAL_TYPES,
+                decimal_scale=_dec_scale(a.given_type),
             ).alias("n"),
         )
         for a in attrs

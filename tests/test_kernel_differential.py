@@ -118,6 +118,48 @@ def test_nth_digit_differential(spark):
             )
 
 
+def test_nth_digit_decimal_fast_path_differential(spark):
+    """The decimal-typed fast path must agree with the generic scanner
+    over the decimal's rendered string for every digit position —
+    including zeros (whose rendering has a dot iff scale > 0),
+    negatives, sub-1 values, and trailing-zero renderings."""
+    import decimal as _dec
+
+    vals = [
+        "0.000", "0.001", "-0.001", "1.000", "-1.000", "9999.999",
+        "0.500", "123.450", "0.007", "7000.000", "-9999.999", "42.000",
+    ]
+    rows = [(_dec.Decimal(v),) for v in vals] + [(None,)]
+    df = spark.createDataFrame(rows, "v decimal(12,3)")
+    sel = df.select(
+        "v",
+        *[
+            nth_digit(F.col("v"), p, decimal_scale=3).alias(f"fast{p}")
+            for p in (1, 2, 3, 4)
+        ],
+        *[nth_digit(F.col("v"), p).alias(f"gen{p}") for p in (1, 2, 3, 4)],
+    )
+    for r in sel.collect():
+        for p in (1, 2, 3, 4):
+            assert r[f"fast{p}"] == r[f"gen{p}"], (r["v"], p)
+    # scale-0 decimals: zero renders WITHOUT a dot -> sentinel 10
+    df0 = spark.createDataFrame(
+        [(_dec.Decimal(v),) for v in ("0", "5", "-30", "1234")],
+        "v decimal(12,0)",
+    )
+    sel0 = df0.select(
+        "v",
+        *[
+            nth_digit(F.col("v"), p, decimal_scale=0).alias(f"fast{p}")
+            for p in (1, 2)
+        ],
+        *[nth_digit(F.col("v"), p).alias(f"gen{p}") for p in (1, 2)],
+    )
+    for r in sel0.collect():
+        for p in (1, 2):
+            assert r[f"fast{p}"] == r[f"gen{p}"], (r["v"], p)
+
+
 def test_type_flag_py_differential(spark):
     """The Python mirror of the best-type flag classifier
     (besttype.type_flag_py) must agree with the Spark expression on a

@@ -42,3 +42,25 @@ SELECT SUM(CASE WHEN role NOT IN ('system','user','assistant','tool') THEN 1 ELS
 FROM tr"""
     role_bad, teleport, dups = duckdb.connect().execute(sql).fetchone()
     assert role_bad > 0 and teleport > 0 and dups > 0
+
+
+def test_stock_sql_generator_matches_spark(spark):
+    """The Benford-walkthrough stock table (sources/stock.py) must be
+    regenerated bit-for-bit by its DuckDB twin — decimals compared as
+    their rendered strings, exactly as the Benford digit logic sees
+    them."""
+    from datapatterns_spark.functions.stock_sql import stock_rows_sql
+    from datapatterns_spark.sources.stock import generate_stock_quotes
+
+    n = 3000
+    spark_rows = {
+        tuple(str(v) for v in r)
+        for r in generate_stock_quotes(spark, n).collect()
+    }
+    duck_rows = {
+        tuple(str(v) for v in r)
+        for r in duckdb.connect()
+        .execute(f"SELECT * FROM {stock_rows_sql(n)}")
+        .fetchall()
+    }
+    assert duck_rows == spark_rows
