@@ -56,6 +56,98 @@ def _bar_list(items, total: int) -> str:
     return "".join(rows)
 
 
+_DONUT_COLORS = [
+    "#4a90d9", "#e8883a", "#56a35a", "#c75b5b", "#8a6fc9",
+    "#b4a03c", "#4aa8a0", "#c267a8", "#7c8b52", "#737f8c",
+]
+
+
+def _donut(items, rec: int) -> str:
+    """Inline-SVG donut of the low-cardinality value breakdown — the
+    static analogue of the reference report's per-attribute pie
+    (report/src/index.ts Pie over cardinality_breakdown).  Segments are
+    proportional to rec_count; values beyond the palette fold into an
+    'other' slice."""
+    if not items:
+        return ""
+    counts = [(str(i.get("value", "")), int(i["rec_count"])) for i in items]
+    shown = counts[: len(_DONUT_COLORS) - 1]
+    rest = sum(c for _, c in counts[len(shown):])
+    if rest:
+        shown.append(("(other)", rest))
+    total = sum(c for _, c in shown) or 1
+    r, cx, cy, sw = 32.0, 40, 40, 14
+    circ = 2 * 3.141592653589793 * r
+    segs, legend, offset = [], [], 0.0
+    for idx, (label, cnt) in enumerate(shown):
+        frac = cnt / total
+        color = _DONUT_COLORS[idx % len(_DONUT_COLORS)]
+        segs.append(
+            f"<circle r='{r}' cx='{cx}' cy='{cy}' fill='none' "
+            f"stroke='{color}' stroke-width='{sw}' "
+            f"stroke-dasharray='{frac * circ:.2f} {circ:.2f}' "
+            f"stroke-dashoffset='{-offset * circ:.2f}' "
+            f"transform='rotate(-90 {cx} {cy})'/>"
+        )
+        legend.append(
+            f"<div class='barrow'><span style='display:inline-block;width:9px;"
+            f"height:9px;background:{color}'></span> {_esc(label)} "
+            f"&times;{cnt} ({100 * frac:.1f}%)</div>"
+        )
+        offset += frac
+    return (
+        "<div style='display:flex;align-items:center;gap:12px'>"
+        f"<svg width='80' height='80' viewBox='0 0 80 80'>{''.join(segs)}</svg>"
+        f"<div>{''.join(legend)}</div></div>"
+    )
+
+
+def _boxplot(row: dict) -> str:
+    """Inline-SVG quartile box-plot (min, q1, median, q3, max) — the
+    static analogue of the reference report's QuartileCandlestick
+    (report/src/statChart.ts:71-139)."""
+    keys = (
+        "numeric_min", "numeric_lower_quartile", "numeric_median",
+        "numeric_upper_quartile", "numeric_max",
+    )
+    try:
+        q = [float(row[k]) for k in keys if row.get(k) is not None]
+    except (TypeError, ValueError):
+        return ""
+    if len(q) != 5:
+        return ""
+    lo, hi = q[0], q[4]
+    span = (hi - lo) or 1.0
+    w, pad = 360, 12
+
+    def x(v: float) -> float:
+        return pad + (v - lo) / span * (w - 2 * pad)
+
+    x0, x1, x2, x3, x4 = (x(v) for v in q)
+    mid, half = 26, 9
+    parts = [
+        f"<line x1='{x0:.1f}' y1='{mid}' x2='{x1:.1f}' y2='{mid}' stroke='#888'/>",
+        f"<line x1='{x3:.1f}' y1='{mid}' x2='{x4:.1f}' y2='{mid}' stroke='#888'/>",
+        f"<line x1='{x0:.1f}' y1='{mid - half}' x2='{x0:.1f}' y2='{mid + half}' stroke='#888'/>",
+        f"<line x1='{x4:.1f}' y1='{mid - half}' x2='{x4:.1f}' y2='{mid + half}' stroke='#888'/>",
+        f"<rect x='{x1:.1f}' y='{mid - half}' width='{max(x3 - x1, 1):.1f}' "
+        f"height='{2 * half}' fill='#cfe2f5' stroke='#4a90d9'/>",
+        f"<line x1='{x2:.1f}' y1='{mid - half}' x2='{x2:.1f}' y2='{mid + half}' "
+        f"stroke='#1c5a9e' stroke-width='2'/>",
+        f"<text x='{x0:.1f}' y='{mid + half + 12}' font-size='9' "
+        f"text-anchor='middle' fill='#666'>{q[0]:g}</text>",
+        f"<text x='{x4:.1f}' y='{mid + half + 12}' font-size='9' "
+        f"text-anchor='middle' fill='#666'>{q[4]:g}</text>",
+        f"<text x='{x2:.1f}' y='{mid - half - 3}' font-size='9' "
+        f"text-anchor='middle' fill='#1c5a9e'>{q[2]:g}</text>",
+    ]
+    return (
+        f"<svg width='{w}' height='62' viewBox='0 0 {w} 62'>"
+        + "".join(parts)
+        + "</svg>"
+    )
+
+
 def _num_stats(row: dict) -> str:
     keys = [
         ("numeric_min", "min"), ("numeric_max", "max"), ("numeric_mean", "mean"),
@@ -114,7 +206,7 @@ def render_profile_html(profile_df: DataFrame, title: str = "Data Profile") -> s
         if row.get("cardinality_breakdown"):
             parts.append(
                 "<div class='section'>cardinality breakdown</div>"
-                + _bar_list(row["cardinality_breakdown"], rec)
+                + _donut(row["cardinality_breakdown"], rec)
             )
         if row.get("popular_patterns"):
             parts.append(
@@ -126,6 +218,9 @@ def render_profile_html(profile_df: DataFrame, title: str = "Data Profile") -> s
                 "<div class='section'>rare patterns</div>"
                 + _bar_list(row["rare_patterns"], rec)
             )
+        box = _boxplot(row)
+        if box:
+            parts.append("<div class='section'>distribution</div>" + box)
         parts.append(_num_stats(row))
         if row.get("correlations"):
             corr_rows = "".join(

@@ -46,6 +46,13 @@ def test_profile_html_report(spark, tmp_path):
     out = write_profile_report(prof, str(tmp_path / "r.html"))
     assert os.path.getsize(out) > 1000
 
+    # chart parity with the reference report bundle (statChart.ts):
+    # the numeric attribute gets an SVG quartile box-plot, the low-
+    # cardinality one an SVG donut breakdown — still zero JS
+    assert "<svg" in html_text
+    assert "stroke-dasharray" in html_text  # donut segments
+    assert "<rect" in html_text  # box-plot quartile box
+
 
 def test_report_escapes_html(spark, tmp_path):
     df = spark.createDataFrame([("<b>x</b>",), ("<b>x</b>",)], "v string")
