@@ -470,6 +470,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf):
         return D.simhash_pairs(_t(spark, sf, "documents"), "text", "doc_id", max_hamming=3)
 
+    def q_dedup_conversations(spark, sf):
+        """Whole-conversation exact dedup over pseudo-conversations
+        built from the documents table (conv = doc_id div 20, turn =
+        doc_id mod 20) with planted clones (every 7th conversation
+        re-labeled +100000).  Fingerprint folds are commutative
+        groupBy aggregates — map-side combinable, hot-conversation
+        safe."""
+        docs = _t(spark, sf, "documents")
+        base = docs.select(
+            F.expr("doc_id div 20").alias("conv_id"),
+            F.expr("doc_id % 20").alias("turn_idx"),
+            "text",
+        )
+        clones = base.filter("conv_id % 7 = 0").withColumn(
+            "conv_id", F.col("conv_id") + 100000
+        )
+        return D.conversation_dedup(base.unionByName(clones))
+
     def q_dedup_components(spark, sf):
         """Near-dup pairs -> dedup clusters + canonical keep-list via
         large-star/small-star connected components."""
@@ -621,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_best_types": q_apply_best_types,
         "sample_stratified": q_sample_stratified,
         "dedup_components": q_dedup_components,
+        "dedup_conversations": q_dedup_conversations,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
         "dedup_winnow": q_winnow_dups,
@@ -1118,6 +1137,37 @@ scored AS (
                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
   FROM cand c JOIN shc a ON a.id = c.id_a JOIN shc b ON b.id = c.id_b)
 SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7
+"""
+
+    # ---- dedup_conversations: whole-conversation fingerprint dedup ----
+    # Pseudo-conversations from documents (conv = doc_id div 20, turn =
+    # doc_id % 20) + planted clones; per-turn hash replayed via the
+    # pure-SQL XXH64 string pipeline, folds as bit_xor / HUGEINT sum.
+    conv_src = (
+        "(SELECT doc_id // 20 AS conv_id, doc_id % 20 AS turn_idx, text"
+        " FROM documents"
+        " UNION ALL"
+        " SELECT doc_id // 20 + 100000, doc_id % 20, text FROM documents"
+        " WHERE (doc_id // 20) % 7 = 0)"
+    )
+    conv_hash = xxh64_str_sql(
+        conv_src,
+        ["conv_id"],
+        "turn_idx::VARCHAR || ':' || COALESCE(text, '')",
+        cte_prefix="cvd",
+        out="h",
+    )
+    dedup_conversations_sql = f"""
+WITH hashed AS MATERIALIZED ({conv_hash}),
+fps AS MATERIALIZED (
+  SELECT conv_id AS conv, COUNT(*) AS n_turns,
+         bit_xor(h) AS fp_xor, SUM(h::HUGEINT) AS fp_sum
+  FROM hashed GROUP BY conv_id),
+grp AS (
+  SELECT n_turns, fp_xor, fp_sum, MIN(conv) AS canonical
+  FROM fps GROUP BY 1, 2, 3 HAVING COUNT(*) > 1)
+SELECT f.conv, g.canonical, (f.conv = g.canonical) AS keep
+FROM fps f JOIN grp g USING (n_turns, fp_xor, fp_sum)
 """
 
     # ---- dedup_components: CC over the minhash pairs ----
@@ -1759,6 +1809,7 @@ FROM src GROUP BY attribute
         "apply_best_types": apply_best_types_sql,
         "sample_stratified": sample_stratified_sql,
         "dedup_components": dedup_components_sql,
+        "dedup_conversations": dedup_conversations_sql,
         "text_winnow": text_winnow_sql,
         "dedup_winnow": winnow_dups_sql,
         "multimodal_features": multimodal_features_sql,

@@ -678,6 +678,75 @@ def connected_components(
     return out
 
 
+# ---------------------------------------------------------------------------
+# conversation-grain dedup (the transcript payload's natural unit)
+# ---------------------------------------------------------------------------
+def conversation_fingerprints(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    normalize: bool = False,
+) -> DataFrame:
+    """``(conv, n_turns, fp_xor, fp_sum)`` — a position-sensitive,
+    order-independent fingerprint of each conversation's turn multiset.
+
+    Per turn: ``xxhash64(turn_idx || ':' || text)`` (one string hash —
+    the ':' delimiter keeps (1, '2x') distinct from (12, 'x')); per
+    conversation: ``bit_xor`` and ``decimal(38,0)``-sum folds plus the
+    turn count.  Both folds are commutative ``groupBy`` aggregates —
+    map-side combinable, so a 16M-turn hot conversation collapses per
+    input partition and NEVER forms one task's ``collect_list`` (the
+    skew rule the whole constraint layer follows).  XOR alone cancels
+    pairs of identical turns ({x,x,y} vs {y,z,z} both XOR to y); the
+    sum fold breaks exactly that tie, and count pins the multiset
+    size.  A cross-conversation collision needs all three to agree —
+    ~2^-128 for non-adversarial data.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    if normalize:
+        txt = normalized_text(txt)
+    h = F.xxhash64(
+        F.concat(F.col(turn_col).cast("string"), F.lit(":"), txt)
+    )
+    return df.groupBy(F.col(conv_col).alias("conv")).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.bit_xor(h).alias("fp_xor"),
+        F.sum(h.cast("decimal(38,0)")).alias("fp_sum"),
+    )
+
+
+def conversation_dedup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    normalize: bool = False,
+) -> DataFrame:
+    """Whole-conversation exact dedup: ``(conv, canonical, keep)`` for
+    every conversation whose full (turn_idx, text) multiset duplicates
+    another's.  ``canonical`` is the group's minimum conv id; ``keep``
+    marks it.  Same skew-safe shape as :func:`exact_duplicates` — the
+    per-fingerprint group is a hash aggregation over the (tiny)
+    fingerprint frame, never a window over raw turns."""
+    fps = conversation_fingerprints(df, conv_col, turn_col, text_col, normalize)
+    key = ["n_turns", "fp_xor", "fp_sum"]
+    groups = (
+        fps.groupBy(*key)
+        .agg(F.min("conv").alias("canonical"), F.count(F.lit(1)).alias("n_convs"))
+        .filter(F.col("n_convs") > 1)
+        .drop("n_convs")
+    )
+    return (
+        fps.join(groups, key)
+        .select(
+            "conv",
+            "canonical",
+            (F.col("conv") == F.col("canonical")).alias("keep"),
+        )
+    )
+
+
 def dedup_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -416,6 +416,45 @@ def test_connected_components_random_graphs(spark):
         assert got == want, f"seed={seed}"
 
 
+def test_conversation_dedup(spark):
+    """Whole-conversation dedup: cloned conversations (same turn
+    multiset under a different conv_id) group to the min-id canonical;
+    near-miss conversations (one char off, turn renumbered, or the
+    XOR-cancellation adversarial pair) stay apart."""
+    rows = []
+    for conv, turns in {
+        "a": [(0, "hello"), (1, "world")],
+        "b": [(1, "world"), (0, "hello")],       # clone of a, rows reordered
+        "c": [(0, "hello"), (1, "world!")],      # one char off
+        "d": [(1, "hello"), (2, "world")],       # same texts, renumbered
+        # XOR-cancellation pair: {x,x,y} vs {y,z,z} both XOR to h(y)
+        "e": [(0, "x"), (0, "x"), (1, "y")],
+        "f": [(1, "y"), (2, "z"), (2, "z")],
+        "g": [(0, "x"), (0, "x"), (1, "y")],     # true clone of e
+    }.items():
+        rows += [(conv, t, s) for t, s in turns]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r["conv"]: (r["canonical"], r["keep"])
+           for r in D.conversation_dedup(df).collect()}
+    assert out == {
+        "a": ("a", True), "b": ("a", False),
+        "e": ("e", True), "g": ("e", False),
+    }
+
+
+def test_conversation_fingerprints_shape_is_agg_only(spark):
+    """The fingerprint pass must be pure hash aggregation (map-side
+    combinable — a hot conversation collapses per input partition):
+    no Window, no collect_list, no Python eval."""
+    df = spark.createDataFrame(
+        [("c", 0, "t")], "conv_id string, turn_idx int, text string"
+    )
+    plan = D.conversation_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "collect_list" not in plan and "collect_set" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_connected_components_signature_overflow(spark):
     """Regression for the round-1 red row: the convergence signature
     summed raw ``xxhash64(u, v)`` values, which overflows an int64
