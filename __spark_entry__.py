@@ -448,6 +448,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return d.select("doc_id", TA.fingerprint(F.col("text")).alias("fp"))
 
+    def q_text_redact(spark, sf):
+        """PII detect + redact over documents with deterministically
+        planted emails/phones (every 5th doc) — counts on the pre-
+        redaction text, sequential pattern substitution.  Map-only
+        plan: no shuffle, no Python."""
+        docs = _t(spark, sf, "documents")
+        planted = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-123-4567"),
+                ),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        out = TA.redact_pii(planted)
+        return out.select(
+            "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4",
+            "pii_total", "redacted",
+        )
+
     def q_text_winnow(spark, sf):
         """Winnowing (MOSS) document fingerprints: k-gram rolling hash
         + w-window minima, expression-only."""
@@ -641,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_conversations": q_dedup_conversations,
         "text_fingerprint": q_text_fingerprint,
+        "text_redact": q_text_redact,
         "text_winnow": q_text_winnow,
         "dedup_winnow": q_winnow_dups,
         "profile_incremental": q_profile_incremental,
@@ -1037,6 +1062,37 @@ FROM ranked WHERE sample_rank <= 40
     text_fp_sql = xxh64_str_sql(
         "documents", ["doc_id"], norm_text, out="fp", cte_prefix="fp"
     )
+
+    # ---- text_redact (PII patterns are Java-regex/RE2-portable:
+    # no lookaround, explicit classes; DuckDB needs the 'g' flag) ----
+    from datapatterns_spark.operators.textanalysis import PII_PATTERNS
+
+    _pii_order = ["email", "ssn", "phone", "ipv4"]
+    _red_expr = "t"
+    for _k in _pii_order:
+        _red_expr = (
+            f"regexp_replace({_red_expr}, '{PII_PATTERNS[_k]}',"
+            f" '[{_k.upper()}]', 'g')"
+        )
+    _pii_counts = ",\n  ".join(
+        f"CAST(length(regexp_extract_all(t, '{PII_PATTERNS[k]}')) AS INT)"
+        f" AS n_{k}"
+        for k in _pii_order
+    )
+    text_redact_sql = f"""
+WITH planted AS MATERIALIZED (
+  SELECT doc_id,
+         COALESCE(CASE WHEN doc_id % 5 = 0
+              THEN COALESCE(text, '') || ' contact user' || doc_id::VARCHAR
+                   || '@example.com or 555-123-4567'
+              ELSE text END, '') AS t
+  FROM documents)
+SELECT doc_id,
+  {_pii_counts},
+  CAST({' + '.join(f"length(regexp_extract_all(t, '{PII_PATTERNS[k]}'))" for k in _pii_order)} AS INT) AS pii_total,
+  {_red_expr} AS redacted
+FROM planted
+"""
 
     # ---- dedup_simhash: votes over token hashes -> hex -> banded pairs ----
     # Spark: h = xxhash64(tok, lit(0)) = hashInt(0, hashBytes(tok, 42));
@@ -1816,6 +1872,7 @@ FROM src GROUP BY attribute
         "multimodal_frames": multimodal_frames_sql,
         "multimodal_resize": multimodal_resize_sql,
         "text_fingerprint": text_fp_sql,
+        "text_redact": text_redact_sql,
         "dedup_simhash": simhash_sql,
         "dedup_minhash_lsh": minhash_sql,
         "ann_ivf_topk": ann_ivf_sql,

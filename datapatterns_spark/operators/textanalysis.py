@@ -96,6 +96,53 @@ _WINNOW_MOD = (1 << 31) - 1
 _WINNOW_BASE = 257
 
 
+# PII patterns chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB): no lookaround, no backreferences, explicit
+# character classes.  Ordered — redaction applies them in sequence, so
+# e.g. an SSN never half-matches as a phone after substitution.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: list[str] | None = None,
+    token_fmt: str = "[{kind}]",
+) -> DataFrame:
+    """Detect + redact PII-shaped spans — the scrubbing pass every
+    training-data pipeline runs before text leaves curation.
+
+    Adds ``redacted`` (text with each match replaced by
+    ``token_fmt``, patterns applied in ``PII_PATTERNS`` order),
+    ``n_<kind>`` match counts (counted on the PRE-redaction text, so
+    counts are independent of application order), and ``pii_total``.
+    Pure ``regexp_count`` / ``regexp_replace`` expressions — one
+    projection, no shuffle, no Python; at 100 TB this is a map-only
+    pass that pipelines into whatever scan feeds it.
+    """
+    kinds = list(PII_PATTERNS) if kinds is None else kinds
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.regexp_count(txt, F.lit(PII_PATTERNS[k])).alias(f"n_{k}")
+        for k in kinds
+    ]
+    red = txt
+    for k in kinds:
+        red = F.regexp_replace(
+            red, PII_PATTERNS[k], token_fmt.format(kind=k.upper())
+        )
+    out = df.select("*", *counts, red.alias("redacted"))
+    return out.withColumn(
+        "pii_total",
+        sum((F.col(f"n_{k}") for k in kinds[1:]), F.col(f"n_{kinds[0]}")),
+    )
+
+
 def winnow_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 5, w: int = 4,

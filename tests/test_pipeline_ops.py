@@ -210,6 +210,32 @@ def test_ivf_refined_recall_not_worse(spark):
     assert r1 >= 0.5
 
 
+def test_redact_pii(spark):
+    rows = [
+        (1, "mail me at bob.smith+x@example.co.uk or call 555-123-4567"),
+        (2, "ssn 123-45-6789 from host 10.0.255.3"),
+        (3, "nothing sensitive here"),
+        (4, None),
+        (5, "two mails: a@b.io c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in TA.redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["redacted"] == "mail me at [EMAIL] or call [PHONE]"
+    assert out[2]["n_ssn"] == 1 and out[2]["n_ipv4"] == 1
+    assert out[2]["redacted"] == "ssn [SSN] from host [IPV4]"
+    assert out[3]["pii_total"] == 0 and out[3]["redacted"] == rows[2][1]
+    assert out[4]["pii_total"] == 0 and out[4]["redacted"] == ""
+    assert out[5]["n_email"] == 2 and out[5]["pii_total"] == 2
+    assert out[5]["redacted"] == "two mails: [EMAIL] [EMAIL]"
+    # map-only: no shuffle, no Python in the plan
+    plan = (
+        TA.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_text_analysis(spark, docs):
     out = {r["doc_id"]: r for r in TA.analyze_documents(docs).collect()}
     assert out[1]["ws_tokens"] == 9
