@@ -472,6 +472,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pii_total", "redacted",
         )
 
+    def q_pack_sequences(spark, sf):
+        """Concat-and-chunk sequence packing over documents: sharded
+        hash ordering, per-shard cumsum window, straddling docs split
+        across packs."""
+        from datapatterns_spark.operators.packing import pack_sequences
+
+        return pack_sequences(
+            _t(spark, sf, "documents"), max_tokens=64, n_shards=4
+        )
+
     def q_text_winnow(spark, sf):
         """Winnowing (MOSS) document fingerprints: k-gram rolling hash
         + w-window minima, expression-only."""
@@ -666,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_conversations": q_dedup_conversations,
         "text_fingerprint": q_text_fingerprint,
         "text_redact": q_text_redact,
+        "pack_sequences": q_pack_sequences,
         "text_winnow": q_text_winnow,
         "dedup_winnow": q_winnow_dups,
         "profile_incremental": q_profile_incremental,
@@ -1035,6 +1046,42 @@ WHERE shared * 1000000 >= 500000 * least(sa.n_fp, sb.n_fp)
         xxh64_str_sql,
     )
     from datapatterns_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    # ---- pack_sequences (concat-and-chunk packing, B=64, 4 shards) ----
+    _pk_hash = multi_hash_sql(
+        "(SELECT doc_id,"
+        " CASE WHEN trim(coalesce(text, '')) = '' THEN 0"
+        " ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+'))"
+        " END AS n_tok FROM documents)",
+        ["doc_id", "n_tok"],
+        [
+            ("h1", str(xxh64_int_py(42, 42)), hash_long_steps("doc_id")),
+            ("h2", str(xxh64_int_py(43, 42)), hash_long_steps("doc_id")),
+        ],
+        "pk",
+    )
+    _pk_s1, _pk_s2 = to_signed("h1"), to_signed("h2")
+    pack_sequences_sql = f"""
+WITH ph AS MATERIALIZED ({_pk_hash}),
+base AS MATERIALIZED (
+  SELECT doc_id, n_tok,
+         ((({_pk_s1}) % 4 + 4) % 4) AS shard,
+         ({_pk_s2}) AS ord
+  FROM ph WHERE n_tok > 0),
+c AS (
+  SELECT doc_id, n_tok, shard,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY ord, doc_id) AS e
+  FROM base),
+spans AS (
+  SELECT shard, doc_id, e - n_tok AS s, e,
+         unnest(generate_series(((e - n_tok) // 64)::BIGINT, ((e - 1) // 64)::BIGINT)) AS pack
+  FROM c)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(pack AS BIGINT) AS pack, doc_id,
+       CAST(GREATEST(pack * 64, s) - s AS BIGINT) AS tok_start,
+       CAST(LEAST((pack + 1) * 64, e) - GREATEST(pack * 64, s) AS BIGINT) AS n_tokens
+FROM spans
+"""
+
 
     # ---- sample_stratified: seeded per-stratum uniform draw ----
     # Spark ranks by xxhash64(lit(7), doc_id) = hashLong(doc_id,
@@ -1873,6 +1920,7 @@ FROM src GROUP BY attribute
         "multimodal_resize": multimodal_resize_sql,
         "text_fingerprint": text_fp_sql,
         "text_redact": text_redact_sql,
+        "pack_sequences": pack_sequences_sql,
         "dedup_simhash": simhash_sql,
         "dedup_minhash_lsh": minhash_sql,
         "ann_ivf_topk": ann_ivf_sql,

@@ -236,6 +236,60 @@ def test_redact_pii(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_pack_sequences(spark):
+    """Concat-and-chunk packing: token totals conserved, every
+    non-final pack per shard holds exactly max_tokens, output
+    deterministic under any input partitioning."""
+    from datapatterns_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (1 + (i * 37) % 90))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, max_tokens=128, n_shards=4)
+    got = out.collect()
+    total_in = sum(1 + (i * 37) % 90 for i in range(200))
+    assert sum(r["n_tokens"] for r in got) == total_in
+    by_pack = {}
+    for r in got:
+        by_pack.setdefault((r["shard"], r["pack"]), 0)
+        by_pack[(r["shard"], r["pack"])] += r["n_tokens"]
+    last = {s: max(p for (sh, p) in by_pack if sh == s)
+            for s in {sh for sh, _ in by_pack}}
+    for (s, p), tot in by_pack.items():
+        if p != last[s]:
+            assert tot == 128, (s, p, tot)
+        else:
+            assert 0 < tot <= 128
+    # spans within each document are contiguous from 0
+    spans = {}
+    for r in got:
+        spans.setdefault(r["doc_id"], []).append((r["tok_start"], r["n_tokens"]))
+    for doc, ss in spans.items():
+        ss.sort()
+        assert ss[0][0] == 0
+        for (a, n), (a2, _) in zip(ss, ss[1:]):
+            assert a + n == a2
+    # deterministic under repartitioning
+    got2 = pack_sequences(df.repartition(13), max_tokens=128, n_shards=4).collect()
+    key = lambda r: (r["shard"], r["pack"], r["doc_id"], r["tok_start"], r["n_tokens"])
+    assert sorted(map(key, got)) == sorted(map(key, got2))
+
+
+def test_pack_sequences_plan_is_sharded_window(spark):
+    """The cumsum window must partition by shard (never a global
+    single-task window) and the plan must stay JVM-side."""
+    import re
+
+    from datapatterns_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        pack_sequences(df, max_tokens=8, n_shards=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.search(r"windowspecdefinition\(shard#\d+L", plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_text_analysis(spark, docs):
     out = {r["doc_id"]: r for r in TA.analyze_documents(docs).collect()}
     assert out[1]["ws_tokens"] == 9
