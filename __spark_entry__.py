@@ -482,6 +482,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), max_tokens=64, n_shards=4
         )
 
+    def q_curate_documents(spark, sf):
+        """Composed curation pipeline: quality + language gates ->
+        exact dedup (min-id survivor per normalized-text hash) -> PII
+        redaction.  Oracle composes the quality/langid/XXH64/redact
+        SQL twins end-to-end."""
+        from datapatterns_spark.operators.curation import curate_documents
+
+        return curate_documents(
+            _t(spark, sf, "documents"),
+            min_quality=0.2,
+            languages=["en", "de", "fr"],
+            redact=True,
+        )
+
     def q_text_winnow(spark, sf):
         """Winnowing (MOSS) document fingerprints: k-gram rolling hash
         + w-window minima, expression-only."""
@@ -677,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_redact": q_text_redact,
         "pack_sequences": q_pack_sequences,
+        "curate_documents": q_curate_documents,
         "text_winnow": q_text_winnow,
         "dedup_winnow": q_winnow_dups,
         "profile_incremental": q_profile_incremental,
@@ -1777,6 +1792,33 @@ SELECT doc_id,
 FROM m
 """
 
+    # ---- curate_documents: composed quality/langid/dedup/redact ----
+    _cu_hash = xxh64_str_sql(
+        "documents", ["doc_id"], norm, out="k", cte_prefix="cu"
+    )
+    _cu_pii_total = " + ".join(
+        f"length(regexp_extract_all(t, '{PII_PATTERNS[k]}'))"
+        for k in _pii_order
+    )
+    curate_documents_sql = f"""
+WITH cq AS MATERIALIZED ({text_quality_sql}),
+cl AS MATERIALIZED ({langid_sql}),
+ch AS MATERIALIZED ({_cu_hash}),
+cb AS MATERIALIZED (
+  SELECT d.doc_id, cl.lang_guess, cq.quality, COALESCE(d.text, '') AS t, ch.k
+  FROM documents d
+  JOIN cq ON cq.doc_id = d.doc_id
+  JOIN cl ON cl.doc_id = d.doc_id
+  JOIN ch ON ch.doc_id = d.doc_id
+  WHERE cq.quality >= 0.2 AND cl.lang_guess IN ('en', 'de', 'fr')),
+ck AS (SELECT k, MIN(doc_id) AS canon FROM cb GROUP BY k)
+SELECT cb.doc_id, cb.lang_guess, cb.quality,
+       CAST({_cu_pii_total} AS INT) AS pii_total,
+       {_red_expr} AS text
+FROM cb JOIN ck ON cb.k = ck.k AND cb.doc_id = ck.canon
+"""
+
+
     # ---- embedding cosine near-dup pairs (brute baseline) ----
     dedup_embedding_sql = """
 WITH p AS (
@@ -1921,6 +1963,7 @@ FROM src GROUP BY attribute
         "text_fingerprint": text_fp_sql,
         "text_redact": text_redact_sql,
         "pack_sequences": pack_sequences_sql,
+        "curate_documents": curate_documents_sql,
         "dedup_simhash": simhash_sql,
         "dedup_minhash_lsh": minhash_sql,
         "ann_ivf_topk": ann_ivf_sql,

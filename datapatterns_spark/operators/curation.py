@@ -1,0 +1,96 @@
+"""End-to-end document curation — the composed pipeline a
+training-data run executes before text reaches tokenization:
+
+    annotate (language, quality) -> filter -> dedup -> redact
+
+Each stage is one of this package's operators (``lang_id`` /
+``quality_score`` / exact-or-MinHash dedup / ``redact_pii``), so the
+composition inherits their scale shapes: annotation and redaction are
+map-only projections, the exact-dedup keep-list is a slim hash
+``groupBy`` + join (never a window over text), and the MinHash path
+reuses the banded-LSH + connected-components machinery.  Everything
+is deterministic, so the exact-dedup configuration is value-checked
+end-to-end against a composed DuckDB oracle (`curate_documents`
+driver entry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float | None = None,
+    languages: list[str] | None = None,
+    dedup: str | None = "exact",
+    redact: bool = False,
+    minhash_threshold: float = 0.8,
+) -> DataFrame:
+    """Curated ``(doc_id, lang_guess, quality, [pii_total,] text)``.
+
+    Stages (all optional except annotation):
+
+    * quality gate: ``quality >= min_quality``;
+    * language gate: ``lang_guess`` in ``languages``;
+    * dedup ``"exact"``: one survivor (min id) per
+      ``xxhash64(normalized_text)`` key — slim-key shuffle, hot
+      duplicates collapse map-side;
+    * dedup ``"minhash"``: near-dup pairs -> connected components ->
+      drop every non-canonical cluster member;
+    * ``redact=True``: PII scrub of the surviving text (adds
+      ``pii_total``).
+
+    Dedup runs AFTER the gates, so the canonical survivor is the
+    minimum id among rows that passed filtering.
+    """
+    from .dedup import normalized_text
+    from .textanalysis import lang_id, quality_score, redact_pii
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumns(
+        {
+            "lang_guess": lang_id(F.col("text")),
+            "quality": quality_score(F.col("text")),
+        }
+    )
+    if min_quality is not None:
+        d = d.filter(F.col("quality") >= float(min_quality))
+    if languages:
+        d = d.filter(F.col("lang_guess").isin(list(languages)))
+
+    if dedup == "exact":
+        d = d.withColumn("_k", F.xxhash64(normalized_text(F.col("text"))))
+        canon = d.groupBy("_k").agg(F.min("doc_id").alias("_canon"))
+        d = (
+            d.join(canon, "_k")
+            .filter(F.col("doc_id") == F.col("_canon"))
+            .drop("_k", "_canon")
+        )
+    elif dedup == "minhash":
+        from .dedup import dedup_components, minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            d, "text", "doc_id", threshold=minhash_threshold
+        )
+        losers = (
+            dedup_components(pairs.select("id_a", "id_b"))
+            .filter(~F.col("keep"))
+            .select(F.col("node").alias("doc_id"))
+        )
+        d = d.join(losers, "doc_id", "left_anti")
+    elif dedup is not None:
+        raise ValueError(f"unknown dedup mode {dedup!r}")
+
+    if redact:
+        d = (
+            redact_pii(d, "text")
+            .drop("text", *[f"n_{k}" for k in ("email", "ssn", "phone", "ipv4")])
+            .withColumnRenamed("redacted", "text")
+        )
+        return d.select("doc_id", "lang_guess", "quality", "pii_total", "text")
+    return d.select("doc_id", "lang_guess", "quality", "text")

@@ -236,6 +236,32 @@ def test_redact_pii(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_curate_documents(spark):
+    """Composed curation: quality+language gates, exact dedup keeps
+    the min-id survivor among FILTERED rows, redaction scrubs the
+    surviving text."""
+    from datapatterns_spark.operators.curation import curate_documents
+
+    good = ("the cat and the dog sat in the house and it was good "
+            "for all of them to be there that day")
+    rows = [
+        (1, good),
+        (2, good + "!"),                      # same normalized text as 1
+        (3, "der hund und die katze sind nicht in das haus mit auf"),
+        (4, "zz@@##"),                        # low quality
+        (5, good + " mail me a@b.io today"),  # survives, PII
+        (6, "le chat est dans la maison et il est des une que pour"),  # fr
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curate_documents(
+        df, min_quality=0.3, languages=["en", "de"], redact=True
+    ).collect()}
+    assert set(out) == {1, 3, 5}  # 2 deduped onto 1, 4 low-q, 6 fr
+    assert out[1]["lang_guess"] == "en" and out[3]["lang_guess"] == "de"
+    assert out[5]["pii_total"] == 1 and "[EMAIL]" in out[5]["text"]
+    assert out[1]["pii_total"] == 0
+
+
 def test_pack_sequences(spark):
     """Concat-and-chunk packing: token totals conserved, every
     non-final pack per shard holds exactly max_tokens, output
