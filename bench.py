@@ -363,10 +363,10 @@ def run_suite() -> dict:
         # with full methodology lives in BASELINE.md.
         "scaling_recorded": {
             "pair": "local[2] -> local[8]",
-            "efficiency": 0.878,
-            "turns_per_sec": {"local2": 97980.1, "local8": 344078.7},
+            "efficiency": 0.951,
+            "turns_per_sec": {"local2": 94578.6, "local8": 359738.7},
             "input_turns": 38455298,
-            "source": "BASELINE.md 'Scaling evidence' (bench.py --scaling)",
+            "source": "BASELINE.md 'Scaling evidence (round 2)' (bench.py --scaling-only)",
         },
     }
 

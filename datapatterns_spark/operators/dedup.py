@@ -270,7 +270,11 @@ def minhash_lsh_pairs(
     meta = buckets.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("bsz"), F.min("id").alias("anchor")
     )
-    sized = buckets.join(meta, ["band", "bucket"])
+    # referenced twice (small all-pairs side + big star side): persist
+    # the sized bucket rows so the groupBy+join executes once, not per
+    # branch.  Bounded at docs*bands slim rows (ids + 2 longs), same
+    # order as `buckets` itself — spills cleanly if tight.
+    sized = buckets.join(meta, ["band", "bucket"]).persist()
     small = sized.filter(F.col("bsz") <= F.lit(bucket_cap)).select(
         "id", "band", "bucket"
     )
