@@ -596,6 +596,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.element_at("features", 1), 5).alias("f0"),
         )
 
+    def q_multimodal_real_frames(spark, sf):
+        # REAL frame sampling: animated-GIF decode (stdlib LZW codec)
+        # inside the Arrow workers, each sampled instant's composed
+        # frame re-encoded as PNG.  Rows-only (pixel decode is not
+        # SQL-expressible); frame-exactness is test-pinned
+        # (tests/test_codecs.py::test_sample_frames_real_path).
+        from datapatterns_spark.operators import multimodal as MM
+
+        media = MM.make_real_media_table(spark, n=24).filter(
+            "meta.media_type = 'video'"
+        )
+        frames = MM.sample_frames(media, every_ms=250)
+        return frames.select(
+            "media_id", "frame_ms", F.octet_length("frame").alias("frame_bytes")
+        )
+
     def q_multimodal_frames(spark, sf):
         from datapatterns_spark.operators import multimodal as MM
 
@@ -680,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_approx": q_profile_approx,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_features": q_multimodal_real_features,
+        "multimodal_real_frames": q_multimodal_real_frames,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
         "ann_ivf_topk": q_ann_ivf,

@@ -9,6 +9,11 @@ from the public format specs with nothing but ``zlib``/``struct``/
   five scanline filters incl. Paeth, per the PNG spec, RFC 2083) and
   encode (filter 0 + zlib).  Interlaced (Adam7) and palette images are
   rejected with a clear error.
+* **GIF** — full GIF87a/89a decode (hand-rolled LZW, interlace,
+  local/global palettes, transparency, draw-over and restore-to-
+  background disposal) composing each animation frame onto the
+  canvas, plus an animated-GIF encoder for fixtures — this is the
+  real video-like path behind frame sampling.
 * **WAV** — PCM decode via the stdlib ``wave`` module (8/16/32-bit).
 
 On top of the decoders: deterministic feature extractors (a 4x4
@@ -174,6 +179,223 @@ def resize_box(
     return out
 
 
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-flavor LZW (LSB-first bitstream, 12-bit cap, clear/end
+    codes) -> palette indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    cs = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out: list[int] = []
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < cs:
+            if pos >= len(data):
+                return out
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << cs) - 1)
+        acc >>= cs
+        nbits -= cs
+        if code == clear:
+            table = list(base)
+            cs = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << cs) and cs < 12:
+                cs += 1
+        prev = entry
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """GIF-flavor LZW compressor (clear at start and on full table)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, clear + 2, min_code_size + 1
+
+    table, next_code, cs = fresh()
+    out_bits.append((clear, cs))
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        out_bits.append((table[w], cs))
+        table[wk] = next_code
+        if next_code == (1 << cs) and cs < 12:
+            cs += 1
+        next_code += 1
+        if next_code > 4095:
+            out_bits.append((clear, cs))
+            table, next_code, cs = fresh()
+        w = bytes([b])
+    if w:
+        out_bits.append((table[w], cs))
+    out_bits.append((end, cs))
+    acc = nbits = 0
+    buf = bytearray()
+    for code, width in out_bits:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+_DEINTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode(data: bytes) -> tuple[int, int, list[tuple[int, bytearray]]]:
+    """Decode an (optionally animated) GIF to ``(width, height,
+    [(delay_ms, rgb_pixels), ...])`` — each frame a full composed
+    canvas (draw-over and restore-to-background disposal honored,
+    transparency respected, interlace supported)."""
+    if data[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF payload (bad signature)")
+    w, h = struct.unpack("<HH", data[6:10])
+    packed, bg = data[10], data[11]
+    pos = 13
+    gct: list[bytes] = []
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = [data[pos + 3 * i : pos + 3 * i + 3] for i in range(n)]
+        pos += 3 * n
+    bg_rgb = bytes(gct[bg]) if gct and bg < len(gct) else b"\x00\x00\x00"
+    canvas = bytearray(bg_rgb * (w * h))
+    frames: list[tuple[int, bytearray]] = []
+    delay_ms, transp, tidx, disposal = 100, False, 0, 0
+    while pos < len(data):
+        b0 = data[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            blocks = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                blocks += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # terminator
+            if label == 0xF9 and len(blocks) >= 4:
+                flags = blocks[0]
+                disposal = (flags >> 2) & 7
+                transp = bool(flags & 1)
+                d = struct.unpack("<H", blocks[1:3])[0]
+                delay_ms = d * 10 if d else 100
+                tidx = blocks[3]
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, iw, ih = struct.unpack("<HHHH", data[pos : pos + 8])
+        ipacked = data[pos + 8]
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            ct = [data[pos + 3 * i : pos + 3 * i + 3] for i in range(n)]
+            pos += 3 * n
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(mcs, bytes(lzw))
+        rows = list(range(ih))
+        if ipacked & 0x40:  # interlaced
+            order = []
+            for start, step in _DEINTERLACE:
+                order.extend(range(start, ih, step))
+            rows = order
+        for rin, rout in enumerate(rows):
+            for x in range(iw):
+                k = rin * iw + x
+                if k >= len(idx):
+                    break
+                ci = idx[k]
+                if transp and ci == tidx:
+                    continue
+                o = ((top + rout) * w + (left + x)) * 3
+                canvas[o : o + 3] = ct[ci]
+        frames.append((delay_ms, bytearray(canvas)))
+        if disposal == 2:  # restore rect to background
+            for y in range(ih):
+                o = ((top + y) * w + left) * 3
+                canvas[o : o + 3 * iw] = bg_rgb * iw
+    return w, h, frames
+
+
+def gif_encode(
+    frames: list[tuple[int, bytes | bytearray]], width: int, height: int
+) -> bytes:
+    """Encode full-canvas RGB frames as an animated GIF89a (one global
+    palette built from all frames' colors — must be <= 256)."""
+    palette: dict[bytes, int] = {}
+    for _, px in frames:
+        for i in range(0, len(px), 3):
+            c = bytes(px[i : i + 3])
+            if c not in palette:
+                if len(palette) >= 256:
+                    raise ValueError("gif_encode: more than 256 distinct colors")
+                palette[c] = len(palette)
+    depth = max(1, (len(palette) - 1).bit_length())
+    n = 1 << depth
+    colors = sorted(palette, key=palette.get)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    for c in colors:
+        out += c
+    out += b"\x00\x00\x00" * (n - len(colors))
+    mcs = max(2, depth)
+    for delay_ms, px in frames:
+        out += bytes([0x21, 0xF9, 4, 0])
+        out += struct.pack("<H", max(1, delay_ms // 10))
+        out += bytes([0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        idx = bytes(
+            palette[bytes(px[i : i + 3])] for i in range(0, len(px), 3)
+        )
+        out += bytes([mcs])
+        comp = _lzw_encode(mcs, idx)
+        for i in range(0, len(comp), 255):
+            chunk = comp[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def wav_decode(data: bytes) -> tuple[int, int, list[float]]:
     """Decode a PCM WAV payload to ``(n_channels, framerate,
     samples)`` with samples channel-averaged and scaled to [-1, 1]."""
@@ -206,9 +428,25 @@ def wav_decode(data: bytes) -> tuple[int, int, list[float]]:
 
 def image_features(data: bytes, grid: int = 4) -> list[float]:
     """``grid*grid`` mean-intensity cells (row-major, [0, 1]) of the
-    decoded image — 16 floats at the default grid, matching
+    decoded PNG — 16 floats at the default grid, matching
     ``FEATURE_DIM``."""
     w, h, c, px = png_decode(data)
+    return grid_features(px, w, h, c, grid)
+
+
+def gif_features(data: bytes, grid: int = 4) -> list[float]:
+    """Mean-intensity grid of a GIF's FIRST composed frame."""
+    w, h, frames = gif_decode(data)
+    if not frames:
+        return [0.0] * (grid * grid)
+    return grid_features(frames[0][1], w, h, 3, grid)
+
+
+def grid_features(
+    px: bytes | bytearray, w: int, h: int, c: int, grid: int = 4
+) -> list[float]:
+    """``grid*grid`` mean-intensity cells (row-major, [0, 1]) over raw
+    interleaved pixels."""
     color = min(c, 3)  # ignore alpha for intensity
     feats = []
     for gy in range(grid):

@@ -92,12 +92,15 @@ def extract_features(
                 b = bytes(payload or b"")
                 if b.startswith(_cd.PNG_SIG):
                     return _cd.image_features(b, grid=4)
+                if b[:6] in _cd.GIF_SIGS:
+                    return _cd.gif_features(b, grid=4)
                 if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     return _cd.audio_features(b, bins=dim)
                 raise NotImplementedError(
-                    "real decode supports 8-bit PNG and PCM WAV payloads "
-                    "(stdlib codecs); JPEG/MP4 need codec libraries not in "
-                    "this environment — pass fake=True for the stub"
+                    "real decode supports 8-bit PNG, GIF, and PCM WAV "
+                    "payloads (stdlib codecs); JPEG/MP4 need codec "
+                    "libraries not in this environment — pass fake=True "
+                    "for the stub"
                 )
 
         feats = fake_feats if fake else real_feats
@@ -121,9 +124,16 @@ def sample_frames(
     every_ms: int = 1000,
     fake: bool = False,
 ) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: one output row per
-    sampled frame with a frame timestamp.  Decode stubbed as above;
-    the fake path derives frame count from the metadata duration."""
+    """Frame sampling: one output row per sampled timestamp with the
+    frame active at that time.
+
+    The real path decodes animated GIF (the one video-like container
+    with a stdlib-implementable codec — see ``functions/codecs.py``):
+    frames are composed onto the canvas, the animation timeline is the
+    cumulative per-frame delay, and each sampled instant emits the
+    active frame re-encoded as PNG.  MP4/H.264 raises (no stdlib
+    decoder exists).  ``fake=True`` derives sha256 frames from the
+    metadata duration so a SQL oracle can replay the pipeline."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -133,26 +143,56 @@ def sample_frames(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hl  # self-contained: see extract_features
+        import hashlib as _hl  # fake path: stdlib-only
+
+        if not fake:
+            from datapatterns_spark.functions import codecs as _cd
+
+            def real_frames(payload: bytes):
+                b = bytes(payload or b"")
+                if b[:6] not in _cd.GIF_SIGS:
+                    raise NotImplementedError(
+                        "real frame sampling supports animated GIF (stdlib "
+                        "LZW codec); MP4/H.264 need codec libraries not in "
+                        "this environment — pass fake=True for the stub"
+                    )
+                w, h, frs = _cd.gif_decode(b)
+                # timeline: frame i active on [start_i, start_i+delay_i)
+                starts, t = [], 0
+                for delay, _ in frs:
+                    starts.append(t)
+                    t += delay
+                total = t
+                out = []
+                fi = 0
+                for ts in range(0, total, every_ms):
+                    while fi + 1 < len(frs) and starts[fi + 1] <= ts:
+                        fi += 1
+                    out.append(
+                        (ts, _cd.png_encode(frs[fi][1], w, h, 3))
+                    )
+                return out
 
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "video container decoding (MP4/H.264) requires codec "
-                    "libraries not present in this environment — unlike the "
-                    "PNG/WAV paths in extract_features/resize_media there is "
-                    "no stdlib decoder; pass fake=True for the stub"
-                )
             ids, times, frames = [], [], []
-            for mid, payload, dur in zip(
-                pdf[id_col], pdf[media_col], pdf["duration_ms"]
-            ):
-                for t in range(0, int(dur or 0), every_ms):
-                    ids.append(mid)
-                    times.append(t)
-                    frames.append(
-                        _hl.sha256((payload or b"") + t.to_bytes(8, "big")).digest()
-                    )
+            if fake:
+                for mid, payload, dur in zip(
+                    pdf[id_col], pdf[media_col], pdf["duration_ms"]
+                ):
+                    for t in range(0, int(dur or 0), every_ms):
+                        ids.append(mid)
+                        times.append(t)
+                        frames.append(
+                            _hl.sha256(
+                                (payload or b"") + t.to_bytes(8, "big")
+                            ).digest()
+                        )
+            else:
+                for mid, payload in zip(pdf[id_col], pdf[media_col]):
+                    for t, fr in real_frames(payload):
+                        ids.append(mid)
+                        times.append(t)
+                        frames.append(fr)
             yield pd.DataFrame({"media_id": ids, "frame_ms": times, "frame": frames})
 
     slim = df.select(id_col, media_col, F.col("meta.duration_ms").alias("duration_ms"))
@@ -223,9 +263,10 @@ def resize_media(
 
 def make_real_media_table(spark, n: int = 24, seed: int = 42) -> DataFrame:
     """Deterministic media table whose payloads are REAL encoded
-    formats — 8-bit RGB PNGs (seeded gradient+checker patterns) and
-    PCM-16 WAV tones — so the non-fake decode path can run end-to-end
-    with no external fixtures.  Pure function of (n, seed)."""
+    formats — 8-bit RGB PNGs (seeded gradient+checker patterns),
+    animated GIFs (moving-bar frames), and PCM-16 WAV tones — so the
+    non-fake decode path can run end-to-end with no external
+    fixtures.  Pure function of (n, seed)."""
     import io as _io
     import math as _math
     import wave as _wave
@@ -234,7 +275,19 @@ def make_real_media_table(spark, n: int = 24, seed: int = 42) -> DataFrame:
 
     rows = []
     for i in range(n):
-        if i % 3:  # image rows
+        if i % 3 == 2:  # animated GIF rows: a bar sweeping across
+            w, h, nf = 16, 12, 4
+            frames = []
+            for f in range(nf):
+                px = bytearray(b"\x10\x10\x10" * (w * h))
+                bar = (f * w // nf + seed + i) % w
+                for y in range(h):
+                    o = (y * w + bar) * 3
+                    px[o : o + 3] = b"\xff\xc8\x00"
+                frames.append((250, px))
+            payload = _cd.gif_encode(frames, w, h)
+            meta = ("video", "gif", w, h, nf * 250)
+        elif i % 3:  # image rows
             w, h = 24, 16
             px = bytearray(w * h * 3)
             for y in range(h):

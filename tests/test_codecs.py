@@ -162,9 +162,43 @@ def test_image_features_grid():
         assert feats[4 * row + 2] == 1.0 and feats[4 * row + 3] == 1.0
 
 
+def test_gif_roundtrip():
+    """Animated-GIF encode -> decode reproduces every frame's pixels
+    and delays (LZW, palette, canvas composition)."""
+    w, h = 11, 7
+    frames = []
+    for f in range(3):
+        px = bytearray(b"\x20\x40\x60" * (w * h))
+        for y in range(h):
+            o = (y * w + (f * 3) % w) * 3
+            px[o : o + 3] = b"\xff\x00\x80"
+        frames.append((150 + 10 * f, px))
+    data = cd.gif_encode(frames, w, h)
+    w2, h2, got = cd.gif_decode(data)
+    assert (w2, h2, len(got)) == (w, h, 3)
+    for (d_in, px_in), (d_out, px_out) in zip(frames, got):
+        assert d_out == (d_in // 10) * 10  # delay stored in 1/100 s
+        assert bytes(px_out) == bytes(px_in)
+
+
+def test_gif_lzw_long_stream():
+    """LZW survives a table-filling stream (forces code-width growth
+    and a mid-stream clear)."""
+    import random
+
+    rng = random.Random(5)
+    idx = bytes(rng.randrange(64) for _ in range(20000))
+    assert bytes(cd._lzw_decode(6, cd._lzw_encode(6, idx))) == idx
+
+
+def test_gif_rejects_garbage():
+    with pytest.raises(ValueError):
+        cd.gif_decode(b"definitely not a gif")
+
+
 def test_extract_features_real_path(spark):
-    """The non-fake mapInPandas path decodes real PNG and WAV payloads
-    and matches the pure-Python codec output exactly."""
+    """The non-fake mapInPandas path decodes real PNG, GIF, and WAV
+    payloads and matches the pure-Python codec output exactly."""
     from datapatterns_spark.operators.multimodal import (
         extract_features,
         make_real_media_table,
@@ -174,16 +208,50 @@ def test_extract_features_real_path(spark):
     out = {r["media_id"]: r for r in extract_features(media).collect()}
     assert len(out) == 12
     local = {r["media_id"]: bytes(r["media"]) for r in media.collect()}
+    kinds = set()
     for mid, payload in local.items():
-        want = (
-            cd.image_features(payload)
-            if payload.startswith(cd.PNG_SIG)
-            else cd.audio_features(payload)
-        )
+        if payload.startswith(cd.PNG_SIG):
+            want = cd.image_features(payload)
+            kinds.add("png")
+        elif payload[:6] in cd.GIF_SIGS:
+            want = cd.gif_features(payload)
+            kinds.add("gif")
+        else:
+            want = cd.audio_features(payload)
+            kinds.add("wav")
         got = out[mid]["features"]
         assert len(got) == 16
         assert all(abs(a - b) < 1e-6 for a, b in zip(got, want))
         assert out[mid]["n_bytes"] == len(payload)
+    assert kinds == {"png", "gif", "wav"}  # all three real paths ran
+
+
+def test_sample_frames_real_path(spark):
+    """Non-fake frame sampling decodes the animated GIF timeline and
+    emits the frame active at each sampled instant, PNG-encoded."""
+    from datapatterns_spark.operators.multimodal import (
+        make_real_media_table,
+        sample_frames,
+    )
+
+    media = make_real_media_table(spark, n=12).filter(
+        "meta.media_type = 'video'"
+    )
+    out = sample_frames(media, every_ms=300).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    src = {r["media_id"]: bytes(r["media"]) for r in media.collect()}
+    assert set(by_media) == set(src)
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r["frame_ms"])
+        # 4 frames x 250ms = 1000ms timeline, sampled at 0/300/600/900
+        assert [r["frame_ms"] for r in rows] == [0, 300, 600, 900]
+        w, h, frames = cd.gif_decode(src[mid])
+        for r, want_fi in zip(rows, (0, 1, 2, 3)):
+            fw, fh, fc, px = cd.png_decode(bytes(r["frame"]))
+            assert (fw, fh, fc) == (w, h, 3)
+            assert bytes(px) == bytes(frames[want_fi][1])
 
 
 def test_resize_media_real_path(spark):
