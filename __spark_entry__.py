@@ -444,6 +444,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").select("doc_id", "lang")
         return sample_stratified(d, ["lang"], k=40, key_cols=["doc_id"], seed=7)
 
+    def q_embedding_normalize(spark, sf):
+        """L2 normalization digests: pre-norm, first unit component —
+        double-fold arithmetic replayed exactly in DuckDB (Spark-order
+        left fold)."""
+        from datapatterns_spark.operators.embeddings import (
+            l2_norm,
+            normalize_embeddings,
+        )
+
+        out = normalize_embeddings(_t(spark, sf, "embeddings"))
+        return out.select(
+            "vec_id",
+            F.round(l2_norm(F.col("embedding")), 6).alias("norm"),
+            F.round(F.element_at("embedding_unit", 1), 6).alias("u0"),
+        )
+
+    def q_embedding_quantize(spark, sf):
+        """Symmetric int8 quantization: per-vector scale + every code
+        (exact integers, posexploded)."""
+        from datapatterns_spark.operators.embeddings import quantize_embeddings
+
+        q = quantize_embeddings(_t(spark, sf, "embeddings"))
+        return (
+            q.select(
+                "vec_id",
+                F.round("scale", 6).alias("scale6"),
+                F.posexplode("codes"),
+            )
+            .withColumnRenamed("col", "code")
+        )
+
     def q_text_fingerprint(spark, sf):
         d = _t(spark, sf, "documents")
         return d.select("doc_id", TA.fingerprint(F.col("text")).alias("fp"))
@@ -707,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_conversations": q_dedup_conversations,
         "text_fingerprint": q_text_fingerprint,
         "text_redact": q_text_redact,
+        "embedding_normalize": q_embedding_normalize,
+        "embedding_quantize": q_embedding_quantize,
         "pack_sequences": q_pack_sequences,
         "curate_documents": q_curate_documents,
         "text_winnow": q_text_winnow,
@@ -1272,6 +1305,37 @@ scored AS (
                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
   FROM cand c JOIN shc a ON a.id = c.id_a JOIN shc b ON b.id = c.id_b)
 SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7
+"""
+
+    # ---- embedding normalize / quantize (double folds, Spark order) ----
+    _en_n = (
+        "sqrt(list_reduce(list_transform(embedding,"
+        " x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))"
+    )
+    embedding_normalize_sql = f"""
+WITH en AS (SELECT vec_id, embedding, {_en_n} AS n FROM embeddings)
+SELECT vec_id, ROUND(n, 6) AS norm,
+       ROUND(CASE WHEN n = 0 THEN embedding[1]::DOUBLE
+                  ELSE embedding[1]::DOUBLE / n END, 6) AS u0
+FROM en
+"""
+    embedding_quantize_sql = """
+WITH eq AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+           AS scale
+  FROM embeddings),
+ex AS (
+  SELECT vec_id, scale, embedding,
+         UNNEST(generate_series(1, len(embedding))) AS p1
+  FROM eq)
+SELECT vec_id, ROUND(scale, 6) AS scale6,
+       CAST(p1 - 1 AS INT) AS pos,
+       CAST(CASE WHEN scale = 0 THEN 0
+            ELSE GREATEST(-127, LEAST(127,
+                 FLOOR(embedding[p1]::DOUBLE / scale + 0.5))) END AS INT)
+         AS code
+FROM ex
 """
 
     # ---- dedup_conversations: whole-conversation fingerprint dedup ----
@@ -1979,6 +2043,8 @@ FROM src GROUP BY attribute
         "multimodal_resize": multimodal_resize_sql,
         "text_fingerprint": text_fp_sql,
         "text_redact": text_redact_sql,
+        "embedding_normalize": embedding_normalize_sql,
+        "embedding_quantize": embedding_quantize_sql,
         "pack_sequences": pack_sequences_sql,
         "curate_documents": curate_documents_sql,
         "dedup_simhash": simhash_sql,

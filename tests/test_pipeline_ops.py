@@ -236,6 +236,43 @@ def test_redact_pii(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_embedding_normalize_quantize(spark):
+    """L2 normalization yields unit vectors (zero vectors untouched);
+    int8 quantize/dequantize round-trips within scale/2 per component;
+    both plans are map-only."""
+    from datapatterns_spark.operators.embeddings import (
+        dequantize_embeddings,
+        l2_norm,
+        normalize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    normed = normalize_embeddings(emb)
+    for r in normed.select(l2_norm(F.col("embedding_unit")).alias("n")).collect():
+        assert abs(r["n"] - 1.0) < 1e-9
+    zero = spark.createDataFrame(
+        [(1, [0.0] * 4)], "vec_id long, embedding array<float>"
+    )
+    zr = normalize_embeddings(zero).collect()[0]
+    assert zr["embedding_unit"] == [0.0, 0.0, 0.0, 0.0]
+
+    q = quantize_embeddings(emb)
+    rows = dequantize_embeddings(q).select(
+        "embedding", "embedding_deq", "scale", "codes"
+    ).collect()
+    for r in rows:
+        assert all(abs(c) <= 127 for c in r["codes"])
+        for x, xd in zip(r["embedding"], r["embedding_deq"]):
+            assert abs(float(x) - xd) <= r["scale"] / 2 + 1e-12
+    plan = (
+        dequantize_embeddings(quantize_embeddings(normalize_embeddings(emb)))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_curate_documents(spark):
     """Composed curation: quality+language gates, exact dedup keeps
     the min-id survivor among FILTERED rows, redaction scrubs the
