@@ -567,6 +567,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return D.conversation_dedup(base.unionByName(clones))
 
+    def q_dedup_incremental(spark, sf):
+        """Two-batch incremental exact dedup: batch 1 (doc_id < 250)
+        seeds the fingerprint store; batch 2 (the rest, plus every
+        50th batch-1 text re-labeled +10000) classifies against it."""
+        from datapatterns_spark.operators.dedup import incremental_exact_dedup
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        b1 = docs.filter("doc_id < 250")
+        store = (
+            incremental_exact_dedup(b1, None)
+            .filter("status = 'unique'")
+            .select("fp")
+        )
+        b2 = docs.filter("doc_id >= 250").unionByName(
+            b1.filter("doc_id % 50 = 0").select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+        return incremental_exact_dedup(b2, store)
+
     def q_dedup_components(spark, sf):
         """Near-dup pairs -> dedup clusters + canonical keep-list via
         large-star/small-star connected components."""
@@ -736,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "dedup_components": q_dedup_components,
         "dedup_conversations": q_dedup_conversations,
+        "dedup_incremental": q_dedup_incremental,
         "text_fingerprint": q_text_fingerprint,
         "text_redact": q_text_redact,
         "embedding_normalize": q_embedding_normalize,
@@ -1336,6 +1357,27 @@ SELECT vec_id, ROUND(scale, 6) AS scale6,
                  FLOOR(embedding[p1]::DOUBLE / scale + 0.5))) END AS INT)
          AS code
 FROM ex
+"""
+
+    # ---- dedup_incremental: two-batch store classification ----
+    _di_hash = xxh64_str_sql(
+        "documents", ["doc_id"], _NORM_SQL.format(v="text"),
+        out="fp", cte_prefix="di",
+    )
+    dedup_incremental_sql = f"""
+WITH allfp AS MATERIALIZED ({_di_hash}),
+dstore AS (SELECT DISTINCT fp FROM allfp WHERE doc_id < 250),
+b2 AS (
+  SELECT doc_id AS id, fp FROM allfp WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 10000, fp FROM allfp
+  WHERE doc_id < 250 AND doc_id % 50 = 0),
+dc AS (SELECT fp, MIN(id) AS canon FROM b2 GROUP BY fp)
+SELECT b2.id, b2.fp,
+       CASE WHEN b2.fp IN (SELECT fp FROM dstore) THEN 'dup_of_store'
+            WHEN b2.id <> dc.canon THEN 'dup_in_batch'
+            ELSE 'unique' END AS status
+FROM b2 JOIN dc ON b2.fp = dc.fp
 """
 
     # ---- dedup_conversations: whole-conversation fingerprint dedup ----
@@ -2036,6 +2078,7 @@ FROM src GROUP BY attribute
         "sample_stratified": sample_stratified_sql,
         "dedup_components": dedup_components_sql,
         "dedup_conversations": dedup_conversations_sql,
+        "dedup_incremental": dedup_incremental_sql,
         "text_winnow": text_winnow_sql,
         "dedup_winnow": winnow_dups_sql,
         "multimodal_features": multimodal_features_sql,

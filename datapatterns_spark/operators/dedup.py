@@ -683,6 +683,65 @@ def connected_components(
 
 
 # ---------------------------------------------------------------------------
+# incremental exact dedup against a fingerprint store
+# ---------------------------------------------------------------------------
+def exact_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """``(id, fp)`` — 64-bit fingerprint of the (normalized) text."""
+    txt = F.col(text_col)
+    if normalize:
+        txt = normalized_text(txt)
+    return df.select(
+        F.col(id_col).alias("id"), F.xxhash64(txt).alias("fp")
+    )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    store: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Classify a NEW batch of documents against an existing
+    fingerprint ``store`` (any frame with an ``fp`` column, or None
+    for a first batch): ``(id, fp, status)`` with status in
+
+    * ``dup_of_store`` — the text was already ingested in a prior
+      batch;
+    * ``dup_in_batch`` — a duplicate of another row in THIS batch
+      (the minimum id is the survivor);
+    * ``unique`` — first sighting; its fp belongs in the store.
+
+    This is the production shape for continuously-ingested corpora:
+    per-batch work is one slim ``groupBy(fp)`` plus one join against
+    the store on the fingerprint — at 10^12 stored docs, bucket the
+    store by ``fp`` so the join co-locates without a store-side
+    shuffle.  The batch never rescans prior text.
+    """
+    fps = exact_fingerprints(new_df, text_col, id_col, normalize)
+    canon = fps.groupBy("fp").agg(F.min("id").alias("_canon"))
+    d = fps.join(canon, "fp")
+    if store is not None:
+        st = store.select("fp").distinct().withColumn("_in_store", F.lit(True))
+        d = d.join(st, "fp", "left")
+    else:
+        d = d.withColumn("_in_store", F.lit(None).cast("boolean"))
+    return d.select(
+        "id",
+        "fp",
+        F.when(F.col("_in_store"), F.lit("dup_of_store"))
+        .when(F.col("id") != F.col("_canon"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("unique"))
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # conversation-grain dedup (the transcript payload's natural unit)
 # ---------------------------------------------------------------------------
 def conversation_fingerprints(

@@ -559,6 +559,58 @@ def test_connected_components_random_graphs(spark):
         assert got == want, f"seed={seed}"
 
 
+def test_incremental_exact_dedup(spark, tmp_path):
+    """Batch-2 docs matching batch-1 text classify as dup_of_store,
+    in-batch copies as dup_in_batch (min id survives), new text as
+    unique; the streaming sink's per-batch-overwrite + self-excluding
+    store read makes replay idempotent."""
+    from datapatterns_spark.operators.dedup import incremental_exact_dedup
+    from datapatterns_spark.streaming import dedup_sink
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "Alpha TEXT!")],
+        "doc_id long, text string",
+    )
+    d1 = {r["id"]: r["status"]
+          for r in incremental_exact_dedup(b1, None).collect()}
+    assert d1 == {1: "unique", 2: "unique", 3: "dup_in_batch"}
+
+    store = spark.createDataFrame(
+        [(r["fp"],) for r in
+         incremental_exact_dedup(b1, None).filter("status='unique'")
+         .select("fp").collect()],
+        "fp long",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "ALPHA text"), (11, "gamma text"), (12, "gamma  text")],
+        "doc_id long, text string",
+    )
+    d2 = {r["id"]: r["status"]
+          for r in incremental_exact_dedup(b2, store).collect()}
+    assert d2 == {10: "dup_of_store", 11: "unique", 12: "dup_in_batch"}
+
+    # streaming sink: run batches, then REPLAY batch 1 — decisions
+    # must be byte-identical (store read excludes its own partition)
+    store_p, out_p = str(tmp_path / "store"), str(tmp_path / "out")
+    sink = dedup_sink(store_p, out_p)
+    sink(b1, 0)
+    sink(b2, 1)
+    first = sorted(
+        (r["id"], r["status"])
+        for r in spark.read.parquet(f"{out_p}/decisions/batch=1").collect()
+    )
+    assert first == [(10, "dup_of_store"), (11, "unique"),
+                     (12, "dup_in_batch")]
+    sink(b2, 1)  # replay
+    replay = sorted(
+        (r["id"], r["status"])
+        for r in spark.read.parquet(f"{out_p}/decisions/batch=1").collect()
+    )
+    assert replay == first
+    # store holds exactly the unique fingerprints of both batches
+    assert spark.read.parquet(store_p).count() == 3
+
+
 def test_conversation_dedup(spark):
     """Whole-conversation dedup: cloned conversations (same turn
     multiset under a different conv_id) group to the min-id canonical;
