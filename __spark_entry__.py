@@ -587,6 +587,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return incremental_exact_dedup(b2, store)
 
+    def q_dedup_incremental_minhash(spark, sf):
+        """Near-dup incremental dedup vs a MinHash SIGNATURE store:
+        batch 1 (doc_id < 250) signatures are the store; batch 2 (the
+        rest + every 50th batch-1 text re-labeled +10000) classifies
+        by signature-estimated Jaccard over shared LSH band buckets —
+        no rescan of prior text.  Exact oracle: the estimator is pure
+        integer minhash arithmetic."""
+        from datapatterns_spark.operators.dedup import (
+            incremental_minhash_dedup,
+            minhash_signatures,
+        )
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        b1 = docs.filter("doc_id < 250")
+        store = minhash_signatures(b1, "text", "doc_id")
+        b2 = docs.filter("doc_id >= 250").unionByName(
+            b1.filter("doc_id % 50 = 0").select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+        decisions, _ = incremental_minhash_dedup(b2, store, threshold=0.7)
+        return decisions
+
     def q_dedup_components(spark, sf):
         """Near-dup pairs -> dedup clusters + canonical keep-list via
         large-star/small-star connected components."""
@@ -757,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_conversations": q_dedup_conversations,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "text_fingerprint": q_text_fingerprint,
         "text_redact": q_text_redact,
         "embedding_normalize": q_embedding_normalize,
@@ -1326,6 +1350,42 @@ scored AS (
                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
   FROM cand c JOIN shc a ON a.id = c.id_a JOIN shc b ON b.id = c.id_b)
 SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7
+"""
+
+    # ---- dedup_incremental_minhash (signature-store near-dups) ----
+    _mi_cols = ", ".join(f"m{i}" for i in range(64))
+    _mi_est = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(64)
+    )
+    dedup_incremental_minhash_sql = f"""
+WITH mxs AS MATERIALIZED (SELECT id, ((h % {mh_p}) + {mh_p}) % {mh_p} AS x FROM ({mh_hash_pipe})),
+msig AS MATERIALIZED (SELECT id, {mh_mins} FROM mxs GROUP BY id),
+s2 AS MATERIALIZED (
+  SELECT id, {_mi_cols} FROM msig WHERE id >= 250
+  UNION ALL
+  SELECT id + 10000, {_mi_cols} FROM msig WHERE id < 250 AND id % 50 = 0),
+s1 AS MATERIALIZED (SELECT id, {_mi_cols} FROM msig WHERE id < 250),
+nb AS MATERIALIZED (
+  SELECT id, bk.band AS band, bk.key AS key
+  FROM (SELECT id, UNNEST([{mh_band_structs}]) AS bk FROM s2)),
+sb AS MATERIALIZED (
+  SELECT id, bk.band AS band, bk.key AS key
+  FROM (SELECT id, UNNEST([{mh_band_structs}]) AS bk FROM s1)),
+cs AS (SELECT DISTINCT n.id AS id_a, s.id AS id_b
+       FROM nb n JOIN sb s ON n.band = s.band AND n.key = s.key),
+cb AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       FROM nb l JOIN nb r ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+ds AS (SELECT DISTINCT c.id_a AS id
+       FROM cs c JOIN s2 a ON a.id = c.id_a JOIN s1 b ON b.id = c.id_b
+       WHERE ({_mi_est}) / 64.0 >= 0.7),
+db AS (SELECT DISTINCT c.id_b AS id
+       FROM cb c JOIN s2 a ON a.id = c.id_a JOIN s2 b ON b.id = c.id_b
+       WHERE ({_mi_est}) / 64.0 >= 0.7)
+SELECT i.id,
+       CASE WHEN i.id IN (SELECT id FROM ds) THEN 'dup_of_store'
+            WHEN i.id IN (SELECT id FROM db) THEN 'dup_in_batch'
+            ELSE 'unique' END AS status
+FROM (SELECT DISTINCT id FROM s2) i
 """
 
     # ---- embedding normalize / quantize (double folds, Spark order) ----
@@ -2079,6 +2139,7 @@ FROM src GROUP BY attribute
         "dedup_components": dedup_components_sql,
         "dedup_conversations": dedup_conversations_sql,
         "dedup_incremental": dedup_incremental_sql,
+        "dedup_incremental_minhash": dedup_incremental_minhash_sql,
         "text_winnow": text_winnow_sql,
         "dedup_winnow": winnow_dups_sql,
         "multimodal_features": multimodal_features_sql,

@@ -187,6 +187,35 @@ def minhash_coeffs(
     return [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """``(id, m0..m{num_hashes-1})`` MinHash signatures — the
+    Carter-Wegman construction shared by :func:`minhash_lsh_pairs`
+    (one string hash per shingle, affine transforms, ``min``
+    aggregates; map-side combinable, shuffle carries hashes not
+    text).  Signatures are the parquet-friendly STORE format for
+    :func:`incremental_minhash_dedup`."""
+    inv = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n, distinct=False)).alias("g"),
+    )
+    p = MINHASH_P
+    ab = minhash_coeffs(num_hashes)
+    x = F.pmod(F.xxhash64("g"), F.lit(p))
+    inv = inv.select("id", x.alias("x"))
+    return inv.groupBy("id").agg(
+        *[
+            F.min(F.pmod(F.col("x") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"m{i}")
+            for i, (a, b) in enumerate(ab)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -221,33 +250,19 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    # duplicate shingles don't change a min-hash -> no distinct needed
-    # before the signature aggregation; the shuffle carries (id, hash)
-    # partials, never text
-    inv = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n, distinct=False)).alias("g"),
-    )
-    # Universal-hash MinHash (Carter-Wegman): ONE string hash per
-    # shingle, then num_hashes affine transforms h_i(x) = (a_i*x + b_i)
-    # mod p over its 31-bit projection — pure integer arithmetic in
-    # whole-stage codegen.  a_i*x <= 2^62 never overflows a signed 64
-    # (ANSI-safe).  The naive form (num_hashes seeded xxhash64 calls
-    # per shingle) re-hashes the shingle BYTES per hash function —
-    # measured ~60% of this operator's wall at bench scale.
-    p = MINHASH_P
-    ab = minhash_coeffs(num_hashes)
-    x = F.pmod(F.xxhash64("g"), F.lit(p))
-    inv = inv.select("id", x.alias("x"))
-    sig = inv.groupBy("id").agg(
-        *[
-            F.min(F.pmod(F.col("x") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"m{i}")
-            for i, (a, b) in enumerate(ab)
-        ]
-    )
+    # Universal-hash MinHash (Carter-Wegman) via minhash_signatures:
+    # ONE string hash per shingle, then num_hashes affine transforms
+    # h_i(x) = (a_i*x + b_i) mod p over its 31-bit projection — pure
+    # integer arithmetic in whole-stage codegen.  a_i*x <= 2^62 never
+    # overflows a signed 64 (ANSI-safe).  The naive form (num_hashes
+    # seeded xxhash64 calls per shingle) re-hashes the shingle BYTES
+    # per hash function — measured ~60% of this operator's wall at
+    # bench scale.  Duplicate shingles don't change a min-hash -> no
+    # distinct before the aggregation; the shuffle carries (id, hash)
+    # partials, never text.
     # signatures are tiny (num_hashes longs per doc); persist so the
     # band fan-out + self-join don't recompute the corpus scan
-    sig = sig.persist()
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
     buckets = sig.select(
         "id",
         F.explode(
@@ -739,6 +754,158 @@ def incremental_exact_dedup(
         .otherwise(F.lit("unique"))
         .alias("status"),
     )
+
+
+def _sig_band_keys(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """``(id, band, key)`` — one row per band with the band's raw
+    minhash slice as an ``array<long>`` key.  Joining on the raw slice
+    (instead of a hash of it) keeps bucket equality EXACT and lets a
+    SQL oracle replay it as plain array equality."""
+    rpb = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array(
+                            *[F.col(f"m{b * rpb + r}") for r in range(rpb)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+
+def sig_estimated_jaccard(num_hashes: int, a: str = "a", b: str = "b"):
+    """Column: fraction of agreeing minhashes between two signature
+    row prefixes — the standard unbiased Jaccard estimator."""
+    terms = [
+        F.when(F.col(f"{a}.m{i}") == F.col(f"{b}.m{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ]
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return s / F.lit(float(num_hashes))
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    sig_store: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    bucket_cap: int = 2000,
+) -> tuple[DataFrame, DataFrame]:
+    """NEAR-dup analogue of :func:`incremental_exact_dedup`: classify
+    a new batch against a persistent MinHash SIGNATURE store without
+    ever rescanning prior text.
+
+    Returns ``(decisions, new_sigs)``: decisions are ``(id, status)``
+    with status ``dup_of_store`` (signature-estimated Jaccard >=
+    threshold against some stored doc sharing an LSH band bucket),
+    ``dup_in_batch`` (est-Jaccard >= threshold against a SMALLER-id
+    batch doc — the greedy keep-first rule), or ``unique``;
+    ``new_sigs`` is the batch's signature frame — append the
+    ``unique`` rows to the store.
+
+    Similarity across batches is ESTIMATED from signatures (the store
+    holds 64 longs per doc, not shingle sets), the documented accuracy
+    trade that makes the store O(1) per doc; the estimator's std-dev
+    is ~sqrt(J(1-J)/64) ~ 0.05 at J=0.8.  Hot buckets are capped on
+    both sides (anchor-star against the bucket minimum) exactly like
+    :func:`minhash_lsh_pairs`, so boilerplate clusters stay linear.
+    """
+    sigs = minhash_signatures(new_df, text_col, id_col, n, num_hashes).persist()
+    nb = _sig_band_keys(sigs, num_hashes, bands)
+    est = sig_estimated_jaccard(num_hashes)
+
+    def capped(bk: DataFrame) -> DataFrame:
+        meta = bk.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("bsz"), F.min("id").alias("anchor")
+        )
+        return bk.join(meta, ["band", "key"])
+
+    nbc = capped(nb).persist()
+
+    # within-batch: est >= threshold against a smaller id (pairs from
+    # shared buckets; over-cap buckets emit anchor-star edges only)
+    small = nbc.filter(F.col("bsz") <= F.lit(bucket_cap)).select(
+        "id", "band", "key"
+    )
+    pairs_all = (
+        small.alias("l")
+        .join(
+            small.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    pairs_star = nbc.filter(
+        (F.col("bsz") > F.lit(bucket_cap)) & (F.col("id") != F.col("anchor"))
+    ).select(F.col("anchor").alias("id_a"), F.col("id").alias("id_b"))
+    cand_b = pairs_all.unionAll(pairs_star).dropDuplicates(["id_a", "id_b"])
+    dup_in_batch = (
+        cand_b.join(sigs.alias("a"), F.col("id_a") == F.col("a.id"))
+        .join(sigs.alias("b"), F.col("id_b") == F.col("b.id"))
+        .filter(est >= F.lit(threshold))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+
+    # vs store: shared band buckets, est >= threshold (store side also
+    # anchor-capped per bucket)
+    if sig_store is not None:
+        sb = capped(_sig_band_keys(sig_store, num_hashes, bands))
+        sb = sb.filter(
+            (F.col("bsz") <= F.lit(bucket_cap)) | (F.col("id") == F.col("anchor"))
+        ).select("id", "band", "key")
+        cand_s = (
+            nb.alias("l")
+            .join(
+                sb.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.key") == F.col("r.key")),
+            )
+            .select(
+                F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        dup_of_store = (
+            cand_s.join(sigs.alias("a"), F.col("id_a") == F.col("a.id"))
+            .join(sig_store.alias("b"), F.col("id_b") == F.col("b.id"))
+            .filter(est >= F.lit(threshold))
+            .select(F.col("id_a").alias("id"))
+            .distinct()
+        )
+    else:
+        dup_of_store = sigs.select("id").limit(0)
+
+    decisions = (
+        sigs.select("id")
+        .join(dup_of_store.withColumn("_st", F.lit(True)), "id", "left")
+        .join(dup_in_batch.withColumn("_ba", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_st"), F.lit("dup_of_store"))
+            .when(F.col("_ba"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
+    )
+    return decisions, sigs
 
 
 # ---------------------------------------------------------------------------

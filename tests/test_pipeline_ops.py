@@ -611,6 +611,43 @@ def test_incremental_exact_dedup(spark, tmp_path):
     assert spark.read.parquet(store_p).count() == 3
 
 
+def test_incremental_minhash_dedup(spark):
+    """Near-dup incremental dedup against a signature store: batch-2
+    docs near-identical to batch-1 text classify dup_of_store via the
+    signature-estimated Jaccard, within-batch near-dups keep the
+    smaller id, distinct docs stay unique; signatures round-trip
+    through the returned frame as the store format."""
+    from datapatterns_spark.operators.dedup import incremental_minhash_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again every single day of the week without fail")
+    other = ("completely different content about gardens rivers and "
+             "mountains stretching far beyond the horizon line")
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    d1, sigs1 = incremental_minhash_dedup(b1, None, threshold=0.7)
+    assert {r["id"]: r["status"] for r in d1.collect()} == {
+        1: "unique", 2: "unique"
+    }
+    store = sigs1  # both unique -> whole frame is the store
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base + " ok"),          # near-dup of stored 1
+            (11, "entirely new text about astronomy telescopes and "
+                 "the motion of planets across the night sky"),
+            (12, "entirely new text about astronomy telescopes and "
+                 "the motion of planets across the night sky yes"),
+        ],
+        "doc_id long, text string",
+    )
+    d2, _ = incremental_minhash_dedup(b2, store, threshold=0.7)
+    assert {r["id"]: r["status"] for r in d2.collect()} == {
+        10: "dup_of_store", 11: "unique", 12: "dup_in_batch"
+    }
+
+
 def test_conversation_dedup(spark):
     """Whole-conversation dedup: cloned conversations (same turn
     multiset under a different conv_id) group to the min-id canonical;
