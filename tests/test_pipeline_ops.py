@@ -559,6 +559,49 @@ def test_connected_components_random_graphs(spark):
         assert got == want, f"seed={seed}"
 
 
+def test_conversation_dedup_random_differential(spark):
+    """Random conversation corpora (clones, partial clones, permuted
+    rows, duplicate turns) against a pure-Python multiset model."""
+    import random
+
+    from datapatterns_spark.operators.dedup import conversation_dedup
+
+    for seed in (3, 17):
+        rnd = random.Random(seed)
+        convs = {}
+        for c in range(30):
+            turns = [
+                (t, f"w{rnd.randrange(6)}")
+                for t in range(rnd.randrange(1, 6))
+            ]
+            if rnd.random() < 0.3 and turns:
+                turns.append(turns[rnd.randrange(len(turns))])  # dup turn
+            convs[f"c{c}"] = turns
+        for c in list(convs)[:8]:  # clones under new ids, rows shuffled
+            cl = list(convs[c])
+            rnd.shuffle(cl)
+            convs[f"{c}_x"] = cl
+        rows = [(c, t, s) for c, ts in convs.items() for t, s in ts]
+        rnd.shuffle(rows)
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+        got = {r["conv"]: r["canonical"]
+               for r in conversation_dedup(df).collect()}
+        # model: group by exact turn multiset
+        groups = {}
+        for c, ts in convs.items():
+            key = tuple(sorted(ts))
+            groups.setdefault(key, []).append(c)
+        want = {}
+        for members in groups.values():
+            if len(members) > 1:
+                canon = min(members)
+                for m in members:
+                    want[m] = canon
+        assert got == want, f"seed={seed}"
+
+
 def test_incremental_exact_dedup(spark, tmp_path):
     """Batch-2 docs matching batch-1 text classify as dup_of_store,
     in-batch copies as dup_in_batch (min id survives), new text as
