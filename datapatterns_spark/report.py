@@ -249,3 +249,75 @@ def write_profile_report(profile_df: DataFrame, path: str, title: str = "Data Pr
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(html_text)
     return path
+
+
+def render_verdicts_html(
+    verdicts_df: DataFrame, title: str = "Validation Verdicts"
+) -> str:
+    """Render a constraint-suite verdict frame
+    (``operators.constraints.run_checks`` output: one row per
+    (partition, check) with passed / violation_count / metric /
+    sample_violations) as a standalone HTML page: per-check summary
+    with pass/fail chips, then the per-partition grid.  The verdict
+    frame is bounded (partitions x checks rows), so the collect is
+    driver-safe at any data scale."""
+    rows = [r.asDict(recursive=True) for r in verdicts_df.collect()]
+    by_check: dict[str, list[dict]] = {}
+    for r in rows:
+        by_check.setdefault(str(r.get("check_name")), []).append(r)
+    chips, sections = [], []
+    for check, rs in sorted(by_check.items()):
+        failed = [r for r in rs if not r.get("passed")]
+        total_viol = sum(int(r.get("violation_count") or 0) for r in rs)
+        ok = not failed
+        color = "#2d8a3e" if ok else "#c0392b"
+        chips.append(
+            f"<span style='display:inline-block;margin:2px 6px 2px 0;"
+            f"padding:2px 10px;border-radius:10px;background:{color};"
+            f"color:#fff;font-size:12px'>{_esc(check)}"
+            f" {'PASS' if ok else f'FAIL ({total_viol})'}</span>"
+        )
+        body = []
+        for r in sorted(rs, key=lambda x: str(x.get("partition"))):
+            mark = "✓" if r.get("passed") else "✗"
+            mcolor = "#2d8a3e" if r.get("passed") else "#c0392b"
+            samples = r.get("sample_violations")
+            sample_s = (
+                f" <span style='color:#aaa'>e.g. {_esc(samples[:3] if isinstance(samples, list) else samples)}</span>"
+                if samples and not r.get("passed")
+                else ""
+            )
+            body.append(
+                f"<tr><td>{_esc(r.get('partition'))}</td>"
+                f"<td style='color:{mcolor}'><b>{mark}</b></td>"
+                f"<td>{int(r.get('violation_count') or 0)}</td>"
+                f"<td>{_esc(r.get('metric'))}{sample_s}</td></tr>"
+            )
+        sections.append(
+            f"<div class='card'><h2>{_esc(check)}</h2>"
+            "<table class='stats'><tr><td><b>partition</b></td>"
+            "<td><b>ok</b></td><td><b>violations</b></td>"
+            "<td><b>metric</b></td></tr>"
+            + "".join(body)
+            + "</table></div>"
+        )
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{_esc(title)}</title><style>{_CSS}</style></head>"
+        f"<body><h1>{_esc(title)}</h1>"
+        f"<div class='meta'>{len(by_check)} checks &middot; "
+        f"{len(rows)} (partition, check) verdicts</div>"
+        f"<div>{''.join(chips)}</div>"
+        + "".join(sections)
+        + "</body></html>"
+    )
+
+
+def write_verdicts_report(
+    verdicts_df: DataFrame, path: str, title: str = "Validation Verdicts"
+) -> str:
+    """Write the verdict report to ``path`` and return the path."""
+    html_text = render_verdicts_html(verdicts_df, title=title)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(html_text)
+    return path

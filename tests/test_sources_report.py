@@ -54,6 +54,32 @@ def test_profile_html_report(spark, tmp_path):
     assert "<rect" in html_text  # box-plot quartile box
 
 
+def test_verdicts_html_report(spark, tmp_path):
+    """Constraint verdicts render as a standalone pass/fail page:
+    failing checks get FAIL chips with counts, passing ones PASS,
+    per-partition rows present, still zero JS."""
+    from datapatterns_spark.operators import constraints as C
+    from datapatterns_spark.report import write_verdicts_report
+
+    df = spark.createDataFrame(
+        [("p0", 1, 10.0), ("p0", 2, -5.0), ("p1", 3, 7.0)],
+        "part string, id int, value double",
+    )
+    checks = [
+        C.row_rule("value_not_negative", "value >= 0"),
+        C.row_rule("id_positive", "id > 0"),
+    ]
+    verdicts, _ = C.run_checks(
+        df, checks, partition_col="part", key_cols=["id"]
+    )
+    out = write_verdicts_report(verdicts, str(tmp_path / "v.html"))
+    html_text = open(out).read()
+    assert "value_not_negative" in html_text and "FAIL (1)" in html_text
+    assert "id_positive" in html_text and "PASS" in html_text
+    assert "p0" in html_text and "p1" in html_text
+    assert "<script" not in html_text
+
+
 def test_report_escapes_html(spark, tmp_path):
     df = spark.createDataFrame([("<b>x</b>",), ("<b>x</b>",)], "v string")
     html_text = render_profile_html(profile(df))
