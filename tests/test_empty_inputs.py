@@ -38,3 +38,28 @@ def test_checks_and_dedup_empty(spark):
     assert violations.collect() == []
     assert D.dedup_exact(_empty(spark), "s", "a").collect() == []
     assert D.minhash_lsh_pairs(_empty(spark), "s", "a").collect() == []
+
+
+def test_round2_ops_empty(spark):
+    """Every round-2 operator degrades to zero rows on empty input."""
+    from datapatterns_spark.operators.curation import curate_documents
+    from datapatterns_spark.operators.embeddings import (
+        normalize_embeddings,
+        quantize_embeddings,
+    )
+    from datapatterns_spark.operators.packing import pack_sequences
+    from datapatterns_spark.operators.textanalysis import redact_pii
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert D.conversation_dedup(
+        spark.createDataFrame([], "conv_id string, turn_idx int, text string")
+    ).collect() == []
+    assert D.incremental_exact_dedup(docs, None).collect() == []
+    d, sigs = D.incremental_minhash_dedup(docs, None)
+    assert d.collect() == [] and sigs.collect() == []
+    assert pack_sequences(docs).collect() == []
+    assert redact_pii(docs).collect() == []
+    assert curate_documents(docs, min_quality=0.1, redact=True).collect() == []
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert normalize_embeddings(emb).collect() == []
+    assert quantize_embeddings(emb).collect() == []
