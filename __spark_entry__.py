@@ -243,6 +243,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         verdicts, _ = C.run_checks(li, checks)
         return verdicts.select("check_name", "passed", F.col("metric").alias("psi"))
 
+    def q_drift_js(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        baseline = [1.0 / 32] * 32
+        checks = [
+            C.drift_js(
+                "qty_js", "l_quantity", baseline,
+                bins=32, lo=1.0, hi=51.0, threshold=0.02,
+            )
+        ]
+        verdicts, _ = C.run_checks(li, checks)
+        return verdicts.select("check_name", "passed", F.col("metric").alias("js"))
+
     def q_drift_ks(spark, sf):
         li = _t(spark, sf, "lineitem")
         baseline = [1.0 / 64] * 64
@@ -749,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_verdicts": q_constraint_verdicts,
         "verdicts_per_partition": q_verdicts_per_partition,
         "drift_psi": q_drift_psi,
+        "drift_js": q_drift_js,
         "drift_ks": q_drift_ks,
         "validate_allfilled": q_validate_allfilled,
         "validate_fix_swap": q_validate_fix_swap,
@@ -1635,6 +1648,25 @@ SELECT 'qty_psi' AS check_name,
 FROM j
 """
 
+    # ---- drift JS (uniform baseline, fixed lo/hi) ----
+    drift_js_sql = """
+WITH hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0) / (50.0 / 32)) AS INT), 0), 31) AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS t FROM hist),
+grid AS (SELECT CAST(range AS INT) AS bin FROM range(32)),
+j AS (
+  SELECT g.bin,
+         GREATEST(COALESCE(h.cnt, 0) * 1.0 / (SELECT t FROM tot), 0.000001) AS a,
+         GREATEST(1.0 / 32, 0.000001) AS b
+  FROM grid g LEFT JOIN hist h ON g.bin = h.bin)
+SELECT 'qty_js' AS check_name,
+       (ROUND(SUM(0.5 * a * LN(a / ((a + b) / 2)) + 0.5 * b * LN(b / ((a + b) / 2))), 6) <= 0.02) AS passed,
+       ROUND(SUM(0.5 * a * LN(a / ((a + b) / 2)) + 0.5 * b * LN(b / ((a + b) / 2))), 6) AS js
+FROM j
+"""
+
     # ---- drift KS (uniform baseline, fixed lo/hi, binned ECDFs) ----
     drift_ks_sql = """
 WITH hist AS (
@@ -2116,6 +2148,7 @@ FROM src GROUP BY attribute
         "validate_rules": validate_sql,
         "constraint_verdicts": constraint_sql,
         "drift_psi": drift_sql,
+        "drift_js": drift_js_sql,
         "drift_ks": drift_ks_sql,
         "validate_allfilled": validate_allfilled_sql,
         "validate_fix_swap": validate_fix_swap_sql,

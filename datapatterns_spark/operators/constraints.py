@@ -115,6 +115,35 @@ def drift_psi(
     )
 
 
+def drift_js(
+    name: str,
+    col: str,
+    baseline: dict[int, float] | list[float],
+    bins: int = 32,
+    lo: float | None = None,
+    hi: float | None = None,
+    threshold: float = 0.05,
+    categorical: bool = False,
+) -> Check:
+    """Jensen-Shannon divergence drift vs a stored baseline histogram
+    (symmetric, bounded by ln 2 — unlike PSI it never explodes on a
+    bin the baseline lacks).  JS > threshold fails."""
+    return Check(
+        name,
+        "stat",
+        {
+            "op": "js",
+            "col": col,
+            "baseline": dict(enumerate(baseline)) if isinstance(baseline, list) else baseline,
+            "bins": bins,
+            "lo": lo,
+            "hi": hi,
+            "threshold": threshold,
+            "categorical": categorical,
+        },
+    )
+
+
 def drift_ks(
     name: str,
     col: str,
@@ -137,6 +166,45 @@ def drift_ks(
             "hi": hi,
             "threshold": threshold,
         },
+    )
+
+
+def schema_baseline(df: DataFrame) -> dict[str, str]:
+    """``{column: simpleString type}`` snapshot to store alongside a
+    drift baseline — input to :func:`schema_drift_verdicts`."""
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+def schema_drift_verdicts(
+    df: DataFrame,
+    baseline: dict[str, str],
+    partition: str = "(all)",
+) -> DataFrame:
+    """Schema drift vs a stored :func:`schema_baseline`: three verdict
+    rows (missing columns, added columns, type changes) in the SAME
+    frame shape ``run_checks`` emits, so they union with the value
+    checks and render through ``report.write_verdicts_report``.
+    Pure driver-side metadata comparison — no job runs."""
+    cur = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = sorted(set(baseline) - set(cur))
+    added = sorted(set(cur) - set(baseline))
+    changed = sorted(
+        f"{n}: {baseline[n]} -> {cur[n]}"
+        for n in set(cur) & set(baseline)
+        if cur[n] != baseline[n]
+    )
+    rows = [
+        (partition, "schema_missing_columns", not missing,
+         len(missing), float(len(missing)), missing[:5]),
+        (partition, "schema_added_columns", not added,
+         len(added), float(len(added)), added[:5]),
+        (partition, "schema_type_changes", not changed,
+         len(changed), float(len(changed)), changed[:5]),
+    ]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "partition string, check_name string, passed boolean, "
+        "violation_count long, metric double, sample_violations array<string>",
     )
 
 
@@ -817,6 +885,13 @@ def _stat_verdict_rows(
                 ),
                 6,
             )
+        elif p["op"] == "js":
+            js = 0.0
+            for f, bf in zip(fracs, base):
+                fa, fb = max(f, eps), max(bf, eps)
+                m = 0.5 * (fa + fb)
+                js += 0.5 * fa * math.log(fa / m) + 0.5 * fb * math.log(fb / m)
+            metric = _round_half_up(js, 6)
         elif p["op"] == "ks":
             cdf_a = cdf_b = 0.0
             worst = 0.0

@@ -121,10 +121,18 @@ def test_drift_psi_and_ks(spark):
         C.drift_psi("psi", "v", hist, bins=32, lo=lo, hi=hi, threshold=0.2),
         C.drift_ks("ks", "v", hist, bins=32, lo=lo, hi=hi, threshold=0.1),
     ]
+    checks.append(
+        C.drift_js("js", "v", hist, bins=32, lo=lo, hi=hi, threshold=0.05)
+    )
     ok = {r["check_name"]: r["passed"] for r in C.run_checks(same_df, checks)[0].collect()}
-    assert ok == {"psi": True, "ks": True}
-    bad = {r["check_name"]: r["passed"] for r in C.run_checks(drifted_df, checks)[0].collect()}
-    assert bad == {"psi": False, "ks": False}
+    assert ok == {"psi": True, "ks": True, "js": True}
+    bad = {r["check_name"]: (r["passed"], r["metric"])
+           for r in C.run_checks(drifted_df, checks)[0].collect()}
+    assert {k: v[0] for k, v in bad.items()} == {
+        "psi": False, "ks": False, "js": False
+    }
+    # JS is bounded by ln 2 even on fully disjoint supports
+    assert 0 < bad["js"][1] <= 0.6931
 
 
 def test_generator_deterministic_and_planted(spark):
@@ -160,6 +168,38 @@ def test_transcript_suite_finds_planted_violations(spark):
         .collect()[0][0]
     )
     assert out["unique_turn"]["violation_count"] == dup_rows
+
+
+def test_schema_drift_verdicts(spark):
+    """Missing/added/type-changed columns against a stored schema
+    baseline; verdict rows union with run_checks output."""
+    base_df = spark.createDataFrame(
+        [], "a int, b string, c double"
+    )
+    baseline = C.schema_baseline(base_df)
+    same = C.schema_drift_verdicts(base_df, baseline)
+    assert all(r["passed"] for r in same.collect())
+
+    cur = spark.createDataFrame([], "a bigint, c double, d string")
+    out = {r["check_name"]: r for r in
+           C.schema_drift_verdicts(cur, baseline).collect()}
+    assert not out["schema_missing_columns"]["passed"]
+    assert out["schema_missing_columns"]["sample_violations"] == ["b"]
+    assert not out["schema_added_columns"]["passed"]
+    assert out["schema_added_columns"]["sample_violations"] == ["d"]
+    assert not out["schema_type_changes"]["passed"]
+    assert out["schema_type_changes"]["sample_violations"] == [
+        "a: int -> bigint"
+    ]
+    # unions with the value-check verdict frame
+    verdicts, _ = C.run_checks(
+        spark.createDataFrame([(1,)], "a int"),
+        [C.row_rule("a_pos", "a > 0")],
+    )
+    both = verdicts.unionByName(
+        C.schema_drift_verdicts(cur, baseline)
+    )
+    assert both.count() == 4
 
 
 def test_drift_pair_fires_only_for_drifted_columns(spark):
