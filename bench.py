@@ -332,6 +332,12 @@ def run_suite() -> dict:
         "dedup_minhash_lsh",
         "similarity_topk",
         "text_tokens",
+        # round-2 additions: curation composition, packing, and the
+        # conversation/incremental dedup paths
+        "curate_documents",
+        "pack_sequences",
+        "dedup_conversations",
+        "dedup_incremental_minhash",
     ]
     for name in headline:
         # Warm this query's exact plan shapes (codegen/JIT/AQE are

@@ -18,10 +18,18 @@ designed Spark-first:
   Hamming distance;
 * :func:`embedding_cosine_pairs` — cosine near-dup over an
   ``array<float>`` column, brute-force or random-hyperplane-LSH
-  bucketed.
+  bucketed;
+* :func:`connected_components` / :func:`dedup_components` —
+  large-star/small-star clustering of near-dup pairs into dedup
+  groups with a canonical keep-list;
+* :func:`conversation_dedup` — whole-conversation exact dedup by
+  commutative fingerprint folds (hot-conversation safe);
+* :func:`incremental_exact_dedup` / :func:`incremental_minhash_dedup`
+  — classify new batches against a persistent fingerprint/signature
+  store without rescanning prior text.
 
 All shuffles key on the candidate-pair structure (shingle / band
-bucket), never on raw document text.
+bucket / fingerprint), never on raw document text.
 """
 
 from __future__ import annotations
@@ -279,18 +287,30 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    # per-bucket size + anchor (minimum id): one map-side-combinable
-    # aggregation on the same (band, bucket) keys the self-join
-    # shuffles on
-    meta = buckets.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("bsz"), F.min("id").alias("anchor")
+    # per-bucket size + anchor for the OVER-CAP buckets only: one
+    # map-side-combinable aggregation (skew-safe — a hot bucket
+    # collapses per input partition), then a BROADCAST of the hot set
+    # back onto the bucket rows.  The hot set is bounded by
+    # total_bucket_rows / bucket_cap (0.05% at the default cap), so
+    # the broadcast stays tiny at any corpus size and the bucket rows
+    # are never re-shuffled.  Cost: ~+3s CONSTANT of extra AQE stage
+    # latency at bench scale — measured identical across the three
+    # capped formulations (meta join-back 4.97s / broadcast-hot 5.19s
+    # / window 6.07s vs uncapped 2.25s on the sf0.1 candidate stage,
+    # interleaved best-of-2), i.e. stage-count overhead, not
+    # data-proportional work; at deployment scale it amortizes to
+    # nothing while the cap is what keeps boilerplate clusters from
+    # emitting C(n,2) pairs.  Broadcast-hot is kept as the
+    # scale-best shape (join-back re-shuffles ALL bucket rows; the
+    # window form funnels each hot bucket through one task).
+    hot = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"), F.min("id").alias("anchor"))
+        .filter(F.col("bsz") > F.lit(bucket_cap))
+        .select("band", "bucket", "anchor")
     )
-    # referenced twice (small all-pairs side + big star side): persist
-    # the sized bucket rows so the groupBy+join executes once, not per
-    # branch.  Bounded at docs*bands slim rows (ids + 2 longs), same
-    # order as `buckets` itself — spills cleanly if tight.
-    sized = buckets.join(meta, ["band", "bucket"]).persist()
-    small = sized.filter(F.col("bsz") <= F.lit(bucket_cap)).select(
+    marked = buckets.join(F.broadcast(hot), ["band", "bucket"], "left")
+    small = marked.filter(F.col("anchor").isNull()).select(
         "id", "band", "bucket"
     )
     left = small.toDF("id_a", "band", "bucket")
@@ -302,8 +322,8 @@ def minhash_lsh_pairs(
         & (F.col("id_a") < F.col("id_b")),
     ).select("id_a", "id_b")
     # oversized buckets: anchor-star edges, O(members) not O(members^2)
-    star = sized.filter(
-        (F.col("bsz") > F.lit(bucket_cap)) & (F.col("id") != F.col("anchor"))
+    star = marked.filter(
+        F.col("anchor").isNotNull() & (F.col("id") != F.col("anchor"))
     ).select(F.col("anchor").alias("id_a"), F.col("id").alias("id_b"))
     cands = (
         all_pairs.unionAll(star)
@@ -829,19 +849,22 @@ def incremental_minhash_dedup(
     nb = _sig_band_keys(sigs, num_hashes, bands)
     est = sig_estimated_jaccard(num_hashes)
 
-    def capped(bk: DataFrame) -> DataFrame:
-        meta = bk.groupBy("band", "key").agg(
-            F.count(F.lit(1)).alias("bsz"), F.min("id").alias("anchor")
+    def marked_hot(bk: DataFrame) -> DataFrame:
+        # broadcast only the over-cap buckets (bounded by rows/cap);
+        # `anchor` is NULL on rows of normal buckets
+        hot = (
+            bk.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("bsz"), F.min("id").alias("anchor"))
+            .filter(F.col("bsz") > F.lit(bucket_cap))
+            .select("band", "key", "anchor")
         )
-        return bk.join(meta, ["band", "key"])
+        return bk.join(F.broadcast(hot), ["band", "key"], "left")
 
-    nbc = capped(nb).persist()
+    nbc = marked_hot(nb)
 
     # within-batch: est >= threshold against a smaller id (pairs from
     # shared buckets; over-cap buckets emit anchor-star edges only)
-    small = nbc.filter(F.col("bsz") <= F.lit(bucket_cap)).select(
-        "id", "band", "key"
-    )
+    small = nbc.filter(F.col("anchor").isNull()).select("id", "band", "key")
     pairs_all = (
         small.alias("l")
         .join(
@@ -853,7 +876,7 @@ def incremental_minhash_dedup(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
     )
     pairs_star = nbc.filter(
-        (F.col("bsz") > F.lit(bucket_cap)) & (F.col("id") != F.col("anchor"))
+        F.col("anchor").isNotNull() & (F.col("id") != F.col("anchor"))
     ).select(F.col("anchor").alias("id_a"), F.col("id").alias("id_b"))
     cand_b = pairs_all.unionAll(pairs_star).dropDuplicates(["id_a", "id_b"])
     dup_in_batch = (
@@ -867,9 +890,9 @@ def incremental_minhash_dedup(
     # vs store: shared band buckets, est >= threshold (store side also
     # anchor-capped per bucket)
     if sig_store is not None:
-        sb = capped(_sig_band_keys(sig_store, num_hashes, bands))
+        sb = marked_hot(_sig_band_keys(sig_store, num_hashes, bands))
         sb = sb.filter(
-            (F.col("bsz") <= F.lit(bucket_cap)) | (F.col("id") == F.col("anchor"))
+            F.col("anchor").isNull() | (F.col("id") == F.col("anchor"))
         ).select("id", "band", "key")
         cand_s = (
             nb.alias("l")

@@ -1,6 +1,8 @@
 """Text-analysis operators for training-data pipelines (not in the
 reference): language ID, quality scoring, token counting, document
-fingerprinting.  All pure built-in expressions — no Python UDFs."""
+fingerprinting, winnowing (MOSS) fingerprints/near-dups, and PII
+detection/redaction.  All pure built-in expressions — no Python
+UDFs."""
 
 from __future__ import annotations
 
