@@ -491,6 +491,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return d.select("doc_id", TA.fingerprint(F.col("text")).alias("fp"))
 
+    def q_text_repetition(spark, sf):
+        """Gopher repetition measures over documents — dup-line
+        fraction, dup-line char fraction, top-2-gram char coverage.
+        Spark computes them map-only via sorted-run folds; the oracle
+        recomputes with an independent unnest+groupBy algorithm."""
+        return TA.repetition_stats(_t(spark, sf, "documents"))
+
     def q_text_redact(spark, sf):
         """PII detect + redact over documents with deterministically
         planted emails/phones (every 5th doc) — counts on the pre-
@@ -796,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "text_fingerprint": q_text_fingerprint,
         "text_redact": q_text_redact,
+        "text_repetition": q_text_repetition,
         "embedding_normalize": q_embedding_normalize,
         "embedding_quantize": q_embedding_quantize,
         "pack_sequences": q_pack_sequences,
@@ -1232,6 +1240,47 @@ FROM ranked WHERE sample_rank <= 40
     text_fp_sql = xxh64_str_sql(
         "documents", ["doc_id"], norm_text, out="fp", cte_prefix="fp"
     )
+
+    # ---- text_repetition (independent unnest+groupBy algorithm) ----
+    _rp_norm = _NORM_SQL.format(v="t")
+    text_repetition_sql = f"""
+WITH d AS MATERIALIZED (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+l AS (SELECT doc_id,
+             UNNEST(list_filter(string_split(t, chr(10)), x -> trim(x) <> '')) AS line
+      FROM d),
+lc AS (SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+       FROM l GROUP BY doc_id, line),
+lstats AS (SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_distinct,
+                  SUM(c * len) AS total_chars,
+                  SUM(CASE WHEN c = 1 THEN len ELSE 0 END) AS single_chars
+           FROM lc GROUP BY doc_id),
+nt AS MATERIALIZED (SELECT doc_id, {_rp_norm} AS ntext FROM d),
+tk AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM nt),
+g AS (SELECT doc_id,
+             UNNEST(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM tk WHERE len(toks) >= 2),
+gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+gtop AS (SELECT doc_id, c, gram FROM (
+           SELECT doc_id, c, gram,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, gram DESC) AS rn
+           FROM gc) WHERE rn = 1)
+SELECT d.doc_id,
+  ROUND(CASE WHEN COALESCE(n_lines, 0) > 0
+        THEN (n_lines - n_distinct) * 1.0 / n_lines ELSE 0 END, 6)
+    AS dup_line_frac,
+  ROUND(CASE WHEN COALESCE(total_chars, 0) > 0
+        THEN (total_chars - single_chars) * 1.0 / total_chars ELSE 0 END, 6)
+    AS dup_line_char_frac,
+  ROUND(CASE WHEN length(nt.ntext) > 0 AND gtop.c IS NOT NULL
+        THEN gtop.c * length(gtop.gram) * 1.0 / length(nt.ntext)
+        ELSE 0 END, 6) AS top_ngram_char_frac
+FROM d
+LEFT JOIN lstats ON lstats.doc_id = d.doc_id
+LEFT JOIN gtop ON gtop.doc_id = d.doc_id
+JOIN nt ON nt.doc_id = d.doc_id
+"""
 
     # ---- text_redact (PII patterns are Java-regex/RE2-portable:
     # no lookaround, explicit classes; DuckDB needs the 'g' flag) ----
@@ -2180,6 +2229,7 @@ FROM src GROUP BY attribute
         "multimodal_resize": multimodal_resize_sql,
         "text_fingerprint": text_fp_sql,
         "text_redact": text_redact_sql,
+        "text_repetition": text_repetition_sql,
         "embedding_normalize": embedding_normalize_sql,
         "embedding_quantize": embedding_quantize_sql,
         "pack_sequences": pack_sequences_sql,

@@ -145,6 +145,121 @@ def redact_pii(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 2,
+) -> DataFrame:
+    """Gopher-style within-document repetition measures (Rae et al.
+    2021, "Scaling Language Models" §A1.1 — the standard web-corpus
+    repetition filters), all pure array expressions:
+
+    * ``dup_line_frac`` — fraction of lines that are duplicates of an
+      earlier line;
+    * ``dup_line_char_frac`` — fraction of characters sitting in
+      duplicated lines;
+    * ``top_ngram_char_frac`` — fraction of characters covered by the
+      single most frequent word ``ngram``-gram (boilerplate pages
+      repeat one phrase; clean prose doesn't).
+
+    One map-only projection — no shuffle, no Python; compose with
+    ``quality_score`` thresholds to drop repetitive documents.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(txt, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l))
+    # chars in lines occurring exactly once, via ONE fold over the
+    # SORTED lines (equal values are adjacent): add each new value's
+    # length, retract it the moment its run reaches 2.  O(n log n)
+    # per document — a naive per-distinct-value count is O(n^2) and
+    # dies on long boilerplate docs.
+    sl = F.array_sort(lines)
+    line_state = F.aggregate(
+        sl,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("single"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(
+                x == acc["prev"],
+                F.when(
+                    acc["run"] == 1, acc["single"] - F.length(x)
+                ).otherwise(acc["single"]),
+            )
+            .otherwise(acc["single"] + F.length(x))
+            .alias("single"),
+        ),
+    )
+    uniq_line_chars = line_state["single"]
+
+    toks = F.split(normalized_text(txt), " ")
+    n_toks = F.size(toks)
+    grams = F.when(
+        n_toks >= ngram,
+        F.transform(
+            F.sequence(F.lit(0), n_toks - ngram),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(ngram)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # most frequent n-gram via the same sorted-run fold; ties on count
+    # resolve to the lexicographically LARGEST gram (= max(struct(cnt,
+    # gram)), the rule a groupBy-based oracle reproduces)
+    sg = F.array_sort(grams)
+    gram_state = F.aggregate(
+        sg,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit("").alias("bestg"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                >= acc["best"],
+                x,
+            )
+            .otherwise(acc["bestg"])
+            .alias("bestg"),
+        ),
+    )
+    text_chars = F.length(normalized_text(txt))
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        r6(
+            F.when(n_lines > 0, (n_lines - n_distinct) / n_lines).otherwise(0.0)
+        ).alias("dup_line_frac"),
+        r6(
+            F.when(
+                line_chars > 0, (line_chars - uniq_line_chars) / line_chars
+            ).otherwise(0.0)
+        ).alias("dup_line_char_frac"),
+        r6(
+            F.when(
+                (text_chars > 0) & (F.size(grams) > 0),
+                gram_state["best"] * F.length(gram_state["bestg"]) / text_chars,
+            ).otherwise(0.0)
+        ).alias("top_ngram_char_frac"),
+    )
+
+
 def winnow_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 5, w: int = 4,

@@ -210,6 +210,59 @@ def test_ivf_refined_recall_not_worse(spark):
     assert r1 >= 0.5
 
 
+def test_repetition_stats_differential(spark):
+    """Gopher repetition measures vs a pure-Python Counter model on
+    planted boilerplate, clean prose, and edge cases."""
+    import re
+    from collections import Counter
+
+    def norm(t):
+        t = re.sub(r"[^\w\s]", " ", t.lower())
+        return re.sub(r"\s+", " ", t).strip()
+
+    def model(t):
+        lines = [l for l in (t or "").split("\n") if l.strip()]
+        if lines:
+            dlf = (len(lines) - len(set(lines))) / len(lines)
+            lc = Counter(lines)
+            total = sum(len(l) for l in lines)
+            single = sum(len(l) for l, c in lc.items() if c == 1)
+            dlcf = (total - single) / total if total else 0.0
+        else:
+            dlf = dlcf = 0.0
+        nt = norm(t or "")
+        toks = nt.split(" ") if nt else []
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        if grams and nt:
+            gc = Counter(grams)
+            cnt, g = max((c, g) for g, c in gc.items())
+            tnf = cnt * len(g) / len(nt)
+        else:
+            tnf = 0.0
+        return (round(dlf, 6), round(dlcf, 6), round(tnf, 6))
+
+    rows = [
+        (1, "buy now\nbuy now\nbuy now\nunique line"),
+        (2, "clean prose line one\nclean prose line two\nfinal thought"),
+        (3, "spam spam spam spam spam"),
+        (4, ""),
+        (5, None),
+        (6, "a\n\n a \nb\nb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["dup_line_frac"], r["dup_line_char_frac"],
+                         r["top_ngram_char_frac"])
+           for r in TA.repetition_stats(df).collect()}
+    for i, t in rows:
+        want = model(t)
+        assert all(abs(a - b) < 1e-6 for a, b in zip(got[i], want)), (
+            f"doc {i}: got {got[i]} want {want}"
+        )
+    # the boilerplate doc is flagged, the clean one is not
+    assert got[1][0] >= 0.5 and got[2][0] == 0.0
+    assert got[3][2] > 0.5
+
+
 def test_redact_pii(spark):
     rows = [
         (1, "mail me at bob.smith+x@example.co.uk or call 555-123-4567"),
