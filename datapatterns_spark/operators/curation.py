@@ -29,6 +29,8 @@ def curate_documents(
     dedup: str | None = "exact",
     redact: bool = False,
     minhash_threshold: float = 0.8,
+    max_dup_line_frac: float | None = None,
+    max_top_ngram_char_frac: float | None = None,
 ) -> DataFrame:
     """Curated ``(doc_id, lang_guess, quality, [pii_total,] text)``.
 
@@ -36,6 +38,9 @@ def curate_documents(
 
     * quality gate: ``quality >= min_quality``;
     * language gate: ``lang_guess`` in ``languages``;
+    * repetition gates (Gopher rules, :func:`repetition_stats`):
+      drop documents whose duplicate-line fraction or top-n-gram
+      character coverage exceeds the given bounds;
     * dedup ``"exact"``: one survivor (min id) per
       ``xxhash64(normalized_text)`` key — slim-key shuffle, hot
       duplicates collapse map-side;
@@ -62,6 +67,19 @@ def curate_documents(
         d = d.filter(F.col("quality") >= float(min_quality))
     if languages:
         d = d.filter(F.col("lang_guess").isin(list(languages)))
+    if max_dup_line_frac is not None or max_top_ngram_char_frac is not None:
+        from .textanalysis import repetition_stats
+
+        rep = repetition_stats(d, "text", "doc_id")
+        cond = F.lit(True)
+        if max_dup_line_frac is not None:
+            cond = cond & (rep["dup_line_frac"] <= float(max_dup_line_frac))
+        if max_top_ngram_char_frac is not None:
+            cond = cond & (
+                rep["top_ngram_char_frac"] <= float(max_top_ngram_char_frac)
+            )
+        keep_ids = rep.filter(cond).select("doc_id")
+        d = d.join(keep_ids, "doc_id", "left_semi")
 
     if dedup == "exact":
         d = d.withColumn("_k", F.xxhash64(normalized_text(F.col("text"))))

@@ -351,6 +351,18 @@ def test_curate_documents(spark):
     assert out[5]["pii_total"] == 1 and "[EMAIL]" in out[5]["text"]
     assert out[1]["pii_total"] == 0
 
+    # repetition gate: a boilerplate doc (one phrase repeated) drops
+    # while normal prose survives
+    rep_rows = [
+        (1, good),
+        (2, "the cat and " * 30),  # top-2-gram coverage ~1
+    ]
+    rdf = spark.createDataFrame(rep_rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in curate_documents(
+        rdf, max_top_ngram_char_frac=0.3, dedup=None
+    ).collect()}
+    assert kept == {1}
+
 
 def test_pack_sequences(spark):
     """Concat-and-chunk packing: token totals conserved, every
@@ -388,6 +400,51 @@ def test_pack_sequences(spark):
     got2 = pack_sequences(df.repartition(13), max_tokens=128, n_shards=4).collect()
     key = lambda r: (r["shard"], r["pack"], r["doc_id"], r["tok_start"], r["n_tokens"])
     assert sorted(map(key, got)) == sorted(map(key, got2))
+
+
+def test_pack_sequences_random_differential(spark):
+    """Random corpora vs a pure-Python replay of the packing rule
+    (hash order within shards, cumulative spans, boundary splits)."""
+    import random
+
+    from datapatterns_spark.operators.packing import pack_sequences
+
+    for seed_corpus in (5, 23):
+        rnd = random.Random(seed_corpus)
+        rows = [
+            (i, " ".join(["w"] * rnd.randrange(1, 40)))
+            for i in range(150)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        B, SH = 64, 4
+        got = sorted(
+            (r["shard"], r["pack"], r["doc_id"], r["tok_start"], r["n_tokens"])
+            for r in pack_sequences(df, max_tokens=B, n_shards=SH).collect()
+        )
+        # python model using Spark's own hash values (collected once)
+        hashes = {
+            r["doc_id"]: (r["h1"], r["h2"])
+            for r in df.select(
+                "doc_id",
+                F.pmod(F.xxhash64(F.lit(42), "doc_id"), F.lit(SH)).alias("h1"),
+                F.xxhash64(F.lit(43), "doc_id").alias("h2"),
+            ).collect()
+        }
+        want = []
+        by_shard = {}
+        for i, t in rows:
+            n = len(t.split())
+            by_shard.setdefault(hashes[i][0], []).append((hashes[i][1], i, n))
+        for sh, docs in by_shard.items():
+            docs.sort()
+            pos = 0
+            for _, i, n in docs:
+                start, end = pos, pos + n
+                for p in range(start // B, (end - 1) // B + 1):
+                    lo, hi = max(p * B, start), min((p + 1) * B, end)
+                    want.append((sh, p, i, lo - start, hi - lo))
+                pos = end
+        assert got == sorted(want), f"seed={seed_corpus}"
 
 
 def test_pack_sequences_plan_is_sharded_window(spark):
