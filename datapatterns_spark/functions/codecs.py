@@ -426,6 +426,34 @@ def wav_decode(data: bytes) -> tuple[int, int, list[float]]:
     return nch, rate, vals
 
 
+def wav_slices(data: bytes, every_ms: int) -> list[tuple[int, bytes]]:
+    """Cut a PCM WAV payload into ``every_ms`` windows, each
+    re-encoded as a standalone WAV — the audio analogue of video frame
+    sampling.  Returns ``[(start_ms, wav_bytes), ...]``; a trailing
+    partial window is kept."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        nch, sw, rate, nframes = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        frames = w.readframes(nframes)
+    step = max(1, rate * every_ms // 1000)
+    fsize = nch * sw
+    out = []
+    for i in range(0, nframes, step):
+        chunk = frames[i * fsize : (i + step) * fsize]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as ww:
+            ww.setnchannels(nch)
+            ww.setsampwidth(sw)
+            ww.setframerate(rate)
+            ww.writeframes(chunk)
+        out.append((i * 1000 // rate, buf.getvalue()))
+    return out
+
+
 def image_features(data: bytes, grid: int = 4) -> list[float]:
     """``grid*grid`` mean-intensity cells (row-major, [0, 1]) of the
     decoded PNG — 16 floats at the default grid, matching

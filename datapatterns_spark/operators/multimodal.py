@@ -150,11 +150,14 @@ def sample_frames(
 
             def real_frames(payload: bytes):
                 b = bytes(payload or b"")
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    # audio "frames": one WAV slice per sampled window
+                    return _cd.wav_slices(b, every_ms)
                 if b[:6] not in _cd.GIF_SIGS:
                     raise NotImplementedError(
-                        "real frame sampling supports animated GIF (stdlib "
-                        "LZW codec); MP4/H.264 need codec libraries not in "
-                        "this environment — pass fake=True for the stub"
+                        "real frame sampling supports animated GIF and PCM "
+                        "WAV (stdlib codecs); MP4/H.264 need codec libraries "
+                        "not in this environment — pass fake=True for the stub"
                     )
                 w, h, frs = _cd.gif_decode(b)
                 # timeline: frame i active on [start_i, start_i+delay_i)
@@ -195,7 +198,15 @@ def sample_frames(
                         frames.append(fr)
             yield pd.DataFrame({"media_id": ids, "frame_ms": times, "frame": frames})
 
-    slim = df.select(id_col, media_col, F.col("meta.duration_ms").alias("duration_ms"))
+    # the metadata duration is only the FAKE path's input; the real
+    # path derives the timeline from the payload itself, so media-only
+    # frames need no meta column
+    if fake:
+        slim = df.select(
+            id_col, media_col, F.col("meta.duration_ms").alias("duration_ms")
+        )
+    else:
+        slim = df.select(id_col, media_col)
     return slim.mapInPandas(batches, out_schema)
 
 

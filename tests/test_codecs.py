@@ -276,6 +276,36 @@ def test_resize_media_real_path(spark):
         assert bytes(px) == bytes(cd.resize_box(spx, sw, sh, sc, 6, 4))
 
 
+def test_sample_frames_real_wav_slices(spark):
+    """Non-fake frame sampling over WAV payloads emits standalone WAV
+    windows that concatenate back to the original sample stream."""
+    from pyspark.sql import types as T
+
+    from datapatterns_spark.operators.multimodal import sample_frames
+
+    data = _wav_bytes(freq=330.0, rate=8000, nsamp=2000)  # 250ms
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([(7, data)], schema)
+    rows = sorted(
+        sample_frames(df, every_ms=100).collect(),
+        key=lambda r: r["frame_ms"],
+    )
+    assert [r["frame_ms"] for r in rows] == [0, 100, 200]
+    # slices decode and re-concatenate to the original samples
+    _, _, orig = cd.wav_decode(data)
+    joined = []
+    for r in rows:
+        _, rate, s = cd.wav_decode(bytes(r["frame"]))
+        assert rate == 8000
+        joined.extend(s)
+    assert joined == orig
+
+
 def test_extract_features_real_path_rejects_unknown_format(spark):
     from pyspark.sql import types as T
     from pyspark.errors import PythonException
