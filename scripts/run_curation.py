@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the training-data CURATION pipeline —
+the data-processing counterpart of scripts/run_job.py's
+profile+validate job.
+
+Cluster deployment::
+
+    cd /root/repo && zip -r /tmp/datapatterns_spark.zip datapatterns_spark
+    spark-submit --master <cluster> \
+        --py-files /tmp/datapatterns_spark.zip \
+        scripts/run_curation.py \
+        --docs <parquet-path-with-doc_id,text> \
+        --output /path/to/curation-output \
+        [--partitions 64] [--min-quality 0.2] [--languages en,de] \
+        [--max-top-ngram-frac 0.5] [--redact] [--resume]
+
+The corpus is processed in bounded batches of hash partitions
+(``pmod(xxhash64(doc_id), P)``), each batch:
+
+1. annotate + gate (language / quality / Gopher repetition bounds)
+   and optionally PII-redact (``operators.curation.curate_documents``);
+2. dedup against the run's accumulated FINGERPRINT STORE
+   (``operators.dedup.incremental_exact_dedup``) — cross-batch dups
+   drop without ever rescanning earlier batches' text; the store read
+   EXCLUDES the current batch id, so re-running a failed batch is
+   idempotent;
+3. write surviving documents + new store fingerprints + a manifest
+   row per partition (the commit point — ``--resume`` skips COMPLETE
+   partitions, losing at most one batch on a crash).
+
+Outputs under --output: ``data/batch=N`` (curated parquet),
+``fps/batch=N`` (fingerprint store), ``manifest``, and a final stats
+line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", help="parquet path with (doc_id, text)")
+    ap.add_argument("--use-testdata", default=None,
+                    help="sf dir: read <dir>/documents.parquet instead of --docs")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--partitions", type=int, default=16)
+    ap.add_argument("--batch-size", type=int, default=4,
+                    help="hash partitions per batch (crash-loss bound)")
+    ap.add_argument("--min-quality", type=float, default=None)
+    ap.add_argument("--languages", default=None,
+                    help="comma-separated lang codes to keep")
+    ap.add_argument("--max-dup-line-frac", type=float, default=None)
+    ap.add_argument("--max-top-ngram-frac", type=float, default=None)
+    ap.add_argument("--redact", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from datapatterns_spark.operators.curation import curate_documents
+    from datapatterns_spark.operators.dedup import incremental_exact_dedup
+    from datapatterns_spark.operators.manifest import completed_partitions
+    from datapatterns_spark.plans.local import lit_df
+    from datapatterns_spark.session import get_spark
+    from datapatterns_spark.sources.tables import read_table
+
+    spark = get_spark(
+        "dp-curation",
+        master=args.master,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    src = (
+        f"{args.use_testdata}/documents.parquet" if args.use_testdata else args.docs
+    )
+    if not src:
+        ap.error("pass --docs or --use-testdata")
+    docs = read_table(spark, src).select("doc_id", "text")
+    P = args.partitions
+    docs = docs.withColumn(
+        "part", F.pmod(F.xxhash64("doc_id"), F.lit(P)).cast("string")
+    )
+    out = args.output
+    done = completed_partitions(spark, out) if args.resume else set()
+    todo = [str(p) for p in range(P) if str(p) not in done]
+    langs = args.languages.split(",") if args.languages else None
+
+    t_start = time.time()
+    total_in = total_kept = 0
+    for bi in range(0, len(todo), args.batch_size):
+        batch = todo[bi : bi + args.batch_size]
+        batch_id = int(batch[0])  # stable per batch under resume
+        started = time.time()
+        sub = docs.filter(F.col("part").isin(batch)).drop("part")
+        n_in = sub.count()
+        cur = curate_documents(
+            sub,
+            min_quality=args.min_quality,
+            languages=langs,
+            dedup=None,  # dedup handled below against the run store
+            redact=args.redact,
+            max_dup_line_frac=args.max_dup_line_frac,
+            max_top_ngram_char_frac=args.max_top_ngram_frac,
+        )
+        try:
+            store = spark.read.parquet(f"{out}/fps").filter(
+                F.col("batch") != batch_id
+            )
+        except AnalysisException:
+            store = None
+        decisions = incremental_exact_dedup(cur, store)
+        keep = decisions.filter(F.col("status") == "unique")
+        curated = cur.join(
+            keep.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+        ).cache()
+        n_kept = curated.count()
+        curated.write.mode("overwrite").parquet(f"{out}/data/batch={batch_id}")
+        keep.select("fp").distinct().write.mode("overwrite").parquet(
+            f"{out}/fps/batch={batch_id}"
+        )
+        finished = time.time()
+        lit_df(
+            spark,
+            [(p, "COMPLETE", started, finished, 1, int(n_in - n_kept), "")
+             for p in batch],
+            "partition string, status string, started_at double, "
+            "finished_at double, n_checks int, n_violations long, "
+            "snapshot_id string",
+        ).write.mode("append").parquet(f"{out}/manifest")
+        curated.unpersist()
+        total_in += n_in
+        total_kept += n_kept
+        print(f"[curation] batch {batch_id}: {n_in} in -> {n_kept} kept",
+              file=sys.stderr)
+    el = time.time() - t_start
+    print(
+        f"curated {total_in} docs -> kept {total_kept} "
+        f"({100.0 * total_kept / max(total_in, 1):.1f}%) in {el:.1f}s; "
+        f"output at {out}"
+    )
+
+
+if __name__ == "__main__":
+    main()
