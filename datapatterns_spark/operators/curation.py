@@ -68,18 +68,17 @@ def curate_documents(
     if languages:
         d = d.filter(F.col("lang_guess").isin(list(languages)))
     if max_dup_line_frac is not None or max_top_ngram_char_frac is not None:
-        from .textanalysis import repetition_stats
+        # inline column expressions on the SAME scan — a stats-frame
+        # semi-join would rescan the full text a second time
+        from .textanalysis import repetition_cols
 
-        rep = repetition_stats(d, "text", "doc_id")
-        cond = F.lit(True)
+        rc = repetition_cols("text")
         if max_dup_line_frac is not None:
-            cond = cond & (rep["dup_line_frac"] <= float(max_dup_line_frac))
+            d = d.filter(rc["dup_line_frac"] <= float(max_dup_line_frac))
         if max_top_ngram_char_frac is not None:
-            cond = cond & (
-                rep["top_ngram_char_frac"] <= float(max_top_ngram_char_frac)
+            d = d.filter(
+                rc["top_ngram_char_frac"] <= float(max_top_ngram_char_frac)
             )
-        keep_ids = rep.filter(cond).select("doc_id")
-        d = d.join(keep_ids, "doc_id", "left_semi")
 
     if dedup == "exact":
         d = d.withColumn("_k", F.xxhash64(normalized_text(F.col("text"))))

@@ -166,6 +166,18 @@ def repetition_stats(
     One map-only projection — no shuffle, no Python; compose with
     ``quality_score`` thresholds to drop repetitive documents.
     """
+    cols = repetition_cols(text_col, ngram)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(n) for n, c in cols.items()],
+    )
+
+
+def repetition_cols(text_col: str = "text", ngram: int = 2):
+    """The repetition measures as raw COLUMN expressions
+    (``{name: Column}``) so callers can filter inline on the same scan
+    instead of joining back a stats frame (a second full text scan at
+    corpus scale)."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(F.split(txt, "\n"), lambda l: F.trim(l) != "")
     n_lines = F.size(lines)
@@ -241,23 +253,22 @@ def repetition_stats(
     )
     text_chars = F.length(normalized_text(txt))
     r6 = lambda c: F.round(c, 6)  # noqa: E731
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        r6(
+    return {
+        "dup_line_frac": r6(
             F.when(n_lines > 0, (n_lines - n_distinct) / n_lines).otherwise(0.0)
-        ).alias("dup_line_frac"),
-        r6(
+        ),
+        "dup_line_char_frac": r6(
             F.when(
                 line_chars > 0, (line_chars - uniq_line_chars) / line_chars
             ).otherwise(0.0)
-        ).alias("dup_line_char_frac"),
-        r6(
+        ),
+        "top_ngram_char_frac": r6(
             F.when(
                 (text_chars > 0) & (F.size(grams) > 0),
                 gram_state["best"] * F.length(gram_state["bestg"]) / text_chars,
             ).otherwise(0.0)
-        ).alias("top_ngram_char_frac"),
-    )
+        ),
+    }
 
 
 def winnow_table(

@@ -261,6 +261,12 @@ def test_repetition_stats_differential(spark):
     # the boilerplate doc is flagged, the clean one is not
     assert got[1][0] >= 0.5 and got[2][0] == 0.0
     assert got[3][2] > 0.5
+    # map-only plan: no shuffle, no Python
+    plan = (
+        TA.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_redact_pii(spark):
