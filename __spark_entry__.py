@@ -243,6 +243,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         verdicts, _ = C.run_checks(li, checks)
         return verdicts.select("check_name", "passed", F.col("metric").alias("psi"))
 
+    def q_constraint_alternation(spark, sf):
+        """no_consecutive (alternation-class) check over events: flag
+        users firing the same event_type twice in a row."""
+        ev = _t(spark, sf, "events")
+        verdicts, _ = C.run_checks(
+            ev,
+            [
+                C.no_consecutive(
+                    "no_repeat_event_type", "event_type", "user_id", "event_id"
+                )
+            ],
+        )
+        return verdicts.select("check_name", "passed", "violation_count")
+
     def q_drift_js(spark, sf):
         li = _t(spark, sf, "lineitem")
         baseline = [1.0 / 32] * 32
@@ -769,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdicts_per_partition": q_verdicts_per_partition,
         "drift_psi": q_drift_psi,
         "drift_js": q_drift_js,
+        "constraint_alternation": q_constraint_alternation,
         "drift_ks": q_drift_ks,
         "validate_allfilled": q_validate_allfilled,
         "validate_fix_swap": q_validate_fix_swap,
@@ -1697,6 +1712,19 @@ SELECT 'qty_psi' AS check_name,
 FROM j
 """
 
+    # ---- constraint_alternation (no_consecutive over events) ----
+    constraint_alternation_sql = """
+WITH lagged AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS p
+  FROM events),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lagged
+      WHERE p IS NOT NULL AND event_type = p)
+SELECT 'no_repeat_event_type' AS check_name, (n = 0) AS passed,
+       n AS violation_count
+FROM c
+"""
+
     # ---- drift JS (uniform baseline, fixed lo/hi) ----
     drift_js_sql = """
 WITH hist AS (
@@ -2198,6 +2226,7 @@ FROM src GROUP BY attribute
         "constraint_verdicts": constraint_sql,
         "drift_psi": drift_sql,
         "drift_js": drift_js_sql,
+        "constraint_alternation": constraint_alternation_sql,
         "drift_ks": drift_ks_sql,
         "validate_allfilled": validate_allfilled_sql,
         "validate_fix_swap": validate_fix_swap_sql,

@@ -79,6 +79,28 @@ def monotonic(name: str, ts_col: str, group_by: str, order_by: str) -> Check:
     )
 
 
+def no_consecutive(
+    name: str, col: str, group_by: str, order_by: str
+) -> Check:
+    """Fail rows whose ``col`` equals the previous row's within
+    ``group_by`` ordered by ``order_by`` — the transcript alternation
+    class (e.g. two consecutive ``user`` turns).  Shares the monotonic
+    check's Exchange+Sort when one exists on the same (group, order).
+    Does not participate in ``segment_size`` hardening (a consecutive
+    pair may straddle a segment boundary), so its window always spans
+    the whole group."""
+    return Check(
+        name,
+        "group",
+        {
+            "op": "no_consecutive",
+            "col": col,
+            "group": group_by,
+            "order": order_by,
+        },
+    )
+
+
 def benford_conformance(name: str, col: str, digit: int = 1) -> Check:
     """Benford digit-distribution conformance as a pass/fail check —
     the reference reports chi-squared vs a critical value
@@ -495,6 +517,8 @@ def run_checks(
             group_check_cols.update(p["cols"])
         elif p["op"] == "monotonic":
             group_check_cols.update((p["ts"], p["group"], p["order"]))
+        elif p["op"] == "no_consecutive":
+            group_check_cols.update((p["col"], p["group"], p["order"]))
         if p["op"] == "unique":
             if len(p["cols"]) == 2 and tuple(p["cols"]) in mono_windows:
                 # a monotonic check already pays for
@@ -552,6 +576,28 @@ def run_checks(
             fail_structs.append(
                 F.when(
                     prev.isNotNull() & (F.col(p["ts"]) < prev),
+                    F.struct(
+                        F.lit(c.name).alias("check_name"), detail.alias("detail")
+                    ),
+                )
+            )
+        elif p["op"] == "no_consecutive":
+            # unsegmented whole-group window (boundary pairs must stay
+            # adjacent); shares the monotonic check's sort — incl. its
+            # ts tiebreak — when one exists on the same (group, order)
+            tie = mono_windows.get((p["group"], p["order"]))
+            order_cols = [p["order"], tie] if tie else [p["order"]]
+            w = Window.partitionBy(F.col(p["group"])).orderBy(*order_cols)
+            prevv = F.lag(F.col(p["col"])).over(w)
+            detail = F.concat(
+                F.lit("consecutive "),
+                F.col(p["col"]).cast("string"),
+                F.lit(" at "),
+                F.col(p["order"]).cast("string"),
+            )
+            fail_structs.append(
+                F.when(
+                    prevv.isNotNull() & (F.col(p["col"]) == prevv),
                     F.struct(
                         F.lit(c.name).alias("check_name"), detail.alias("detail")
                     ),

@@ -170,6 +170,37 @@ def test_transcript_suite_finds_planted_violations(spark):
     assert out["unique_turn"]["violation_count"] == dup_rows
 
 
+def test_no_consecutive_check(spark):
+    """Alternation check flags equal adjacent values within a group
+    (ordered), and shares the monotonic check's window when both run
+    on the same (group, order)."""
+    rows = [
+        ("c1", 0, "user", 10), ("c1", 1, "assistant", 20),
+        ("c1", 2, "assistant", 30),  # violation
+        ("c1", 3, "user", 40),
+        ("c2", 0, "user", 10), ("c2", 1, "user", 20),  # violation
+        ("c2", 2, "assistant", 15),  # ts regression for monotonic
+    ]
+    df = spark.createDataFrame(rows, "g string, o int, role string, ts long")
+    checks = [
+        C.no_consecutive("alternate_roles", "role", "g", "o"),
+        C.monotonic("ts_mono", "ts", "g", "o"),
+    ]
+    verdicts, violations = C.run_checks(df, checks, key_cols=["g", "o"])
+    v = {r["check_name"]: r for r in verdicts.collect()}
+    assert not v["alternate_roles"]["passed"]
+    assert v["alternate_roles"]["violation_count"] == 2
+    assert not v["ts_mono"]["passed"]
+    viols = {(r["check_name"], r["key"]) for r in violations.collect()}
+    assert ('alternate_roles', '{"g":"c1","o":2}') in viols
+    assert ('alternate_roles', '{"g":"c2","o":1}') in viols
+    # both group checks plan into ONE Window operator (shared
+    # Exchange+Sort on (g, o [, ts]))
+    plan = verdicts._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"\bWindow\b", plan)) <= 2  # main + maybe AQE echo
+
+
 def test_schema_drift_verdicts(spark):
     """Missing/added/type-changed columns against a stored schema
     baseline; verdict rows union with run_checks output."""
