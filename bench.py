@@ -310,7 +310,11 @@ def run_suite() -> dict:
     # published ~20.9M-row scale.  Same steady-state protocol: warm the
     # plan shapes on a distinct smaller input, clear caches, best-of-2.
     stock_inp = prepare_stock(spark, STOCK_ROWS)
-    stock_warm = prepare_stock(spark, max(100_000, STOCK_ROWS // 16))
+    # warm input must stay DISTINCT from and smaller than the measured
+    # one for any env-tuned SPARK_GRAFT_STOCK_ROWS (same-size warm
+    # would hand the timed run a just-executed identical workload)
+    warm_rows = min(max(100_000, STOCK_ROWS // 16), max(1, STOCK_ROWS // 2))
+    stock_warm = prepare_stock(spark, warm_rows)
     benford_stock(spark, stock_warm)
     stock_best = float("inf")
     for _ in range(2):

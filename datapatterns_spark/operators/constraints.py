@@ -223,7 +223,10 @@ def schema_drift_verdicts(
         (partition, "schema_type_changes", not changed,
          len(changed), float(len(changed)), changed[:5]),
     ]
-    return df.sparkSession.createDataFrame(
+    from ..plans.local import lit_df
+
+    return lit_df(
+        df.sparkSession,
         rows,
         "partition string, check_name string, passed boolean, "
         "violation_count long, metric double, sample_violations array<string>",

@@ -630,10 +630,12 @@ def connected_components(
         .localCheckpoint()
     )
     if e.isEmpty():
-        # empty frame preserving the input id type
-        return edges.select(
-            F.col(src).alias("node"), F.col(src).alias("component")
-        ).limit(0)
+        # no non-self edges: every node (necessarily self-loop-only)
+        # is its own singleton component — NOT an empty frame, per the
+        # contract above
+        return nodes.select(
+            "node", F.col("node").alias("component")
+        )
 
     def signature(frame: DataFrame) -> tuple:
         # order-independent and overflow-free: xxhash64 spans the full

@@ -66,12 +66,16 @@ def pack_sequences(
     d = d.withColumn("end", F.sum("n_tok").over(w)).withColumn(
         "start", F.col("end") - F.col("n_tok")
     )
+    # integer division, never float: start/b as a double rounds up at
+    # ~1e13-token shard offsets for non-power-of-two budgets and would
+    # misassign boundary spans (and diverge from the integer-exact
+    # SQL oracle)
     d = d.withColumn(
         "pack",
         F.explode(
             F.sequence(
-                (F.col("start") / b).cast("long"),
-                ((F.col("end") - 1) / b).cast("long"),
+                F.expr(f"start div {b}"),
+                F.expr(f"(end - 1) div {b}"),
             )
         ),
     )

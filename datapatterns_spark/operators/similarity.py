@@ -179,7 +179,18 @@ def ivf_topk(
     a corpus scan; pass ``dim`` explicitly to avoid the extra tiny
     job on hot paths."""
     if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
+        row = queries.select(vec_col).first()
+        if row is None:
+            # empty query set: a valid no-op (callers filter their
+            # query batches) — return an empty result with the output
+            # schema instead of crashing on the dim probe
+            return queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_id_col).alias("neighbor_id"),
+                F.lit(0.0).alias("cos"),
+                F.lit(1).alias("rank"),
+            ).limit(0)
+        dim = len(row[0])
     centroids = _refined_centroids(
         corpus, vec_col, id_col, dim, n_cells, seed, refine_sweeps
     )

@@ -99,13 +99,23 @@ def main() -> None:
         batch_id = int(batch[0])  # stable per batch under resume
         started = time.time()
         sub = docs.filter(F.col("part").isin(batch)).drop("part")
-        n_in = sub.count()
+        part_of = F.pmod(F.xxhash64("doc_id"), F.lit(P)).cast("string")
+        in_counts = {
+            r["p"]: r["n"]
+            for r in sub.groupBy(part_of.alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_in = sum(in_counts.values())
+        # gates WITHOUT redaction: dedup must fingerprint the RAW
+        # normalized text (redact first and distinct docs differing
+        # only in PII values collapse); survivors are redacted below
         cur = curate_documents(
             sub,
             min_quality=args.min_quality,
             languages=langs,
             dedup=None,  # dedup handled below against the run store
-            redact=args.redact,
+            redact=False,
             max_dup_line_frac=args.max_dup_line_frac,
             max_top_ngram_char_frac=args.max_top_ngram_frac,
         )
@@ -115,12 +125,30 @@ def main() -> None:
             )
         except AnalysisException:
             store = None
-        decisions = incremental_exact_dedup(cur, store)
+        # slim (id, fp, status) frame cached: the keep-list join, the
+        # fps store write, and the kept-count all read it instead of
+        # re-running the full gate pipeline per action
+        decisions = incremental_exact_dedup(cur, store).cache()
         keep = decisions.filter(F.col("status") == "unique")
         curated = cur.join(
             keep.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
-        ).cache()
-        n_kept = curated.count()
+        )
+        if args.redact:
+            from datapatterns_spark.operators.textanalysis import redact_pii
+
+            curated = (
+                redact_pii(curated, "text")
+                .drop("text", "n_email", "n_ssn", "n_phone", "n_ipv4")
+                .withColumnRenamed("redacted", "text")
+            )
+        curated = curated.cache()
+        kept_counts = {
+            r["p"]: r["n"]
+            for r in curated.groupBy(part_of.alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_kept = sum(kept_counts.values())
         curated.write.mode("overwrite").parquet(f"{out}/data/batch={batch_id}")
         keep.select("fp").distinct().write.mode("overwrite").parquet(
             f"{out}/fps/batch={batch_id}"
@@ -128,13 +156,24 @@ def main() -> None:
         finished = time.time()
         lit_df(
             spark,
-            [(p, "COMPLETE", started, finished, 1, int(n_in - n_kept), "")
-             for p in batch],
+            [
+                (
+                    p,
+                    "COMPLETE",
+                    started,
+                    finished,
+                    1,
+                    int(in_counts.get(p, 0) - kept_counts.get(p, 0)),
+                    "",
+                )
+                for p in batch
+            ],
             "partition string, status string, started_at double, "
             "finished_at double, n_checks int, n_violations long, "
             "snapshot_id string",
         ).write.mode("append").parquet(f"{out}/manifest")
         curated.unpersist()
+        decisions.unpersist()
         total_in += n_in
         total_kept += n_kept
         print(f"[curation] batch {batch_id}: {n_in} in -> {n_kept} kept",

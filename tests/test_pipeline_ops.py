@@ -846,6 +846,26 @@ def test_conversation_fingerprints_shape_is_agg_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_connected_components_self_loops_only(spark):
+    """A pair set containing ONLY self-loops still labels every node
+    as its own singleton component (the early-return path)."""
+    from datapatterns_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([(5, 5), (7, 7)], "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == {5: 5, 7: 7}
+
+
+def test_ivf_topk_empty_query_set(spark):
+    """An empty (filtered-out) query batch is a valid no-op, not a
+    dim-probe crash."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = S.ivf_topk(emb, emb.limit(0), k=5)
+    assert out.collect() == []
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+
+
 def test_connected_components_signature_overflow(spark):
     """Regression for the round-1 red row: the convergence signature
     summed raw ``xxhash64(u, v)`` values, which overflows an int64
