@@ -505,6 +505,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return d.select("doc_id", TA.fingerprint(F.col("text")).alias("fp"))
 
+    def q_text_contamination(spark, sf):
+        """Benchmark decontamination: 8-gram overlap of the corpus
+        against a planted eval set (every 40th document re-labeled).
+        Broadcast eval grams; the corpus never shuffles."""
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        ev = docs.filter("doc_id % 40 = 0").select(
+            F.col("doc_id").alias("eval_id"), "text"
+        )
+        return TA.contamination_check(docs, ev, n=8)
+
     def q_text_repetition(spark, sf):
         """Gopher repetition measures over documents — dup-line
         fraction, dup-line char fraction, top-2-gram char coverage.
@@ -819,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_redact": q_text_redact,
         "text_repetition": q_text_repetition,
+        "text_contamination": q_text_contamination,
         "embedding_normalize": q_embedding_normalize,
         "embedding_quantize": q_embedding_quantize,
         "pack_sequences": q_pack_sequences,
@@ -1255,6 +1266,28 @@ FROM ranked WHERE sample_rank <= 40
     text_fp_sql = xxh64_str_sql(
         "documents", ["doc_id"], norm_text, out="fp", cte_prefix="fp"
     )
+
+    # ---- text_contamination (8-gram eval overlap) ----
+    _ct_norm = _NORM_SQL.format(v="text")
+    _ct_gram8 = (
+        "list_transform(range(1, len(tk) - 6),"
+        " i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2], tk[i + 3],"
+        " tk[i + 4], tk[i + 5], tk[i + 6], tk[i + 7]))"
+    )
+    text_contamination_sql = f"""
+WITH cg AS MATERIALIZED (
+  SELECT doc_id, UNNEST(g) AS g FROM (
+    SELECT doc_id,
+           CASE WHEN len(tk) >= 8 THEN list_distinct({_ct_gram8})
+                ELSE [array_to_string(tk, ' ')] END AS g
+    FROM (SELECT doc_id, string_split({_ct_norm}, ' ') AS tk
+          FROM documents))),
+eg AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS eval_id, g FROM cg WHERE doc_id % 40 = 0)
+SELECT c.doc_id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+FROM cg c JOIN eg e ON c.g = e.g
+GROUP BY 1, 2
+"""
 
     # ---- text_repetition (independent unnest+groupBy algorithm) ----
     _rp_norm = _NORM_SQL.format(v="t")
@@ -2259,6 +2292,7 @@ FROM src GROUP BY attribute
         "text_fingerprint": text_fp_sql,
         "text_redact": text_redact_sql,
         "text_repetition": text_repetition_sql,
+        "text_contamination": text_contamination_sql,
         "embedding_normalize": embedding_normalize_sql,
         "embedding_quantize": embedding_quantize_sql,
         "pack_sequences": pack_sequences_sql,

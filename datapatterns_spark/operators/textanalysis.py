@@ -271,6 +271,42 @@ def repetition_cols(text_col: str = "text", ngram: int = 2):
     }
 
 
+def contamination_check(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: ``(doc_id, eval_id, shared_grams)``
+    for every corpus document sharing at least one word ``n``-gram
+    with an eval-set document (13-grams are the standard
+    contamination unit, e.g. GPT-3 appendix C / PaLM §8).
+
+    Scale shape: the EVAL side is small by definition, so its distinct
+    grams BROADCAST — the corpus side is one map-side explode feeding
+    a broadcast hash join, and the only aggregation keys are actual
+    matches (tiny).  The corpus is never shuffled.
+    """
+    from .dedup import shingles
+
+    ce = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    )
+    ee = eval_df.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode(shingles(F.col(eval_text_col), n)).alias("g"),
+    ).distinct()
+    return (
+        ce.join(F.broadcast(ee), "g")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+
+
 def winnow_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 5, w: int = 4,

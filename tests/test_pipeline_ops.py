@@ -269,6 +269,36 @@ def test_repetition_stats_differential(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_contamination_check(spark):
+    """Corpus docs sharing an n-gram with the eval set are flagged
+    with the distinct shared-gram count; clean docs are absent; the
+    corpus is never shuffled (broadcast join + match-only agg)."""
+    eval_text = ("the quick brown fox jumps over the lazy dog near the "
+                 "river bank at dawn")
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words then " + eval_text + " and a conclusion"),
+            (2, "totally unrelated content about trains and stations"),
+            (3, eval_text),  # verbatim copy
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, eval_text)], "eval_id long, text string"
+    )
+    out = {(r["doc_id"], r["eval_id"]): r["shared_grams"]
+           for r in TA.contamination_check(corpus, ev, n=5).collect()}
+    assert (2, 100) not in out
+    assert out[(3, 100)] == 15 - 5 + 1  # all 11 distinct 5-grams
+    assert out[(1, 100)] >= 11  # contains the eval text wholly
+    plan = (
+        TA.contamination_check(corpus, ev, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_redact_pii(spark):
     rows = [
         (1, "mail me at bob.smith+x@example.co.uk or call 555-123-4567"),
