@@ -111,3 +111,30 @@ def test_validation_sink_stream(spark, tmp_path, multi_file_input):
     assert {r["check_name"] for r in verdicts.select("check_name").distinct().collect()} == {
         "unique_turn", "text_not_null"
     }
+
+
+def test_dedup_sink_stream(spark, tmp_path):
+    """Incremental exact dedup over a real append stream: duplicates
+    arriving in LATER micro-batches classify dup_of_store; exactly one
+    survivor per distinct text across the whole stream."""
+    from datapatterns_spark.streaming import dedup_sink
+
+    in_path = str(tmp_path / "docs_in")
+    rows = [(i, f"document body {i % 25} repeated") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # doc_id-ordered files: copies of each text land in different
+    # micro-batches
+    df.repartition(4, "doc_id").write.mode("overwrite").parquet(in_path)
+    store_p, out_p = str(tmp_path / "fp_store"), str(tmp_path / "ddp_out")
+    _run_stream(
+        spark, in_path, df.schema,
+        dedup_sink(store_p, out_p),
+        tmp_path, "ddp",
+    )
+    decisions = spark.read.parquet(f"{out_p}/decisions")
+    assert decisions.count() == 100
+    uniques = decisions.filter("status = 'unique'")
+    assert uniques.count() == 25  # one survivor per distinct text
+    assert spark.read.parquet(store_p).select("fp").distinct().count() == 25
+    # survivors map 1:1 onto distinct fingerprints
+    assert uniques.select("fp").distinct().count() == 25
