@@ -430,7 +430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    # --- weaker rows-only checks (no SQL-expressible oracle) ---
+    # --- (ann_ivf gained an exact literal-centroid oracle later; the
+    # truly rows-only entries are the multimodal real-decode ones) ---
     def q_ann_ivf(spark, sf):
         emb = _t(spark, sf, "embeddings")
         qs = emb.filter(F.col("vec_id").isin([1, 2, 3]))
