@@ -102,10 +102,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         transcript_check_suite,
     )
 
-    def q_profile_fill(spark, sf):
-        return profile(_t(spark, sf, "lineitem"), features=("fill_rate",)).select(
-            "attribute", "rec_count", "fill_count", "fill_rate"
+    def q_profile_fill_lengths(spark, sf):
+        """Fill stats over lineitem + length stats over documents in
+        one entry (the round-3 entry consolidation; formerly
+        profile_fill + profile_lengths, unchanged semantics — the
+        discriminator is the src column)."""
+        fills = profile(_t(spark, sf, "lineitem"), features=("fill_rate",)).select(
+            F.lit("lineitem").alias("src"),
+            "attribute",
+            "rec_count",
+            "fill_count",
+            F.col("fill_rate").cast("double").alias("fill_rate"),
+            F.lit(None).cast("long").alias("min_length"),
+            F.lit(None).cast("long").alias("max_length"),
+            F.lit(None).cast("long").alias("ave_length"),
         )
+        lengths = profile(
+            _t(spark, sf, "documents"),
+            field_list=["text", "lang", "source"],
+            features=("lengths",),
+        ).select(
+            F.lit("documents").alias("src"),
+            "attribute",
+            F.lit(None).cast("long").alias("rec_count"),
+            F.lit(None).cast("long").alias("fill_count"),
+            F.lit(None).cast("double").alias("fill_rate"),
+            F.col("min_length").cast("long").alias("min_length"),
+            F.col("max_length").cast("long").alias("max_length"),
+            F.col("ave_length").cast("long").alias("ave_length"),
+        )
+        return fills.unionByName(lengths)
 
     def q_profile_numeric(spark, sf):
         p = profile(
@@ -128,13 +154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return profile(
             _t(spark, sf, "lineitem"), features=("cardinality",)
         ).select("attribute", "cardinality")
-
-    def q_profile_lengths(spark, sf):
-        return profile(
-            _t(spark, sf, "documents"),
-            field_list=["text", "lang", "source"],
-            features=("lengths",),
-        ).select("attribute", "min_length", "max_length", "ave_length")
 
     def q_profile_modes(spark, sf):
         p = profile(
@@ -169,11 +188,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_cardinality_histogram(spark, sf):
         return cardinality(_t(spark, sf, "events"), field_list=["event_type"])
 
-    def q_benford(spark, sf):
-        return benford(
-            _t(spark, sf, "lineitem"),
+    def q_benford_digits(spark, sf):
+        """Benford digit-1 AND digit-2 distributions in one entry (the
+        round-3 entry consolidation; formerly benford_digit1 +
+        benford_digit2, unchanged per-digit semantics — the full
+        NthDigit rule incl. implied trailing zeros for digit 2)."""
+        li = _t(spark, sf, "lineitem")
+        d1 = benford(
+            li,
             field_list=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
-        )
+        ).withColumn("digit", F.lit(1))
+        d2 = benford(
+            li,
+            field_list=["l_orderkey", "l_quantity", "l_extendedprice"],
+            digit=2,
+        ).withColumn("digit", F.lit(2))
+        return d1.unionByName(d2)
 
     def q_benford_stock(spark, sf):
         # the reference README's Benford stock-data walkthrough
@@ -234,14 +264,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "partition", "check_name", "passed", "violation_count"
         )
 
-    def q_drift_psi(spark, sf):
+    def q_drift_metrics(spark, sf):
+        """All three drift detectors (PSI / JS / KS) in ONE run_checks
+        pass over lineitem — one scan computes every histogram (the
+        round-3 entry consolidation; formerly drift_psi + drift_js +
+        drift_ks, unchanged semantics per metric)."""
         li = _t(spark, sf, "lineitem")
-        baseline = [1.0 / 32] * 32
         checks = [
-            C.drift_psi("qty_psi", "l_quantity", baseline, bins=32, lo=1.0, hi=51.0, threshold=0.05)
+            C.drift_psi(
+                "qty_psi", "l_quantity", [1.0 / 32] * 32,
+                bins=32, lo=1.0, hi=51.0, threshold=0.05,
+            ),
+            C.drift_js(
+                "qty_js", "l_quantity", [1.0 / 32] * 32,
+                bins=32, lo=1.0, hi=51.0, threshold=0.02,
+            ),
+            C.drift_ks(
+                "price_ks", "l_extendedprice", [1.0 / 64] * 64,
+                bins=64, lo=900.0, hi=105000.0, threshold=0.1,
+            ),
         ]
         verdicts, _ = C.run_checks(li, checks)
-        return verdicts.select("check_name", "passed", F.col("metric").alias("psi"))
+        return verdicts.select("check_name", "passed", "metric")
 
     def q_constraint_alternation(spark, sf):
         """no_consecutive (alternation-class) check over events: flag
@@ -257,30 +301,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return verdicts.select("check_name", "passed", "violation_count")
 
-    def q_drift_js(spark, sf):
-        li = _t(spark, sf, "lineitem")
-        baseline = [1.0 / 32] * 32
-        checks = [
-            C.drift_js(
-                "qty_js", "l_quantity", baseline,
-                bins=32, lo=1.0, hi=51.0, threshold=0.02,
-            )
-        ]
-        verdicts, _ = C.run_checks(li, checks)
-        return verdicts.select("check_name", "passed", F.col("metric").alias("js"))
-
-    def q_drift_ks(spark, sf):
-        li = _t(spark, sf, "lineitem")
-        baseline = [1.0 / 64] * 64
-        checks = [
-            C.drift_ks(
-                "price_ks", "l_extendedprice", baseline,
-                bins=64, lo=900.0, hi=105000.0, threshold=0.1,
-            )
-        ]
-        verdicts, _ = C.run_checks(li, checks)
-        return verdicts.select("check_name", "passed", F.col("metric").alias("ks"))
-
     def q_validate_allfilled(spark, sf):
         v = validate(
             _t(spark, sf, "customer"),
@@ -294,14 +314,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
-    def q_validate_fix_swap(spark, sf):
+    def q_validate_fixes(spark, sf):
+        """Both Fix() forms in one entry (the round-3 entry
+        consolidation; formerly validate_fix + validate_fix_swap,
+        unchanged semantics): assignment + SkipRecord() over lineitem
+        (aggregate digest row, label 'lineitem_fix') unioned with
+        Swap() over part (per-brand counts)."""
         from datapatterns_spark.operators.validation import fix as vfix
 
-        v = validate(_t(spark, sf, "part"), "SizeSmall:p_size <= 25")
-        fixed = vfix(v, "SizeSmall: Swap(p_brand, p_type)")
-        return fixed.groupBy(F.col("p_brand").alias("brand")).agg(
-            F.count(F.lit(1)).alias("n")
+        v1 = validate(
+            _t(spark, sf, "lineitem"),
+            "QtyBig:l_quantity <= 45;DiscSmall:l_discount <= 0.06",
         )
+        f1 = vfix(v1, "QtyBig: l_quantity := 45; DiscSmall: SkipRecord()").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("double")), 2).alias("sum_price"),
+        ).select(F.lit("lineitem_fix").alias("label"), "n", "sum_qty", "sum_price")
+
+        v2 = validate(_t(spark, sf, "part"), "SizeSmall:p_size <= 25")
+        f2 = (
+            vfix(v2, "SizeSmall: Swap(p_brand, p_type)")
+            .groupBy(F.col("p_brand").alias("label"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "label",
+                "n",
+                F.lit(None).cast("double").alias("sum_qty"),
+                F.lit(None).cast("double").alias("sum_price"),
+            )
+        )
+        return f1.unionByName(f2)
 
     def q_similarity_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -321,17 +364,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), "text", "doc_id", n=3, threshold=0.7
         )
 
-    def q_text_tokens(spark, sf):
+    def q_text_annotate(spark, sf):
+        """Per-document text analysis in ONE map-only select: token
+        counts (whitespace + BPE-ish), language id, quality score and
+        the normalized-text fingerprint (the round-3 entry
+        consolidation; formerly text_tokens + text_langid +
+        text_quality + text_fingerprint, unchanged per-column
+        semantics).  One scan, zero shuffles, zero Python."""
         d = _t(spark, sf, "documents")
         return d.select(
             "doc_id",
             TA.whitespace_token_count(F.col("text")).alias("ws_tokens"),
             TA.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+            TA.lang_id(F.col("text")).alias("lang_guess"),
+            TA.quality_score(F.col("text")).alias("quality"),
+            TA.fingerprint(F.col("text")).alias("fp"),
         )
-
-    def q_text_langid(spark, sf):
-        d = _t(spark, sf, "documents")
-        return d.select("doc_id", TA.lang_id(F.col("text")).alias("lang_guess"))
 
     def q_profile_correlations(spark, sf):
         p = profile(
@@ -359,31 +407,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("b.rec_count").alias("rec_count"),
         )
 
-    def q_validate_fix(spark, sf):
-        from datapatterns_spark.operators.validation import fix as vfix
-
-        v = validate(
-            _t(spark, sf, "lineitem"),
-            "QtyBig:l_quantity <= 45;DiscSmall:l_discount <= 0.06",
-        )
-        fixed = vfix(v, "QtyBig: l_quantity := 45; DiscSmall: SkipRecord()")
-        return fixed.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast("double")), 2).alias("sum_price"),
-        )
-
-    def q_benford_digit2(spark, sf):
-        return benford(
-            _t(spark, sf, "lineitem"),
-            field_list=["l_orderkey", "l_quantity", "l_extendedprice"],
-            digit=2,
-        )
-
-    def q_text_quality(spark, sf):
-        d = _t(spark, sf, "documents")
-        return d.select("doc_id", TA.quality_score(F.col("text")).alias("quality"))
-
     def q_dedup_embedding(spark, sf):
         return D.embedding_cosine_pairs(
             _t(spark, sf, "embeddings"),
@@ -394,41 +417,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("id_a", "id_b")  # cos dropped: a 0.45555 re-round tie
         # flips between engines; pair membership has >5e-4 margin
 
-    def q_normalize_profile(spark, sf):
-        from datapatterns_spark.operators.normalize import normalize_profile_results
+    def q_profile_normalize_compare(spark, sf):
+        """NormalizeProfileResults + profile-vs-profile diff in one
+        entry (the round-3 entry consolidation; formerly
+        normalize_profile + profile_compare, unchanged semantics).
+        part='profile' rows are the melted key/value triples of the
+        whole-table profile; part='compare' rows diff that profile
+        against the non-'en' subset (the reference's stated
+        NormalizeProfileResults workflow), integer-valued stats only."""
+        from datapatterns_spark.operators.normalize import (
+            compare_profiles,
+            normalize_profile_results,
+        )
+
+        docs = _t(spark, sf, "documents")
+        fields = ["lang", "source"]
 
         p = profile(
-            _t(spark, sf, "documents"),
-            field_list=["lang", "source"],
+            docs,
+            field_list=fields,
             features=("fill_rate", "cardinality", "lengths"),
         )
-        n = normalize_profile_results(p)
-        return n.filter(
+        n = normalize_profile_results(p).filter(
             F.col("key").isin(
                 "rec_count", "fill_count", "cardinality",
                 "min_length", "max_length", "ave_length",
             )
         )
+        a = n.select(
+            F.lit("profile").alias("part"),
+            "attribute",
+            "key",
+            F.col("value").alias("value_old"),
+            F.lit(None).cast("string").alias("value_new"),
+            F.lit(None).cast("boolean").alias("changed"),
+        )
 
-    def q_profile_compare(spark, sf):
-        """Profile-vs-profile drift diff (the reference's stated
-        NormalizeProfileResults workflow): whole table vs its non-'en'
-        subset, integer-valued stats only."""
-        from datapatterns_spark.operators.normalize import compare_profiles
-
-        docs = _t(spark, sf, "documents")
         feats = ("fill_rate", "lengths")
-        fields = ["lang", "source"]
         old = profile(docs, field_list=fields, features=feats)
         new = profile(
             docs.filter(F.col("lang") != "en"), field_list=fields, features=feats
         )
-        return compare_profiles(old, new).filter(
+        b = compare_profiles(old, new).filter(
             F.col("key").isin(
                 "rec_count", "fill_count",
                 "min_length", "max_length", "ave_length",
             )
+        ).select(
+            F.lit("compare").alias("part"),
+            "attribute",
+            "key",
+            "value_old",
+            "value_new",
+            "changed",
         )
+        return a.unionByName(b)
 
     # --- (ann_ivf gained an exact literal-centroid oracle later; the
     # truly rows-only entries are the multimodal real-decode ones) ---
@@ -471,40 +514,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").select("doc_id", "lang")
         return sample_stratified(d, ["lang"], k=40, key_cols=["doc_id"], seed=7)
 
-    def q_embedding_normalize(spark, sf):
-        """L2 normalization digests: pre-norm, first unit component —
-        double-fold arithmetic replayed exactly in DuckDB (Spark-order
-        left fold)."""
+    def q_embedding_transform(spark, sf):
+        """Embedding utilities in one entry (the round-3 entry
+        consolidation; formerly embedding_normalize +
+        embedding_quantize, unchanged per-column semantics): L2
+        normalization digests (pre-norm, first unit component —
+        double-fold arithmetic replayed exactly in DuckDB) joined onto
+        the symmetric-int8 quantization codes (per-vector scale +
+        every exact integer code, posexploded)."""
         from datapatterns_spark.operators.embeddings import (
             l2_norm,
             normalize_embeddings,
+            quantize_embeddings,
         )
 
-        out = normalize_embeddings(_t(spark, sf, "embeddings"))
-        return out.select(
+        emb = _t(spark, sf, "embeddings")
+        nrm = normalize_embeddings(emb).select(
             "vec_id",
             F.round(l2_norm(F.col("embedding")), 6).alias("norm"),
             F.round(F.element_at("embedding_unit", 1), 6).alias("u0"),
         )
-
-    def q_embedding_quantize(spark, sf):
-        """Symmetric int8 quantization: per-vector scale + every code
-        (exact integers, posexploded)."""
-        from datapatterns_spark.operators.embeddings import quantize_embeddings
-
-        q = quantize_embeddings(_t(spark, sf, "embeddings"))
-        return (
-            q.select(
+        q = (
+            quantize_embeddings(emb)
+            .select(
                 "vec_id",
                 F.round("scale", 6).alias("scale6"),
                 F.posexplode("codes"),
             )
             .withColumnRenamed("col", "code")
         )
-
-    def q_text_fingerprint(spark, sf):
-        d = _t(spark, sf, "documents")
-        return d.select("doc_id", TA.fingerprint(F.col("text")).alias("fp"))
+        return q.join(nrm, "vec_id")
 
     def q_text_contamination(spark, sf):
         """Benchmark decontamination: 8-gram overlap of the corpus
@@ -571,19 +610,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             redact=True,
         )
 
-    def q_text_winnow(spark, sf):
-        """Winnowing (MOSS) document fingerprints: k-gram rolling hash
-        + w-window minima, expression-only."""
-        return TA.winnow_table(_t(spark, sf, "documents"), "text", "doc_id")
-
-    def q_winnow_dups(spark, sf):
-        """Near-dup pairs from shared winnowing fingerprints (df-capped
-        inverted-index self-join).  Integral columns only — the float
-        score is a ratio of these."""
-        return TA.winnow_near_dups(
-            _t(spark, sf, "documents"), "text", "doc_id",
-            min_shared_frac=0.5, max_fp_df=100,
-        ).select("id_a", "id_b", "shared", "n_min")
+    def q_winnow(spark, sf):
+        """Winnowing (MOSS) fingerprints AND the near-dup pairs built
+        from them in one entry (the round-3 entry consolidation;
+        formerly text_winnow + dedup_winnow, unchanged semantics).
+        kind='fp' rows are (doc_id, fingerprint) from the k-gram
+        rolling hash + w-window minima (expression-only); kind='pair'
+        rows are the shared-fingerprint near-dup pairs (df-capped
+        inverted-index self-join).  Integral columns only."""
+        docs = _t(spark, sf, "documents")
+        fps = TA.winnow_table(docs, "text", "doc_id").select(
+            F.lit("fp").alias("kind"),
+            F.col("doc_id").cast("long").alias("a"),
+            F.col("fp").cast("long").alias("b"),
+            F.lit(None).cast("long").alias("c"),
+            F.lit(None).cast("long").alias("d"),
+        )
+        pairs = TA.winnow_near_dups(
+            docs, "text", "doc_id", min_shared_frac=0.5, max_fp_df=100,
+        ).select(
+            F.lit("pair").alias("kind"),
+            F.col("id_a").cast("long").alias("a"),
+            F.col("id_b").cast("long").alias("b"),
+            F.col("shared").cast("long").alias("c"),
+            F.col("n_min").cast("long").alias("d"),
+        )
+        return fps.unionByName(pairs)
 
     def q_minhash_lsh(spark, sf):
         return D.minhash_lsh_pairs(
@@ -683,20 +735,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "numeric_min", "numeric_max", "numeric_mean", "numeric_std_dev",
         )
 
-    def q_multimodal_features(spark, sf):
+    def q_multimodal_transform(spark, sf):
+        """Feature extraction AND resize over the same deterministic
+        media table, joined on media_id (the round-3 entry
+        consolidation; formerly multimodal_features +
+        multimodal_resize, unchanged semantics — both run through the
+        Arrow mapInPandas plumbing with the fake deterministic
+        decoder)."""
         from datapatterns_spark.operators import multimodal as MM
 
         media = MM.make_fake_media_table(spark, n=200)
         feats = MM.extract_features(media, fake=True)
         # f0 rescaled back to its integral 16-bit source so the DuckDB
         # oracle compares exactly (float32 round-trip error ~4e-3 << 0.5)
-        return feats.select(
+        f = feats.select(
             "media_id",
             "n_bytes",
             F.round(F.element_at("features", 1) * 65535)
             .cast("long")
             .alias("f0_scaled"),
         )
+        resized = MM.resize_media(media, width=64, height=48, fake=True)
+        # payload is ASCII hex by convention -> compare as text
+        r = resized.select(
+            "media_id",
+            F.col("media").cast("string").alias("media"),
+            "width",
+            "height",
+        )
+        return f.join(r, "media_id")
 
     def q_multimodal_real_features(spark, sf):
         # the REAL decode path: stdlib PNG/WAV codecs inside the Arrow
@@ -737,19 +804,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         frames = MM.sample_frames(media, every_ms=1000, fake=True)
         return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
-    def q_multimodal_resize(spark, sf):
-        from datapatterns_spark.operators import multimodal as MM
-
-        media = MM.make_fake_media_table(spark, n=200)
-        resized = MM.resize_media(media, width=64, height=48, fake=True)
-        # payload is ASCII hex by convention -> compare as text
-        return resized.select(
-            "media_id",
-            F.col("media").cast("string").alias("media"),
-            "width",
-            "height",
-        )
-
     def q_profile_incremental(spark, sf):
         """Mergeable per-partition profile states folded into a table
         profile: merge of per-o_orderpriority states must equal a
@@ -778,47 +832,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("numeric_std_dev").alias("nstd"),
         )
 
+    # Round-3 note: the driver's correctness gate records at most 50
+    # entries (CORRECTNESS_r02 covered exactly the first 50 of 60), so
+    # same-grain entries are consolidated — every operator keeps
+    # coverage, the mapping is documented in COVERAGE.md §"entry
+    # consolidation".
     return {
-        "profile_fill": q_profile_fill,
+        "profile_fill_lengths": q_profile_fill_lengths,
         "profile_numeric_stats": q_profile_numeric,
         "profile_cardinality": q_profile_cardinality,
-        "profile_lengths": q_profile_lengths,
         "profile_modes": q_profile_modes,
         "profile_patterns": q_profile_patterns,
         "profile_best_type": q_profile_best_type,
         "cardinality_histogram": q_cardinality_histogram,
-        "benford_digit1": q_benford,
+        "benford_digits": q_benford_digits,
         "benford_stock": q_benford_stock,
         "validate_rules": q_validate,
         "constraint_verdicts": q_constraint_verdicts,
         "verdicts_per_partition": q_verdicts_per_partition,
-        "drift_psi": q_drift_psi,
-        "drift_js": q_drift_js,
+        "drift_metrics": q_drift_metrics,
         "constraint_alternation": q_constraint_alternation,
-        "drift_ks": q_drift_ks,
         "validate_allfilled": q_validate_allfilled,
-        "validate_fix_swap": q_validate_fix_swap,
+        "validate_fixes": q_validate_fixes,
         "similarity_topk": q_similarity_topk,
         "dedup_exact": q_exact_dedup,
         "dedup_ngram_jaccard": q_ngram_jaccard,
-        "text_tokens": q_text_tokens,
-        "text_langid": q_text_langid,
+        "text_annotate": q_text_annotate,
         "profile_correlations": q_profile_correlations,
         "profile_cardinality_breakdown": q_profile_breakdown,
-        "validate_fix": q_validate_fix,
-        "benford_digit2": q_benford_digit2,
-        "text_quality": q_text_quality,
         "dedup_embedding_cosine": q_dedup_embedding,
-        "normalize_profile": q_normalize_profile,
+        "profile_normalize_compare": q_profile_normalize_compare,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash": q_simhash,
         "transcript_suite": q_transcript_suite,
         "profile_approx": q_profile_approx,
-        "multimodal_features": q_multimodal_features,
+        "multimodal_transform": q_multimodal_transform,
         "multimodal_real_features": q_multimodal_real_features,
         "multimodal_real_frames": q_multimodal_real_frames,
         "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
         "ann_ivf_topk": q_ann_ivf,
         "best_record_structure": q_best_record,
         "apply_best_types": q_apply_best_types,
@@ -827,18 +878,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_conversations": q_dedup_conversations,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
-        "text_fingerprint": q_text_fingerprint,
         "text_redact": q_text_redact,
         "text_repetition": q_text_repetition,
         "text_contamination": q_text_contamination,
-        "embedding_normalize": q_embedding_normalize,
-        "embedding_quantize": q_embedding_quantize,
+        "embedding_transform": q_embedding_transform,
         "pack_sequences": q_pack_sequences,
         "curate_documents": q_curate_documents,
-        "text_winnow": q_text_winnow,
-        "dedup_winnow": q_winnow_dups,
+        "winnow": q_winnow,
         "profile_incremental": q_profile_incremental,
-        "profile_compare": q_profile_compare,
     }
 
 
@@ -941,6 +988,18 @@ FROM p2 GROUP BY attribute
         + " UNION ALL ".join(len_parts)
         + ") GROUP BY attribute"
     )
+
+    # ---- profile_fill_lengths (round-3 consolidation of the two) ----
+    profile_fill_lengths_sql = f"""
+SELECT 'lineitem' AS src, attribute, rec_count, fill_count, fill_rate,
+       CAST(NULL AS BIGINT) AS min_length, CAST(NULL AS BIGINT) AS max_length,
+       CAST(NULL AS BIGINT) AS ave_length
+FROM ({profile_fill})
+UNION ALL
+SELECT 'documents', attribute, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), min_length, max_length, ave_length
+FROM ({profile_lengths})
+"""
 
     # ---- profile_modes (top-5 tied at max, count > 1) ----
     mode_src = _union_src(
@@ -1144,6 +1203,15 @@ SELECT media_id, sha256(payload || '64x48') AS media,
 FROM pl
 """
 
+    # ---- multimodal_transform (round-3 consolidation: features +
+    # resize over the same fake media table, joined) ----
+    multimodal_transform_sql = f"""
+WITH mf AS MATERIALIZED ({multimodal_features_sql}),
+mr AS MATERIALIZED ({multimodal_resize_sql})
+SELECT mf.media_id, mf.n_bytes, mf.f0_scaled, mr.media, mr.width, mr.height
+FROM mf JOIN mr ON mr.media_id = mf.media_id
+"""
+
     # ---- text_winnow (winnowing fingerprints, k=5 w=4) ----
     # identical modular fold as the Spark expression: mod applied after
     # every (acc*257 + codepoint) step, all arithmetic in BIGINT.
@@ -1174,20 +1242,30 @@ UNION
 SELECT doc_id, MIN(h) AS fp FROM kh WHERE nk < 4 GROUP BY doc_id
 """
 
-    # ---- dedup_winnow (near-dup pairs over shared winnow fps) ----
-    winnow_dups_sql = f"""
-WITH wfp AS ({text_winnow_sql}),
+    # ---- winnow (round-3 consolidation: fingerprints + near-dup
+    # pairs over the SAME shared fps CTE; formerly text_winnow +
+    # dedup_winnow) ----
+    winnow_sql = f"""
+WITH wfp AS MATERIALIZED ({text_winnow_sql}),
 sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM wfp GROUP BY doc_id),
 hot AS (SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) > 100),
 pruned AS (SELECT * FROM wfp WHERE fp NOT IN (SELECT fp FROM hot)),
 sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
        FROM pruned a JOIN pruned b USING (fp) WHERE a.doc_id < b.doc_id
-       GROUP BY 1, 2)
-SELECT id_a, id_b, shared, least(sa.n_fp, sb.n_fp) AS n_min
-FROM sh
-JOIN sizes sa ON sa.doc_id = sh.id_a
-JOIN sizes sb ON sb.doc_id = sh.id_b
-WHERE shared * 1000000 >= 500000 * least(sa.n_fp, sb.n_fp)
+       GROUP BY 1, 2),
+wpairs AS (
+  SELECT id_a, id_b, shared, least(sa.n_fp, sb.n_fp) AS n_min
+  FROM sh
+  JOIN sizes sa ON sa.doc_id = sh.id_a
+  JOIN sizes sb ON sb.doc_id = sh.id_b
+  WHERE shared * 1000000 >= 500000 * least(sa.n_fp, sb.n_fp))
+SELECT 'fp' AS kind, CAST(doc_id AS BIGINT) AS a, CAST(fp AS BIGINT) AS b,
+       CAST(NULL AS BIGINT) AS c, CAST(NULL AS BIGINT) AS d
+FROM wfp
+UNION ALL
+SELECT 'pair', CAST(id_a AS BIGINT), CAST(id_b AS BIGINT),
+       CAST(shared AS BIGINT), CAST(n_min AS BIGINT)
+FROM wpairs
 """
 
     # ---- xxhash64-exact oracles (text_fingerprint / simhash / minhash) ----
@@ -1530,6 +1608,15 @@ SELECT vec_id, ROUND(scale, 6) AS scale6,
 FROM ex
 """
 
+    # ---- embedding_transform (round-3 consolidation: normalize
+    # digests joined onto the quantization codes) ----
+    embedding_transform_sql = f"""
+WITH en2 AS MATERIALIZED ({embedding_normalize_sql}),
+eq2 AS MATERIALIZED ({embedding_quantize_sql})
+SELECT eq2.vec_id, eq2.scale6, eq2.pos, eq2.code, en2.norm, en2.u0
+FROM eq2 JOIN en2 ON en2.vec_id = eq2.vec_id
+"""
+
     # ---- dedup_incremental: two-batch store classification ----
     _di_hash = xxh64_str_sql(
         "documents", ["doc_id"], _NORM_SQL.format(v="text"),
@@ -1801,6 +1888,13 @@ SELECT 'price_ks' AS check_name,
 FROM cdf
 """
 
+    # ---- drift_metrics (round-3 consolidation: PSI + JS + KS) ----
+    drift_metrics_sql = f"""
+SELECT check_name, passed, psi AS metric FROM ({drift_sql})
+UNION ALL SELECT check_name, passed, js AS metric FROM ({drift_js_sql})
+UNION ALL SELECT check_name, passed, ks AS metric FROM ({drift_ks_sql})
+"""
+
     # ---- validate with AllFieldsFilled() (Validation.ecl:244-261) ----
     cust_cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
     allfilled = " AND ".join(
@@ -2047,6 +2141,15 @@ SELECT COUNT(*) AS n,
 FROM fixed
 """
 
+    # ---- validate_fixes (round-3 consolidation: fix + fix_swap) ----
+    validate_fixes_sql = f"""
+SELECT 'lineitem_fix' AS label, n, sum_qty, sum_price FROM ({validate_fix_sql})
+UNION ALL
+SELECT brand AS label, n, CAST(NULL AS DOUBLE) AS sum_qty,
+       CAST(NULL AS DOUBLE) AS sum_price
+FROM ({validate_fix_swap_sql})
+"""
+
     # ---- benford digit 2 (full NthDigit rule incl. implied trailing zeros) ----
     ben2_cols = ["l_orderkey", "l_quantity", "l_extendedprice"]
     ben2_src = " UNION ALL ".join(
@@ -2089,6 +2192,13 @@ FROM (
 ) ORDER BY ord
 """
 
+    # ---- benford_digits (round-3 consolidation: digit 1 + digit 2) ----
+    benford_digits_sql = f"""
+SELECT *, 1 AS digit FROM ({benford_sql})
+UNION ALL
+SELECT *, 2 AS digit FROM ({benford2_sql})
+"""
+
     # ---- text_quality (mirror quality_score arithmetic exactly) ----
     stoplist = ", ".join(
         f"'{w}'"
@@ -2116,6 +2226,20 @@ SELECT doc_id,
               THEN 1.0 ELSE 0.3 END),
   4) AS quality
 FROM m
+"""
+
+    # ---- text_annotate (round-3 consolidation: tokens + langid +
+    # quality + fingerprint, joined per doc) ----
+    text_annotate_sql = f"""
+WITH tt AS MATERIALIZED ({text_tokens_sql}),
+tl AS MATERIALIZED ({langid_sql}),
+tq AS MATERIALIZED ({text_quality_sql}),
+tf AS MATERIALIZED ({text_fp_sql})
+SELECT tt.doc_id, tt.ws_tokens, tt.bpe_tokens, tl.lang_guess, tq.quality, tf.fp
+FROM tt
+JOIN tl ON tl.doc_id = tt.doc_id
+JOIN tq ON tq.doc_id = tt.doc_id
+JOIN tf ON tf.doc_id = tt.doc_id
 """
 
     # ---- curate_documents: composed quality/langid/dedup/redact ----
@@ -2203,6 +2327,17 @@ SELECT COALESCE(mo.attribute, mn.attribute) AS attribute,
 FROM mo FULL OUTER JOIN mn ON mo.attribute = mn.attribute AND mo.key = mn.key
 """
 
+    # ---- profile_normalize_compare (round-3 consolidation:
+    # normalize_profile triples + profile-vs-profile diff) ----
+    profile_normalize_compare_sql = f"""
+SELECT 'profile' AS part, attribute, key, value AS value_old,
+       CAST(NULL AS VARCHAR) AS value_new, CAST(NULL AS BOOLEAN) AS changed
+FROM ({normalize_profile_sql})
+UNION ALL
+SELECT 'compare', attribute, key, value_old, value_new, changed
+FROM ({profile_compare_sql})
+"""
+
     # ---- profile_incremental (merge of per-partition states must
     # equal the whole-table statistics exactly) ----
     incr_src = " UNION ALL ".join(
@@ -2246,38 +2381,30 @@ FROM src GROUP BY attribute
 """
 
     return {
-        "profile_fill": profile_fill,
+        "profile_fill_lengths": profile_fill_lengths_sql,
         "profile_numeric_stats": profile_numeric,
         "profile_cardinality": profile_cardinality,
-        "profile_lengths": profile_lengths,
         "profile_modes": profile_modes,
         "profile_patterns": profile_patterns,
         "profile_best_type": profile_best_type,
         "cardinality_histogram": cardinality_histogram,
-        "benford_digit1": benford_sql,
+        "benford_digits": benford_digits_sql,
         "benford_stock": benford_stock_sql,
         "validate_rules": validate_sql,
         "constraint_verdicts": constraint_sql,
-        "drift_psi": drift_sql,
-        "drift_js": drift_js_sql,
+        "drift_metrics": drift_metrics_sql,
         "constraint_alternation": constraint_alternation_sql,
-        "drift_ks": drift_ks_sql,
         "validate_allfilled": validate_allfilled_sql,
-        "validate_fix_swap": validate_fix_swap_sql,
+        "validate_fixes": validate_fixes_sql,
         "similarity_topk": similarity_sql,
         "dedup_exact": dedup_exact_sql,
         "dedup_ngram_jaccard": ngram_sql,
-        "text_tokens": text_tokens_sql,
-        "text_langid": langid_sql,
+        "text_annotate": text_annotate_sql,
         "profile_correlations": correlations_sql,
         "profile_cardinality_breakdown": breakdown_sql,
-        "validate_fix": validate_fix_sql,
-        "benford_digit2": benford2_sql,
-        "text_quality": text_quality_sql,
         "dedup_embedding_cosine": dedup_embedding_sql,
-        "normalize_profile": normalize_profile_sql,
+        "profile_normalize_compare": profile_normalize_compare_sql,
         "profile_incremental": profile_incremental_sql,
-        "profile_compare": profile_compare_sql,
         "best_record_structure": best_record_sql,
         "apply_best_types": apply_best_types_sql,
         "sample_stratified": sample_stratified_sql,
@@ -2285,17 +2412,13 @@ FROM src GROUP BY attribute
         "dedup_conversations": dedup_conversations_sql,
         "dedup_incremental": dedup_incremental_sql,
         "dedup_incremental_minhash": dedup_incremental_minhash_sql,
-        "text_winnow": text_winnow_sql,
-        "dedup_winnow": winnow_dups_sql,
-        "multimodal_features": multimodal_features_sql,
+        "winnow": winnow_sql,
+        "multimodal_transform": multimodal_transform_sql,
         "multimodal_frames": multimodal_frames_sql,
-        "multimodal_resize": multimodal_resize_sql,
-        "text_fingerprint": text_fp_sql,
         "text_redact": text_redact_sql,
         "text_repetition": text_repetition_sql,
         "text_contamination": text_contamination_sql,
-        "embedding_normalize": embedding_normalize_sql,
-        "embedding_quantize": embedding_quantize_sql,
+        "embedding_transform": embedding_transform_sql,
         "pack_sequences": pack_sequences_sql,
         "curate_documents": curate_documents_sql,
         "dedup_simhash": simhash_sql,

@@ -326,16 +326,20 @@ def run_suite() -> dict:
 
     qs = entrymod.queries()
     headline = [
-        "profile_fill",
+        # round-3 renames from the entry consolidation (COVERAGE.md):
+        # profile_fill->profile_fill_lengths (adds the documents length
+        # stats), benford_digit1->benford_digits (adds digit 2),
+        # text_tokens->text_annotate (adds langid/quality/fingerprint)
+        "profile_fill_lengths",
         "profile_numeric_stats",
         "profile_patterns",
-        "benford_digit1",
+        "benford_digits",
         "validate_rules",
         "constraint_verdicts",
         "cardinality_histogram",
         "dedup_minhash_lsh",
         "similarity_topk",
-        "text_tokens",
+        "text_annotate",
         # round-2 additions: curation composition, packing, and the
         # conversation/incremental dedup paths
         "curate_documents",

@@ -132,16 +132,20 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact all-pairs Jaccard >= threshold via inverted index.
 
     ``max_shingle_df`` drops shingles shared by more than that many
     documents before pairing — at 100 TB an ultra-common shingle would
-    otherwise create a quadratic candidate set.  Pairs whose every
-    common shingle is ultra-common are then missed; leave it None for
-    exact semantics at test scale and set it (e.g. 1000) at cluster
-    scale (documented deviation)."""
+    otherwise create a quadratic candidate set.  The default (10_000)
+    is large enough that test-scale corpora never hit it (semantics
+    stay exact) while a caller who never reads this docstring is still
+    safe from the C(df, 2) blowup: one shingle in 10M boilerplate docs
+    would otherwise emit ~5*10^13 candidate rows.  Pairs whose EVERY
+    common shingle is over-cap are then missed (documented deviation);
+    pass ``None`` to explicitly opt out and get exact semantics at any
+    document frequency."""
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).withColumn("size", F.size("sh"))
@@ -268,9 +272,16 @@ def minhash_lsh_pairs(
     # bench scale.  Duplicate shingles don't change a min-hash -> no
     # distinct before the aggregation; the shuffle carries (id, hash)
     # partials, never text.
-    # signatures are tiny (num_hashes longs per doc); persist so the
-    # band fan-out + self-join don't recompute the corpus scan
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
+    # signatures are tiny (num_hashes longs per doc); eager
+    # localCheckpoint so the band fan-out + self-join don't recompute
+    # the corpus scan.  NOT persist(): a persisted frame stays in the
+    # CacheManager for the session's lifetime unless explicitly
+    # unpersisted — in a long-running curation driver each call would
+    # leak a cached frame.  A localCheckpoint is materialized once,
+    # cuts lineage, and is freed by the ContextCleaner as soon as the
+    # returned frame is no longer referenced (the connected_components
+    # pattern, round-2 ADVICE item 1).
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).localCheckpoint()
     buckets = sig.select(
         "id",
         F.explode(
@@ -329,12 +340,13 @@ def minhash_lsh_pairs(
         all_pairs.unionAll(star)
         .dropDuplicates(["id_a", "id_b"])
         # the candidate-pair frame is referenced TWICE downstream (the
-        # verify join's base + the cand_ids semi-join input): persisted
-        # so the band self-join executes once, not per reference.  Its
-        # size is bounded by the near-dup candidate count — orders of
-        # magnitude under the corpus at any scale (A/B at bench scale:
-        # 4.3s -> 3.4s interleaved best-of-3, identical pairs).
-        .persist()
+        # verify join's base + the cand_ids semi-join input):
+        # checkpointed so the band self-join executes once, not per
+        # reference.  Its size is bounded by the near-dup candidate
+        # count — orders of magnitude under the corpus at any scale
+        # (A/B at bench scale: 4.3s -> 3.4s interleaved best-of-3,
+        # identical pairs).  localCheckpoint, not persist — see `sig`.
+        .localCheckpoint()
     )
     # exact-Jaccard verification: recompute distinct shingle sets ONLY
     # for candidate docs (a semi-join-bounded set, tiny vs the corpus)
@@ -344,9 +356,10 @@ def minhash_lsh_pairs(
     shc = (
         df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
         .join(cand_ids, "id", "left_semi")
-        # referenced twice (sh_a / sh_b sides) — persist the bounded
-        # candidate shingle sets so the corpus scan + semi-join run once
-        .persist()
+        # referenced twice (sh_a / sh_b sides) — checkpoint the bounded
+        # candidate shingle sets so the corpus scan + semi-join run
+        # once.  localCheckpoint, not persist — see `sig`.
+        .localCheckpoint()
     )
     sh_a = shc.toDF("id_a", "sh_a")
     sh_b = shc.toDF("id_b", "sh_b")
@@ -847,7 +860,13 @@ def incremental_minhash_dedup(
     both sides (anchor-star against the bucket minimum) exactly like
     :func:`minhash_lsh_pairs`, so boilerplate clusters stay linear.
     """
-    sigs = minhash_signatures(new_df, text_col, id_col, n, num_hashes).persist()
+    # eager localCheckpoint, not persist(): `sigs` is referenced many
+    # times below AND returned to the caller as `new_sigs` — a plain
+    # persist would oblige every caller to unpersist or leak a cached
+    # frame per batch for the session's lifetime.  The checkpointed
+    # frame is materialized once and freed by the ContextCleaner when
+    # the caller drops it (no unpersist obligation).
+    sigs = minhash_signatures(new_df, text_col, id_col, n, num_hashes).localCheckpoint()
     nb = _sig_band_keys(sigs, num_hashes, bands)
     est = sig_estimated_jaccard(num_hashes)
 

@@ -110,7 +110,14 @@ def _refined_centroids(
 
 
 def _nearest_cells(vec: Column, centroids: list[list[float]], top: int) -> Column:
-    """Indices of the ``top`` nearest centroids by dot product."""
+    """Indices of the ``top`` nearest centroids by dot product —
+    LITERAL formulation: every centroid weight is a plan literal.
+    Right for small ``n_cells * dim`` (and required by the SQL oracle,
+    which replays the same literals); above
+    ``LITERAL_CENTROID_LIMIT`` doubles use the broadcast formulation
+    (:func:`_nearest_cells_col`) — a 4096-cell x 768-dim index would
+    put ~3M literals in the Catalyst tree (plan blowup, no codegen
+    reuse)."""
     scored = F.array(
         *[
             F.struct(
@@ -129,6 +136,69 @@ def _nearest_cells(vec: Column, centroids: list[list[float]], top: int) -> Colum
             )
             for i, c in enumerate(centroids)
         ]
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, top), lambda s: s["cell"])
+
+
+# n_cells * dim above which ivf_topk switches from plan-literal
+# centroids to the broadcast centroid frame (8192 doubles ~ the 16x64
+# oracle pin x8 — far under any Catalyst pain point, far over test
+# configs that should keep byte-identical literal plans)
+LITERAL_CENTROID_LIMIT = 8192
+
+
+def _centroid_frame(spark, centroids: list[list[float]]):
+    """ONE-row DataFrame carrying every centroid as DATA (an
+    ``array<struct<cell:int, cv:array<double>>>`` value) — shipped to
+    executors via a broadcast cross join instead of the logical plan,
+    so plan size is O(1) in ``n_cells * dim``."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(
+                "_cents",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("cell", IntegerType()),
+                            StructField("cv", ArrayType(DoubleType())),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    row = [([(i, [float(x) for x in c]) for i, c in enumerate(centroids)],)]
+    return spark.createDataFrame(row, schema)
+
+
+def _nearest_cells_col(vec: Column, cents_col: Column, top: int) -> Column:
+    """Indices of the ``top`` nearest centroids by dot product, with
+    the centroids read from a runtime column (the broadcast centroid
+    frame) — identical argmin ordering semantics to
+    :func:`_nearest_cells` (struct<neg_dot, cell> lexicographic
+    sort)."""
+    scored = F.transform(
+        cents_col,
+        lambda c: F.struct(
+            (
+                -F.aggregate(
+                    F.zip_with(
+                        vec, c["cv"], lambda x, w: x.cast("double") * w
+                    ),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+            ).alias("neg_dot"),
+            c["cell"].alias("cell"),
+        ),
     )
     return F.transform(F.slice(F.array_sort(scored), 1, top), lambda s: s["cell"])
 
@@ -177,33 +247,79 @@ def ivf_topk(
     replays them as literals).  When ``dim`` is omitted it is probed
     from ONE row of the QUERY frame — the small broadcast side, never
     a corpus scan; pass ``dim`` explicitly to avoid the extra tiny
-    job on hot paths."""
+    job on hot paths.
+
+    Cell assignment has two formulations with identical semantics:
+    ``n_cells * dim <= LITERAL_CENTROID_LIMIT`` inlines the centroid
+    weights as plan literals (byte-stable plans — the SQL oracle
+    replays them); above the limit the centroids ride a ONE-row
+    broadcast frame as data (:func:`_centroid_frame`), keeping the
+    Catalyst tree O(1) while every corpus row still computes its
+    argmin cell in a single projection — no extra shuffle either
+    way."""
     if dim is None:
         row = queries.select(vec_col).first()
         if row is None:
             # empty query set: a valid no-op (callers filter their
             # query batches) — return an empty result with the output
-            # schema instead of crashing on the dim probe
-            return queries.select(
-                F.col(query_id_col).alias("query_id"),
-                F.col(query_id_col).alias("neighbor_id"),
-                F.lit(0.0).alias("cos"),
-                F.lit(1).alias("rank"),
-            ).limit(0)
+            # schema instead of crashing on the dim probe.  neighbor_id
+            # takes the CORPUS id type (a query/corpus id type mismatch
+            # would otherwise give this branch a different schema than
+            # the non-empty path, breaking unions/appends downstream)
+            return (
+                queries.select(F.col(query_id_col).alias("query_id"))
+                .limit(0)
+                .crossJoin(
+                    corpus.select(F.col(id_col).alias("neighbor_id")).limit(0)
+                )
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    # lit(None).cast: a bare lit(0.0) is non-nullable,
+                    # which alone diverges from the non-empty schema
+                    F.lit(None).cast("double").alias("cos"),
+                    F.lit(1).alias("rank"),
+                )
+            )
         dim = len(row[0])
     centroids = _refined_centroids(
         corpus, vec_col, id_col, dim, n_cells, seed, refine_sweeps
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
-    )
+    if n_cells * dim <= LITERAL_CENTROID_LIMIT:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+        )
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(
+                _nearest_cells(F.col(vec_col), centroids, n_probe)
+            ).alias("cell"),
+        )
+    else:
+        cents = _centroid_frame(corpus.sparkSession, centroids)
+        c = (
+            corpus.crossJoin(F.broadcast(cents))
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                _nearest_cells_col(F.col(vec_col), F.col("_cents"), 1)[0].alias(
+                    "cell"
+                ),
+            )
+        )
+        q = (
+            queries.crossJoin(F.broadcast(cents))
+            .select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+                F.explode(
+                    _nearest_cells_col(F.col(vec_col), F.col("_cents"), n_probe)
+                ).alias("cell"),
+            )
+        )
     scored = c.join(F.broadcast(q), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
