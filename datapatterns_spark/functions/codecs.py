@@ -64,6 +64,11 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytearray]:
         (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[
             pos + 4 : pos + 8
         ]
+        if pos + 12 + length > len(data):
+            # a short read here would otherwise surface as a confusing
+            # struct/zlib error (or walk past the buffer) deep in the
+            # mapInPandas worker — fail with the decode-error contract
+            raise ValueError("truncated PNG payload (chunk past end of data)")
         chunk = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
@@ -278,6 +283,24 @@ def gif_decode(data: bytes) -> tuple[int, int, list[tuple[int, bytearray]]]:
     transparency respected, interlace supported)."""
     if data[:6] not in GIF_SIGS:
         raise ValueError("not a GIF payload (bad signature)")
+    if len(data) < 13:
+        raise ValueError("truncated GIF payload (short header)")
+
+    def subblocks(p: int) -> tuple[bytearray, int]:
+        # bounds-checked data sub-block walk: a truncated payload must
+        # raise the decode-error contract (ValueError), not IndexError
+        out = bytearray()
+        while True:
+            if p >= len(data):
+                raise ValueError("truncated GIF payload (unterminated sub-blocks)")
+            ln = data[p]
+            if ln == 0:
+                return out, p + 1
+            if p + 1 + ln > len(data):
+                raise ValueError("truncated GIF payload (short sub-block)")
+            out += data[p + 1 : p + 1 + ln]
+            p += 1 + ln
+
     w, h = struct.unpack("<HH", data[6:10])
     packed, bg = data[10], data[11]
     pos = 13
@@ -296,14 +319,11 @@ def gif_decode(data: bytes) -> tuple[int, int, list[tuple[int, bytearray]]]:
         if b0 == 0x3B:  # trailer
             break
         if b0 == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("truncated GIF payload (extension label)")
             label = data[pos]
             pos += 1
-            blocks = bytearray()
-            while data[pos]:
-                ln = data[pos]
-                blocks += data[pos + 1 : pos + 1 + ln]
-                pos += 1 + ln
-            pos += 1  # terminator
+            blocks, pos = subblocks(pos)
             if label == 0xF9 and len(blocks) >= 4:
                 flags = blocks[0]
                 disposal = (flags >> 2) & 7
@@ -314,6 +334,8 @@ def gif_decode(data: bytes) -> tuple[int, int, list[tuple[int, bytearray]]]:
             continue
         if b0 != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF payload (short image descriptor)")
         left, top, iw, ih = struct.unpack("<HHHH", data[pos : pos + 8])
         ipacked = data[pos + 8]
         pos += 9
@@ -322,14 +344,11 @@ def gif_decode(data: bytes) -> tuple[int, int, list[tuple[int, bytearray]]]:
             n = 2 << (ipacked & 7)
             ct = [data[pos + 3 * i : pos + 3 * i + 3] for i in range(n)]
             pos += 3 * n
+        if pos >= len(data):
+            raise ValueError("truncated GIF payload (missing LZW code size)")
         mcs = data[pos]
         pos += 1
-        lzw = bytearray()
-        while data[pos]:
-            ln = data[pos]
-            lzw += data[pos + 1 : pos + 1 + ln]
-            pos += 1 + ln
-        pos += 1
+        lzw, pos = subblocks(pos)
         idx = _lzw_decode(mcs, bytes(lzw))
         rows = list(range(ih))
         if ipacked & 0x40:  # interlaced
@@ -352,6 +371,11 @@ def gif_decode(data: bytes) -> tuple[int, int, list[tuple[int, bytearray]]]:
             for y in range(ih):
                 o = ((top + y) * w + left) * 3
                 canvas[o : o + 3 * iw] = bg_rgb * iw
+        # per GIF89a a Graphic Control Extension governs ONLY the
+        # image that directly follows it — reset to defaults so a
+        # frame without its own GCE doesn't inherit the previous
+        # frame's transparency index / disposal / delay
+        delay_ms, transp, tidx, disposal = 100, False, 0, 0
     return w, h, frames
 
 

@@ -104,9 +104,15 @@ def curate_documents(
         raise ValueError(f"unknown dedup mode {dedup!r}")
 
     if redact:
+        from .textanalysis import PII_PATTERNS
+
+        # derive the per-kind count columns to drop from PII_PATTERNS
+        # itself — a hardcoded list would silently leak an undropped
+        # n_<kind> column (and change this function's schema) the day
+        # a pattern kind is added to redact_pii's defaults
         d = (
             redact_pii(d, "text")
-            .drop("text", *[f"n_{k}" for k in ("email", "ssn", "phone", "ipv4")])
+            .drop("text", *[f"n_{k}" for k in PII_PATTERNS])
             .withColumnRenamed("redacted", "text")
         )
         return d.select("doc_id", "lang_guess", "quality", "pii_total", "text")

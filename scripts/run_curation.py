@@ -58,6 +58,13 @@ def main() -> None:
     ap.add_argument("--max-dup-line-frac", type=float, default=None)
     ap.add_argument("--max-top-ngram-frac", type=float, default=None)
     ap.add_argument("--redact", action="store_true")
+    ap.add_argument("--dedup", choices=["exact", "minhash"], default="exact",
+                    help="cross-batch dedup mode: exact fingerprint store"
+                         " (default) or MinHash near-dup vs a signature"
+                         " store under --output/sigs")
+    ap.add_argument("--minhash-threshold", type=float, default=0.8,
+                    help="signature-estimated Jaccard threshold for"
+                         " --dedup minhash")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -66,7 +73,10 @@ def main() -> None:
     from pyspark.sql.utils import AnalysisException
 
     from datapatterns_spark.operators.curation import curate_documents
-    from datapatterns_spark.operators.dedup import incremental_exact_dedup
+    from datapatterns_spark.operators.dedup import (
+        incremental_exact_dedup,
+        incremental_minhash_dedup,
+    )
     from datapatterns_spark.operators.manifest import completed_partitions
     from datapatterns_spark.plans.local import lit_df
     from datapatterns_spark.session import get_spark
@@ -88,6 +98,49 @@ def main() -> None:
         "part", F.pmod(F.xxhash64("doc_id"), F.lit(P)).cast("string")
     )
     out = args.output
+    # record the run parameters that determine partition identity and
+    # dedup-store membership; --resume trusts the manifest's partition
+    # labels, so resuming with a different P would remap
+    # pmod(xxhash64(doc_id), P) and silently skip documents that now
+    # hash into a partition marked COMPLETE under the old P (and
+    # double-process others).  Fail fast on any mismatch.
+    import json
+
+    params_json = json.dumps(
+        {
+            "source": src,
+            "partitions": P,
+            "min_quality": args.min_quality,
+            "languages": args.languages,
+            "max_dup_line_frac": args.max_dup_line_frac,
+            "max_top_ngram_frac": args.max_top_ngram_frac,
+            "redact": args.redact,
+            "dedup": args.dedup,
+            "minhash_threshold": (
+                args.minhash_threshold if args.dedup == "minhash" else None
+            ),
+        },
+        sort_keys=True,
+    )
+    try:
+        stored_params = spark.read.parquet(f"{out}/params").collect()[0][
+            "params_json"
+        ]
+    except AnalysisException:
+        stored_params = None
+    if args.resume and stored_params is not None and stored_params != params_json:
+        sys.exit(
+            "[curation] refusing to --resume: this output was produced with "
+            "different run parameters (partitioning / gates / redaction), so "
+            "COMPLETE manifest rows do not describe the current run.\n"
+            f"  stored:  {stored_params}\n"
+            f"  current: {params_json}\n"
+            "Re-run with the stored flags, or start a fresh --output."
+        )
+    if stored_params != params_json:
+        lit_df(spark, [(params_json,)], "params_json string").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/params")
     done = completed_partitions(spark, out) if args.resume else set()
     todo = [str(p) for p in range(P) if str(p) not in done]
     langs = args.languages.split(",") if args.languages else None
@@ -119,26 +172,49 @@ def main() -> None:
             max_dup_line_frac=args.max_dup_line_frac,
             max_top_ngram_char_frac=args.max_top_ngram_frac,
         )
-        try:
-            store = spark.read.parquet(f"{out}/fps").filter(
-                F.col("batch") != batch_id
+        new_sigs = None
+        if args.dedup == "minhash":
+            # near-dup mode: classify against the run's accumulated
+            # MinHash SIGNATURE store (64 longs/doc — prior batches'
+            # text is never rescanned); store read excludes the
+            # current batch so re-running a failed batch stays
+            # idempotent, exactly like the exact-fp store
+            try:
+                sig_store = (
+                    spark.read.parquet(f"{out}/sigs")
+                    .filter(F.col("batch") != batch_id)
+                    .drop("batch")
+                )
+            except AnalysisException:
+                sig_store = None
+            decisions, new_sigs = incremental_minhash_dedup(
+                cur, sig_store, threshold=args.minhash_threshold
             )
-        except AnalysisException:
-            store = None
-        # slim (id, fp, status) frame cached: the keep-list join, the
-        # fps store write, and the kept-count all read it instead of
-        # re-running the full gate pipeline per action
-        decisions = incremental_exact_dedup(cur, store).cache()
+            decisions = decisions.cache()
+        else:
+            try:
+                store = spark.read.parquet(f"{out}/fps").filter(
+                    F.col("batch") != batch_id
+                )
+            except AnalysisException:
+                store = None
+            # slim (id, fp, status) frame cached: the keep-list join,
+            # the fps store write, and the kept-count all read it
+            # instead of re-running the full gate pipeline per action
+            decisions = incremental_exact_dedup(cur, store).cache()
         keep = decisions.filter(F.col("status") == "unique")
         curated = cur.join(
             keep.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
         )
         if args.redact:
-            from datapatterns_spark.operators.textanalysis import redact_pii
+            from datapatterns_spark.operators.textanalysis import (
+                PII_PATTERNS,
+                redact_pii,
+            )
 
             curated = (
                 redact_pii(curated, "text")
-                .drop("text", "n_email", "n_ssn", "n_phone", "n_ipv4")
+                .drop("text", *[f"n_{k}" for k in PII_PATTERNS])
                 .withColumnRenamed("redacted", "text")
             )
         curated = curated.cache()
@@ -150,9 +226,16 @@ def main() -> None:
         }
         n_kept = sum(kept_counts.values())
         curated.write.mode("overwrite").parquet(f"{out}/data/batch={batch_id}")
-        keep.select("fp").distinct().write.mode("overwrite").parquet(
-            f"{out}/fps/batch={batch_id}"
-        )
+        if args.dedup == "minhash":
+            # append the SURVIVORS' signatures to the store (the
+            # docstring contract of incremental_minhash_dedup)
+            new_sigs.join(
+                keep.select("id"), "id", "left_semi"
+            ).write.mode("overwrite").parquet(f"{out}/sigs/batch={batch_id}")
+        else:
+            keep.select("fp").distinct().write.mode("overwrite").parquet(
+                f"{out}/fps/batch={batch_id}"
+            )
         finished = time.time()
         lit_df(
             spark,

@@ -321,3 +321,76 @@ def test_extract_features_real_path_rejects_unknown_format(spark):
     df = spark.createDataFrame([(1, b"\xff\xd8\xff\xe0 fake jpeg")], schema)
     with pytest.raises(PythonException, match="NotImplementedError"):
         extract_features(df).collect()
+
+
+# ---------------------------------------------------------------------------
+# round-3: GCE scoping + truncated-payload error contract
+# ---------------------------------------------------------------------------
+def _mini_gif(frames_idx, w, h, palette, gce_for=(), tidx=0):
+    """Hand-assemble a GIF where only the frames in ``gce_for`` get a
+    Graphic Control Extension (transparency on ``tidx``) — gif_encode
+    always writes a GCE per frame, so GCE-scoping needs a manual
+    fixture."""
+    import struct
+
+    data = bytearray(b"GIF89a")
+    data += struct.pack("<HH", w, h)
+    data += bytes([0x80, 0, 0])  # GCT present, 2 entries; bg=0
+    for c in palette:
+        data += bytes(c)
+    for i, idx in enumerate(frames_idx):
+        if i in gce_for:
+            # flags: transparency on; delay 10 (1/100s units); tidx
+            data += bytes([0x21, 0xF9, 4, 0x01, 10, 0, tidx, 0])
+        data += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+        lzw = cd._lzw_encode(2, bytes(idx))
+        data += bytes([2])
+        for off in range(0, len(lzw), 255):
+            blk = lzw[off : off + 255]
+            data += bytes([len(blk)]) + blk
+        data += bytes([0])
+    data += bytes([0x3B])
+    return bytes(data)
+
+
+def test_gif_gce_governs_only_next_image():
+    """Per GIF89a a GCE applies ONLY to the image that directly
+    follows it: a second frame WITHOUT its own GCE must not inherit
+    the first frame's transparency index (previous behavior skipped
+    pixels whose palette index equalled the stale tidx)."""
+    black, white = (0, 0, 0), (255, 255, 255)
+    data = _mini_gif(
+        [bytes([1, 0]), bytes([0, 0])],
+        w=2, h=1, palette=[black, white], gce_for={0}, tidx=0,
+    )
+    w, h, frames = cd.gif_decode(data)
+    assert (w, h, len(frames)) == (2, 1, 2)
+    # frame 1: pixel0 white, pixel1 transparent -> background black
+    assert bytes(frames[0][1]) == bytes(white) + bytes(black)
+    # frame 2 (no GCE): BOTH pixels drawn black — index 0 is opaque
+    # again because the previous GCE's transparency no longer applies
+    assert bytes(frames[1][1]) == bytes(black) + bytes(black)
+    # and the delay resets to the 100 ms default
+    assert frames[0][0] == 100 and frames[1][0] == 100
+
+
+def test_gif_truncated_raises_valueerror():
+    """Truncated GIF payloads must surface the decode-error contract
+    (ValueError), never IndexError, at any cut point."""
+    frames = [(100, bytearray(b"\x10\x20\x30" * 35))]
+    data = cd.gif_encode(frames, 7, 5)
+    assert cd.gif_decode(data)[2]  # sanity: full payload decodes
+    for cut in (8, 12, 20, len(data) // 2, len(data) - 2):
+        with pytest.raises(ValueError):
+            cd.gif_decode(data[:cut])
+
+
+def test_png_truncated_raises_valueerror():
+    """Truncated PNG payloads: the chunk walker must not index past
+    the buffer or hand zlib a half-chunk."""
+    px = bytes(_gradient(6, 4, 3))
+    data = cd.png_encode(px, 6, 4, 3)
+    assert cd.png_decode(data)[3]  # sanity
+    for cut in (16, 30, len(data) - 3):
+        with pytest.raises(ValueError):
+            cd.png_decode(data[:cut])

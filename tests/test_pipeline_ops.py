@@ -972,3 +972,127 @@ def test_connected_components_one_action_per_round(spark):
         "d1": ("d1", True), "d2": ("d1", False), "d3": ("d1", False),
         "d8": ("d8", True), "d9": ("d8", False),
     }
+
+
+# ---------------------------------------------------------------------------
+# round-3: persist-leak, df-cap default, IVF broadcast-centroid path
+# ---------------------------------------------------------------------------
+def _sql_cache_is_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_minhash_lsh_leaves_no_cached_frames(spark):
+    """minhash_lsh_pairs intermediates (signatures, candidate pairs,
+    candidate shingle sets) must NOT sit in the SQL CacheManager after
+    the call — a plain persist() there would leak one cached frame per
+    call for the session's lifetime in a long-running curation driver.
+    The eager localCheckpoint shape is invisible to the CacheManager
+    and freed by the ContextCleaner when the result is dropped."""
+    spark.catalog.clearCache()
+    assert _sql_cache_is_empty(spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.7)
+    assert out.count() > 0
+    assert _sql_cache_is_empty(spark), (
+        "minhash_lsh_pairs left a frame in the CacheManager (persist leak)"
+    )
+
+
+def test_incremental_minhash_leaves_no_cached_frames(spark):
+    """Same contract for incremental_minhash_dedup: the returned
+    new_sigs frame is checkpointed, not persisted — callers have no
+    unpersist obligation."""
+    spark.catalog.clearCache()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter("doc_id < 100")
+    store = D.minhash_signatures(b1, "text", "doc_id")
+    decisions, sigs = D.incremental_minhash_dedup(
+        docs.filter("doc_id >= 100"), store, threshold=0.7
+    )
+    assert decisions.count() > 0
+    assert sigs.count() > 0
+    assert _sql_cache_is_empty(spark)
+
+
+def test_ngram_jaccard_default_cap_drops_ultra_common_shingle(spark):
+    """The DEFAULT max_shingle_df (10k) must protect a caller who
+    never reads the docstring: a shingle planted in >10k docs is
+    dropped before pairing, so pairs whose ONLY overlap is that
+    boilerplate shingle never form (the uncapped alternative would
+    emit C(10050, 2) ~ 5*10^7 candidate rows here)."""
+    n = 10_050
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("aaa bbb ccc u"), F.col("id").cast("string")).alias("text"),
+    )
+    out = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3)
+    assert out.count() == 0
+    # counterfactual at small scale: the same shape UNDER the cap DOES
+    # pair (proving the big corpus's emptiness came from the cap, not
+    # from the threshold)
+    small = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("aaa bbb ccc u"), F.col("id").cast("string")).alias("text"),
+    )
+    kept = D.ngram_jaccard_pairs(small, "text", "doc_id", n=3, threshold=0.3)
+    assert kept.count() > 0
+    # explicit opt-out restores exact semantics at any df
+    uncapped = D.ngram_jaccard_pairs(
+        small, "text", "doc_id", n=3, threshold=0.3, max_shingle_df=None
+    )
+    assert uncapped.count() == kept.count()
+
+
+def test_ivf_broadcast_centroids_match_literal_path(spark, monkeypatch):
+    """Above LITERAL_CENTROID_LIMIT the centroids ride a one-row
+    broadcast frame instead of the Catalyst tree; results must be
+    IDENTICAL to the literal formulation (same argmin ordering)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id").isin([1, 2, 3]))
+    lit = S.ivf_topk(emb, qs, k=5, n_cells=16, n_probe=8, dim=64, refine_sweeps=0)
+    a = sorted(map(tuple, lit.collect()))
+    monkeypatch.setattr(S, "LITERAL_CENTROID_LIMIT", 1)
+    bc = S.ivf_topk(emb, qs, k=5, n_cells=16, n_probe=8, dim=64, refine_sweeps=0)
+    b = sorted(map(tuple, bc.collect()))
+    assert a == b and len(a) == 15
+
+
+def test_ivf_large_cell_count_plans_small(spark):
+    """n_cells=1024 x dim=256 (~262k centroid doubles) must NOT inline
+    literals into the plan — the analyzed plan string stays bounded
+    and the query executes.  (The literal formulation at this size
+    would put ~3M tokens in the tree.)"""
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(256)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 1000.0).cast(
+            "double"
+        ),
+    )
+    corpus = spark.range(60).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    qs = corpus.filter("vec_id < 2")
+    out = S.ivf_topk(
+        corpus, qs, k=3, n_cells=1024, n_probe=8, dim=256, refine_sweeps=0
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 100_000, f"analyzed plan unexpectedly large: {len(plan)}"
+    rows = out.collect()
+    assert all(r["rank"] >= 1 for r in rows)
+
+
+def test_ivf_empty_query_schema_matches_nonempty(spark):
+    """The empty-query early return must have the SAME schema as the
+    non-empty path — including when corpus and query id columns have
+    different types (neighbor_id takes the CORPUS id type)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id").isin([1, 2, 3])).withColumn(
+        "qid", F.col("vec_id").cast("string")
+    )
+    nonempty = S.ivf_topk(
+        emb, qs, query_id_col="qid", k=5, n_cells=16, n_probe=8,
+        dim=64, refine_sweeps=0,
+    )
+    empty = S.ivf_topk(emb, qs.limit(0), query_id_col="qid", k=5)
+    assert empty.schema == nonempty.schema
+    assert empty.collect() == []

@@ -54,3 +54,56 @@ def test_run_curation_dedups_across_batches_and_resumes(tmp_path, spark):
     assert "curated 0 docs" in stdout2
     assert spark.read.parquet(f"{outdir}/manifest").count() == 8
     assert spark.read.parquet(f"{outdir}/data").count() == 60
+
+
+def test_run_curation_minhash_near_dups_and_resume(tmp_path, spark):
+    """--dedup minhash: NEAR-duplicates (one word changed out of 30)
+    dedup across batches via the signature store; resume is a no-op;
+    resuming with different partitioning fails fast instead of
+    remapping hash partitions under COMPLETE manifest rows."""
+    rows = []
+    for u in range(40):
+        words = [f"w{u}word{k}" for k in range(30)]
+        rows.append((u * 100, " ".join(words)))
+        for c in (1, 2):  # near-copies: one word differs
+            near = words[:-1] + [f"changed{c}"]
+            rows.append((u * 100 + c, " ".join(near)))
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    outdir = str(tmp_path / "mh_out")
+    args = ["--docs", src, "--output", outdir, "--partitions", "8",
+            "--batch-size", "4", "--master", "local[8]",
+            "--dedup", "minhash", "--minhash-threshold", "0.8"]
+    stdout = _run(args)
+    assert "curated 120 docs -> kept 40" in stdout
+    data = spark.read.parquet(f"{outdir}/data")
+    assert data.count() == 40
+    # exactly one survivor per near-dup group
+    import pyspark.sql.functions as F
+
+    groups = data.select((F.col("doc_id") / 100).cast("long").alias("g"))
+    assert groups.distinct().count() == 40
+    # signature store holds 64 longs per SURVIVOR only
+    sigs = spark.read.parquet(f"{outdir}/sigs")
+    assert sigs.count() == 40
+    assert sum(c.startswith("m") for c in sigs.columns) == 64
+
+    # resume: all partitions COMPLETE -> nothing reprocessed
+    stdout2 = _run([*args, "--resume"])
+    assert "curated 0 docs" in stdout2
+
+    # resume with a different P: fail fast (partition remap would
+    # silently skip/double-process documents)
+    import subprocess
+    import sys as _sys
+
+    bad = subprocess.run(
+        [_sys.executable, f"{REPO}/scripts/run_curation.py",
+         "--docs", src, "--output", outdir, "--partitions", "16",
+         "--batch-size", "4", "--master", "local[8]",
+         "--dedup", "minhash", "--minhash-threshold", "0.8", "--resume"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert bad.returncode != 0
+    assert "refusing to --resume" in (bad.stderr + bad.stdout)
