@@ -5,14 +5,15 @@ struct.  The Spark side — schema, partitioning, Arrow batch shape,
 ``mapInPandas`` UDF signatures — is real and tested.  The REAL decode
 path (``fake=False``, the default) uses the stdlib-only codecs in
 :mod:`datapatterns_spark.functions.codecs`: 8-bit PNG (all five
-scanline filters) and PCM WAV, dispatched on the payload's magic
+scanline filters), baseline sequential JPEG (DCT/Huffman per ITU-T
+T.81), animated GIF and PCM WAV, dispatched on the payload's magic
 bytes — features are a 4x4 mean-intensity grid for images and a
 16-bin RMS envelope for audio, and :func:`resize_media` really
-decodes, box-resamples, and re-encodes PNG.  Formats needing codec
-libraries this container lacks (JPEG, MP4 video) raise
-:class:`NotImplementedError` naming what IS supported.  ``fake=True``
-substitutes a deterministic hash-derived result so SQL oracles can
-replay the pipeline exactly.
+decodes, box-resamples, and re-encodes (PNG->PNG, JPEG->JPEG).  The
+one format needing codec libraries this container lacks (MP4/H.264
+video) raises :class:`NotImplementedError` naming what IS supported.
+``fake=True`` substitutes a deterministic hash-derived result so SQL
+oracles can replay the pipeline exactly.
 """
 
 from __future__ import annotations
@@ -92,13 +93,15 @@ def extract_features(
                 b = bytes(payload or b"")
                 if b.startswith(_cd.PNG_SIG):
                     return _cd.image_features(b, grid=4)
+                if b.startswith(_cd.JPEG_SIG):
+                    return _cd.jpeg_features(b, grid=4)
                 if b[:6] in _cd.GIF_SIGS:
                     return _cd.gif_features(b, grid=4)
                 if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     return _cd.audio_features(b, bins=dim)
                 raise NotImplementedError(
-                    "real decode supports 8-bit PNG, GIF, and PCM WAV "
-                    "payloads (stdlib codecs); JPEG/MP4 need codec "
+                    "real decode supports 8-bit PNG, baseline JPEG, GIF, "
+                    "and PCM WAV payloads (stdlib codecs); MP4 needs codec "
                     "libraries not in this environment — pass fake=True "
                     "for the stub"
                 )
@@ -250,13 +253,21 @@ def resize_media(
 
             def resize(b: bytes) -> bytes:
                 b = bytes(b or b"")
-                if not b.startswith(_cd.PNG_SIG):
-                    raise NotImplementedError(
-                        "real resize supports 8-bit PNG payloads (stdlib "
-                        "codec); pass fake=True for the stub"
+                if b.startswith(_cd.PNG_SIG):
+                    sw, sh, c, px = _cd.png_decode(b)
+                    return _cd.png_encode(
+                        _cd.resize_box(px, sw, sh, c, w, h), w, h, c
                     )
-                sw, sh, c, px = _cd.png_decode(b)
-                return _cd.png_encode(_cd.resize_box(px, sw, sh, c, w, h), w, h, c)
+                if b.startswith(_cd.JPEG_SIG):
+                    # keep the source container: JPEG in -> JPEG out
+                    sw, sh, c, px = _cd.jpeg_decode(b)
+                    return _cd.jpeg_encode(
+                        bytes(_cd.resize_box(px, sw, sh, c, w, h)), w, h, c
+                    )
+                raise NotImplementedError(
+                    "real resize supports 8-bit PNG and baseline JPEG "
+                    "payloads (stdlib codecs); pass fake=True for the stub"
+                )
 
         for pdf in it:
             yield pd.DataFrame(
@@ -275,9 +286,10 @@ def resize_media(
 def make_real_media_table(spark, n: int = 24, seed: int = 42) -> DataFrame:
     """Deterministic media table whose payloads are REAL encoded
     formats — 8-bit RGB PNGs (seeded gradient+checker patterns),
-    animated GIFs (moving-bar frames), and PCM-16 WAV tones — so the
-    non-fake decode path can run end-to-end with no external
-    fixtures.  Pure function of (n, seed)."""
+    baseline JPEGs (seeded smooth gradients), animated GIFs
+    (moving-bar frames), and PCM-16 WAV tones — so the non-fake
+    decode path can run end-to-end with no external fixtures.  Pure
+    function of (n, seed)."""
     import io as _io
     import math as _math
     import wave as _wave
@@ -286,7 +298,7 @@ def make_real_media_table(spark, n: int = 24, seed: int = 42) -> DataFrame:
 
     rows = []
     for i in range(n):
-        if i % 3 == 2:  # animated GIF rows: a bar sweeping across
+        if i % 4 == 2:  # animated GIF rows: a bar sweeping across
             w, h, nf = 16, 12, 4
             frames = []
             for f in range(nf):
@@ -298,7 +310,7 @@ def make_real_media_table(spark, n: int = 24, seed: int = 42) -> DataFrame:
                 frames.append((250, px))
             payload = _cd.gif_encode(frames, w, h)
             meta = ("video", "gif", w, h, nf * 250)
-        elif i % 3:  # image rows
+        elif i % 4 == 1:  # PNG image rows
             w, h = 24, 16
             px = bytearray(w * h * 3)
             for y in range(h):
@@ -309,6 +321,17 @@ def make_real_media_table(spark, n: int = 24, seed: int = 42) -> DataFrame:
                     px[o + 2] = 255 if (x // 4 + y // 4 + i) % 2 else 0
             payload = _cd.png_encode(px, w, h, 3)
             meta = ("image", "png", w, h, 0)
+        elif i % 4 == 3:  # baseline-JPEG image rows: smooth gradients
+            w, h = 24, 16
+            px = bytearray(w * h * 3)
+            for y in range(h):
+                for x in range(w):
+                    o = (y * w + x) * 3
+                    px[o] = (x * 200 // (w - 1) + seed + i) % 256
+                    px[o + 1] = (y * 200 // (h - 1) + 3 * i) % 256
+                    px[o + 2] = ((x + y) * 100 // (w + h - 2) + i) % 256
+            payload = _cd.jpeg_encode(bytes(px), w, h, 3)
+            meta = ("image", "jpeg", w, h, 0)
         else:  # audio rows: 0.05s of a seeded sine at 8kHz, PCM-16
             rate, dur_ms = 8000, 50
             freq = 200.0 + 37.0 * ((seed + i) % 11)

@@ -197,8 +197,8 @@ def test_gif_rejects_garbage():
 
 
 def test_extract_features_real_path(spark):
-    """The non-fake mapInPandas path decodes real PNG, GIF, and WAV
-    payloads and matches the pure-Python codec output exactly."""
+    """The non-fake mapInPandas path decodes real PNG, JPEG, GIF, and
+    WAV payloads and matches the pure-Python codec output exactly."""
     from datapatterns_spark.operators.multimodal import (
         extract_features,
         make_real_media_table,
@@ -213,6 +213,9 @@ def test_extract_features_real_path(spark):
         if payload.startswith(cd.PNG_SIG):
             want = cd.image_features(payload)
             kinds.add("png")
+        elif payload.startswith(cd.JPEG_SIG):
+            want = cd.jpeg_features(payload)
+            kinds.add("jpeg")
         elif payload[:6] in cd.GIF_SIGS:
             want = cd.gif_features(payload)
             kinds.add("gif")
@@ -223,7 +226,7 @@ def test_extract_features_real_path(spark):
         assert len(got) == 16
         assert all(abs(a - b) < 1e-6 for a, b in zip(got, want))
         assert out[mid]["n_bytes"] == len(payload)
-    assert kinds == {"png", "gif", "wav"}  # all three real paths ran
+    assert kinds == {"png", "jpeg", "gif", "wav"}  # all four real paths ran
 
 
 def test_sample_frames_real_path(spark):
@@ -256,8 +259,8 @@ def test_sample_frames_real_path(spark):
 
 def test_resize_media_real_path(spark):
     """Non-fake resize really decodes, box-resamples, and re-encodes
-    PNG: output payloads are valid PNGs at the target dimensions with
-    box-averaged content."""
+    in the SOURCE container (PNG->PNG, JPEG->JPEG): output payloads
+    are byte-identical to a local codec replay."""
     from datapatterns_spark.operators.multimodal import (
         make_real_media_table,
         resize_media,
@@ -269,11 +272,22 @@ def test_resize_media_real_path(spark):
     out = resize_media(media, width=6, height=4).collect()
     assert len(out) == media.count()
     src = {r["media_id"]: bytes(r["media"]) for r in media.collect()}
+    formats = set()
     for r in out:
-        w, h, c, px = cd.png_decode(bytes(r["media"]))
-        assert (w, h, r["width"], r["height"]) == (6, 4, 6, 4)
-        sw, sh, sc, spx = cd.png_decode(src[r["media_id"]])
-        assert bytes(px) == bytes(cd.resize_box(spx, sw, sh, sc, 6, 4))
+        assert (r["width"], r["height"]) == (6, 4)
+        payload = src[r["media_id"]]
+        if payload.startswith(cd.PNG_SIG):
+            formats.add("png")
+            sw, sh, sc, spx = cd.png_decode(payload)
+            want = cd.png_encode(cd.resize_box(spx, sw, sh, sc, 6, 4), 6, 4, sc)
+        else:
+            formats.add("jpeg")
+            sw, sh, sc, spx = cd.jpeg_decode(payload)
+            want = cd.jpeg_encode(
+                bytes(cd.resize_box(spx, sw, sh, sc, 6, 4)), 6, 4, sc
+            )
+        assert bytes(r["media"]) == want
+    assert formats == {"png", "jpeg"}  # both containers exercised
 
 
 def test_sample_frames_real_wav_slices(spark):
@@ -318,7 +332,12 @@ def test_extract_features_real_path_rejects_unknown_format(spark):
             T.StructField("media", T.BinaryType()),
         ]
     )
-    df = spark.createDataFrame([(1, b"\xff\xd8\xff\xe0 fake jpeg")], schema)
+    # an MP4-shaped payload: the one format the real path documents out
+    # (JPEG is decoded for real since round 3, so it no longer triggers
+    # the unsupported-format error)
+    df = spark.createDataFrame(
+        [(1, b"\x00\x00\x00\x18ftypmp42 not a real box")], schema
+    )
     with pytest.raises(PythonException, match="NotImplementedError"):
         extract_features(df).collect()
 
@@ -394,3 +413,96 @@ def test_png_truncated_raises_valueerror():
     for cut in (16, 30, len(data) - 3):
         with pytest.raises(ValueError):
             cd.png_decode(data[:cut])
+
+
+# ---------------------------------------------------------------------------
+# round-3: baseline JPEG codec
+# ---------------------------------------------------------------------------
+def test_jpeg_roundtrip_solid_and_gradient():
+    """Baseline JPEG encode->decode: DC-dominated content reproduces
+    near-exactly; smooth gradients stay within the Annex-K-table
+    quantization error envelope."""
+    w, h = 16, 16
+    solid = bytes([120, 200, 40] * (w * h))
+    _, _, c, out = cd.jpeg_decode(cd.jpeg_encode(solid, w, h, 3))
+    assert c == 3
+    assert max(abs(a - b) for a, b in zip(solid, out)) <= 2
+
+    gw, gh = 24, 16
+    grad = bytearray(gw * gh * 3)
+    for y in range(gh):
+        for x in range(gw):
+            o = (y * gw + x) * 3
+            grad[o] = x * 255 // (gw - 1)
+            grad[o + 1] = y * 255 // (gh - 1)
+            grad[o + 2] = 128
+    w2, h2, c2, out2 = cd.jpeg_decode(cd.jpeg_encode(bytes(grad), gw, gh, 3))
+    assert (w2, h2, c2) == (gw, gh, 3)
+    errs = [abs(a - b) for a, b in zip(grad, out2)]
+    assert max(errs) <= 12 and sum(errs) / len(errs) < 4
+
+
+def test_jpeg_odd_dimensions_and_grayscale():
+    """Non-multiple-of-8 dimensions (edge-replicated MCU padding) and
+    single-component grayscale both round-trip."""
+    px = bytes([100] * (13 * 9 * 3))
+    w, h, c, out = cd.jpeg_decode(cd.jpeg_encode(px, 13, 9, 3))
+    assert (w, h, c) == (13, 9, 3)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 2
+
+    g = bytes((x * 9 + y * 5) % 256 for y in range(16) for x in range(16))
+    w, h, c, out = cd.jpeg_decode(cd.jpeg_encode(g, 16, 16, 1))
+    assert (w, h, c) == (16, 16, 1)
+    errs = [abs(a - b) for a, b in zip(g, out)]
+    assert sum(errs) / len(errs) < 8
+
+
+def test_jpeg_reference_pins():
+    """Checked-in byte/pixel pins: the encoder's output bytes AND the
+    decoder's pixel dump for fixed fixtures must not drift (both are
+    pure functions of the input)."""
+    import hashlib
+
+    px = bytes(((x * 31 + y * 17) % 256) for y in range(8) for x in range(8))
+    data = cd.jpeg_encode(px, 8, 8, 1)
+    assert hashlib.sha256(data).hexdigest() == (
+        "e78c53db33fcd18e2c8eb9452faa49986ec90732e9834a09929f646f7551a985"
+    )
+    _, _, _, out = cd.jpeg_decode(data)
+    assert hashlib.sha256(bytes(out)).hexdigest() == (
+        "8219e3eec47d33348d193f92d2ded1e97287679a4f805fdc6133963e8b006904"
+    )
+
+    px3 = bytes(
+        ((x * 20 + y * 13 + ch * 40) % 256)
+        for y in range(10)
+        for x in range(12)
+        for ch in range(3)
+    )
+    d3 = cd.jpeg_encode(px3, 12, 10, 3)
+    assert hashlib.sha256(d3).hexdigest() == (
+        "7f5b7859c820fa1f10a9964920637f52fa303df5b4c5febc839fdb56440b3947"
+    )
+    _, _, _, o3 = cd.jpeg_decode(d3)
+    assert hashlib.sha256(bytes(o3)).hexdigest() == (
+        "5b0fc050a26a5cd1fd1f871c1e7a58b9c41f6d6e81cf43863d6e58c46427be68"
+    )
+
+
+def test_jpeg_error_contracts():
+    """Garbage / truncation / unsupported-variant payloads all raise
+    the decode-error contract."""
+    with pytest.raises(ValueError):
+        cd.jpeg_decode(b"definitely not a jpeg")
+    data = cd.jpeg_encode(bytes([50, 60, 70] * 256), 16, 16, 3)
+    for cut in (6, 40, len(data) // 2):
+        with pytest.raises(ValueError):
+            cd.jpeg_decode(data[:cut])
+    # progressive SOF2 is rejected by name, not misdecoded
+    prog = bytearray(data)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        cd.jpeg_decode(bytes(prog))
+    with pytest.raises(NotImplementedError):
+        cd.jpeg_encode(bytes(16), 2, 2, 2)  # 2-channel unsupported
