@@ -691,8 +691,15 @@ def run_checks(
         )
     ]
     jobs = []
+    # lazy localCheckpoint, not persist: each frame is consumed twice
+    # (the verdict aggregation below + the returned violations frame),
+    # and the aggregation collect inside THIS call is the materializing
+    # action — one job, after which the caller's violations actions
+    # read the checkpointed partitions.  A persist here leaked one
+    # CacheManager entry per run_checks call for the session lifetime
+    # (round-3 fix, same class as the profile/minhash leaks).
     if fused is not None:
-        fused.persist()
+        fused = fused.localCheckpoint(eager=False)
         jobs.append(
             lambda: agg_rows.extend(
                 fused.groupBy("partition", "check_name")
@@ -701,7 +708,7 @@ def run_checks(
             )
         )
     if gviol is not None:
-        gviol.persist()
+        gviol = gviol.localCheckpoint(eager=False)
         jobs.append(
             lambda: agg_rows.extend(
                 gviol.groupBy("partition", "check_name")

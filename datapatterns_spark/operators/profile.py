@@ -657,27 +657,26 @@ def profile(
     return out.orderBy("sort_value").drop("sort_value", "_local_name", "_kind")
 
 
-# Melt width at which a reused intermediate's lineage gets truncated
-# (localCheckpoint) instead of cached (persist).  Catalyst re-optimizing
-# the melt expression tree per consumer is a serial driver cost that
-# grows with attribute count — measured dominant at the 39-type fixture,
-# negligible at a handful of columns, where keeping lineage preserves
-# scan pushdown visibility and lets AQE keep re-planning downstream.
-_LINEAGE_CUT_MIN_ATTRS = 12
-
-
 def _materialize(df: DataFrame, n_attrs: int) -> DataFrame:
     """Eagerly materialize a reused profile intermediate.
 
-    Eager either way — lazy caching would let the final job's parallel
-    branches race past an unpopulated cache and recompute the shared
-    melt + groupBy.  Wide melts additionally cut lineage (see
-    ``_LINEAGE_CUT_MIN_ATTRS``)."""
-    if n_attrs >= _LINEAGE_CUT_MIN_ATTRS:
-        return df.localCheckpoint()
-    df = df.persist()
-    df.count()
-    return df
+    Eager — lazy caching would let the final job's parallel branches
+    race past an unpopulated cache and recompute the shared melt +
+    groupBy.  localCheckpoint, NOT persist: a persisted frame sits in
+    the session CacheManager until explicitly unpersisted, so a
+    long-running driver profiling one ingest batch after another
+    (scripts/run_job.py, the streaming profile sink) would leak one
+    cached melt per call for the session's lifetime (round-3 fix —
+    the same defect class as the round-2 minhash persist leak; probe:
+    tests/test_operators.py::test_profile_leaves_no_cached_frames).
+    The checkpointed partitions are freed by the ContextCleaner once
+    the returned frame is unreferenced, and cutting lineage also
+    removes the per-consumer Catalyst re-optimization of the melt
+    expression tree (a serial driver cost, measured dominant at the
+    39-type fixture).  Interleaved flagship A/B at 4.8M turns:
+    persist 17.9/18.7 s vs localCheckpoint 19.7/16.8 s — identical
+    within this host's documented variance window."""
+    return df.localCheckpoint()
 
 
 def _profile_flat(
@@ -860,8 +859,10 @@ def _profile_flat(
 
     # --- popular / rare text patterns (A8 + J3) ---
     if params.has("patterns") and params.max_patterns > 0:
-        # persisted: the top-k, bottom-k and anti-join branches would
-        # otherwise each recompute the melt + pattern aggregation
+        # checkpointed: the top-k, bottom-k and anti-join branches
+        # would otherwise each recompute the melt + pattern
+        # aggregation.  localCheckpoint, not persist — see
+        # _materialize (persist leaks a CacheManager entry per call)
         pat = (
             stats_src.filter(filled)
             .withColumn("data_pattern", finish_pattern(F.col("pattern")))
@@ -870,7 +871,7 @@ def _profile_flat(
                 F.sum("cnt").alias("rec_count"),
                 F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
             )
-            .persist()
+            .localCheckpoint()
         )
         pieces.extend(_pattern_pieces(pat, params, name_prefix))
 

@@ -343,3 +343,42 @@ def test_validation_readme_walkthrough(spark):
     assert fixed["AAYY"]["opening_price"] == "2"     # reassigned
     assert fixed["AAPL"]["opening_price"] == "172.26"  # untouched
     assert "validation_results" not in fix(checked, repairs).columns
+
+
+def test_profile_and_checks_leave_no_cached_frames(spark):
+    """profile() and run_checks() must not leave frames in the SQL
+    CacheManager after their results are materialized — a long-running
+    driver profiling/validating one ingest batch after another would
+    otherwise leak one cached intermediate per call for the session's
+    lifetime (round-3 fix: eager/lazy localCheckpoint instead of
+    persist, same defect class as the round-2 minhash leak)."""
+    from datapatterns_spark.operators import constraints as C
+
+    spark.catalog.clearCache()
+
+    def cache_empty():
+        return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    profile(
+        docs, field_list=["lang", "source", "text"], features=("patterns",)
+    ).collect()
+    assert cache_empty(), "profile(patterns) leaked a cached frame"
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    profile(li, mode="approx").collect()
+    assert cache_empty(), "profile(approx) leaked a cached frame"
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    verdicts, violations = C.run_checks(
+        ev,
+        [
+            C.unique("u", ["user_id", "ts"]),
+            C.row_rule("v", "value >= 0"),
+            C.monotonic("m", "ts", "user_id", "event_id"),
+        ],
+        key_cols=["event_id"],
+    )
+    verdicts.collect()
+    violations.count()
+    assert cache_empty(), "run_checks leaked a cached frame"
