@@ -1109,3 +1109,119 @@ def jpeg_features(data: bytes, grid: int = 4) -> list[float]:
     """4x4 mean-intensity grid features of a baseline JPEG payload."""
     w, h, c, px = jpeg_decode(data)
     return grid_features(px, w, h, c, grid=grid)
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG (RIFF container, Motion-JPEG video stream) — stdlib-only
+# on top of the baseline JPEG codec above.  Round-3 addition: a real
+# VIDEO container the frame-sampling path can decode end-to-end
+# (alongside animated GIF); MP4/H.264 remains the documented
+# format-out.  Public format knowledge: the RIFF/AVI layout is the
+# long-published Microsoft "AVI RIFF File Reference".
+# ---------------------------------------------------------------------------
+def avi_mjpeg_decode(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse an AVI container with an MJPEG video stream ->
+    ``(width, height, frame_duration_ms, [jpeg_frame_bytes, ...])``.
+    Frames stay JPEG-encoded (decode lazily with :func:`jpeg_decode`).
+    Non-MJPEG codecs and broken containers raise."""
+    import struct as _st
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (bad RIFF signature)")
+    w = h = 0
+    usec_per_frame = 40000  # 25 fps default
+    handler_ok = False
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int, in_movi: bool) -> None:
+        nonlocal w, h, usec_per_frame, handler_ok
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = _st.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError("truncated AVI payload (chunk past end)")
+            if cid == b"LIST":
+                ltype = data[body_start : body_start + 4]
+                walk(body_start + 4, body_start + size, ltype == b"movi")
+            elif cid == b"avih" and size >= 40:
+                (usec_per_frame,) = _st.unpack(
+                    "<I", data[body_start : body_start + 4]
+                )
+                w, h = _st.unpack(
+                    "<II", data[body_start + 32 : body_start + 40]
+                )
+            elif cid == b"strh" and size >= 8:
+                fcc_type = data[body_start : body_start + 4]
+                fcc_handler = data[body_start + 4 : body_start + 8]
+                if fcc_type == b"vids":
+                    if fcc_handler not in (b"MJPG", b"mjpg"):
+                        raise NotImplementedError(
+                            f"AVI video codec {fcc_handler!r} (MJPG only; "
+                            "MP4/H.264 have no stdlib decoder)"
+                        )
+                    handler_ok = True
+            elif in_movi and cid[2:4] in (b"dc", b"db"):
+                frames.append(bytes(data[body_start : body_start + size]))
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(data), False)
+    if not handler_ok:
+        raise ValueError("corrupt AVI payload (no MJPG video stream header)")
+    if not frames:
+        raise ValueError("corrupt AVI payload (no video frames)")
+    return w, h, max(1, usec_per_frame // 1000), frames
+
+
+def avi_mjpeg_encode(
+    frames: list[bytes | bytearray], width: int, height: int,
+    frame_ms: int = 40, channels: int = 3,
+) -> bytes:
+    """Encode raw frames (row-major 8-bit pixels) as an MJPEG AVI —
+    each frame JPEG-encoded, wrapped in the minimal RIFF structure the
+    decoder above (and any standard player) reads."""
+    import struct as _st
+
+    jpegs = [jpeg_encode(bytes(f), width, height, channels) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + _st.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = _st.pack(
+        "<IIIIIIIIIIIIII",
+        frame_ms * 1000,  # dwMicroSecPerFrame
+        0, 0, 0x10,       # maxbytespersec, padding, flags (AVIF_HASINDEX off)
+        len(jpegs), 0, 1, 0,  # totalframes, initialframes, streams, bufsize
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        # dwFlags wPriority wLanguage dwInitialFrames dwScale dwRate
+        # dwStart dwLength dwSuggestedBufferSize dwQuality dwSampleSize
+        + _st.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 1000 // frame_ms or 1,
+                   0, len(jpegs), 0, 0, 0)
+        + _st.pack("<hhhh", 0, 0, width, height)  # rcFrame
+    )
+    strf = _st.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + _st.pack("<I", len(riff_body)) + riff_body
+
+
+def avi_features(data: bytes, grid: int = 4) -> list[float]:
+    """Mean-intensity grid of an MJPEG AVI's FIRST frame."""
+    w, h, _, frames = avi_mjpeg_decode(data)
+    fw, fh, c, px = jpeg_decode(frames[0])
+    return grid_features(px, fw, fh, c, grid)

@@ -99,11 +99,13 @@ def extract_features(
                     return _cd.gif_features(b, grid=4)
                 if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     return _cd.audio_features(b, bins=dim)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    return _cd.avi_features(b, grid=4)
                 raise NotImplementedError(
                     "real decode supports 8-bit PNG, baseline JPEG, GIF, "
-                    "and PCM WAV payloads (stdlib codecs); MP4 needs codec "
-                    "libraries not in this environment — pass fake=True "
-                    "for the stub"
+                    "MJPEG AVI, and PCM WAV payloads (stdlib codecs); MP4 "
+                    "needs codec libraries not in this environment — pass "
+                    "fake=True for the stub"
                 )
 
         feats = fake_feats if fake else real_feats
@@ -156,11 +158,25 @@ def sample_frames(
                 if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     # audio "frames": one WAV slice per sampled window
                     return _cd.wav_slices(b, every_ms)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    # MJPEG AVI: constant frame duration from the
+                    # container header; emit the frame active at each
+                    # sampled instant, PNG-re-encoded (same output
+                    # convention as the GIF path)
+                    vw, vh, frame_ms, jpegs = _cd.avi_mjpeg_decode(b)
+                    total = frame_ms * len(jpegs)
+                    out = []
+                    for ts in range(0, total, every_ms):
+                        fi = min(ts // frame_ms, len(jpegs) - 1)
+                        fw, fh, fc, px = _cd.jpeg_decode(jpegs[fi])
+                        out.append((ts, _cd.png_encode(px, fw, fh, fc)))
+                    return out
                 if b[:6] not in _cd.GIF_SIGS:
                     raise NotImplementedError(
-                        "real frame sampling supports animated GIF and PCM "
-                        "WAV (stdlib codecs); MP4/H.264 need codec libraries "
-                        "not in this environment — pass fake=True for the stub"
+                        "real frame sampling supports animated GIF, MJPEG "
+                        "AVI, and PCM WAV (stdlib codecs); MP4/H.264 need "
+                        "codec libraries not in this environment — pass "
+                        "fake=True for the stub"
                     )
                 w, h, frs = _cd.gif_decode(b)
                 # timeline: frame i active on [start_i, start_i+delay_i)
@@ -298,18 +314,26 @@ def make_real_media_table(spark, n: int = 24, seed: int = 42) -> DataFrame:
 
     rows = []
     for i in range(n):
-        if i % 4 == 2:  # animated GIF rows: a bar sweeping across
+        if i % 4 == 2:  # video rows: GIF and MJPEG-AVI alternating
             w, h, nf = 16, 12, 4
-            frames = []
-            for f in range(nf):
-                px = bytearray(b"\x10\x10\x10" * (w * h))
-                bar = (f * w // nf + seed + i) % w
-                for y in range(h):
-                    o = (y * w + bar) * 3
-                    px[o : o + 3] = b"\xff\xc8\x00"
-                frames.append((250, px))
-            payload = _cd.gif_encode(frames, w, h)
-            meta = ("video", "gif", w, h, nf * 250)
+            if (i // 4) % 2:  # MJPEG AVI: brightness ramp frames
+                raw = [
+                    bytes(bytearray([(30 + 50 * f + seed + i) % 200] * (w * h * 3)))
+                    for f in range(nf)
+                ]
+                payload = _cd.avi_mjpeg_encode(raw, w, h, frame_ms=250)
+                meta = ("video", "avi", w, h, nf * 250)
+            else:  # animated GIF: a bar sweeping across
+                frames = []
+                for f in range(nf):
+                    px = bytearray(b"\x10\x10\x10" * (w * h))
+                    bar = (f * w // nf + seed + i) % w
+                    for y in range(h):
+                        o = (y * w + bar) * 3
+                        px[o : o + 3] = b"\xff\xc8\x00"
+                    frames.append((250, px))
+                payload = _cd.gif_encode(frames, w, h)
+                meta = ("video", "gif", w, h, nf * 250)
         elif i % 4 == 1:  # PNG image rows
             w, h = 24, 16
             px = bytearray(w * h * 3)

@@ -219,6 +219,9 @@ def test_extract_features_real_path(spark):
         elif payload[:6] in cd.GIF_SIGS:
             want = cd.gif_features(payload)
             kinds.add("gif")
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            want = cd.avi_features(payload)
+            kinds.add("avi")
         else:
             want = cd.audio_features(payload)
             kinds.add("wav")
@@ -226,12 +229,14 @@ def test_extract_features_real_path(spark):
         assert len(got) == 16
         assert all(abs(a - b) < 1e-6 for a, b in zip(got, want))
         assert out[mid]["n_bytes"] == len(payload)
-    assert kinds == {"png", "jpeg", "gif", "wav"}  # all four real paths ran
+    # all five real decode paths ran
+    assert kinds == {"png", "jpeg", "gif", "avi", "wav"}
 
 
 def test_sample_frames_real_path(spark):
-    """Non-fake frame sampling decodes the animated GIF timeline and
-    emits the frame active at each sampled instant, PNG-encoded."""
+    """Non-fake frame sampling decodes BOTH video containers (animated
+    GIF and MJPEG AVI) and emits the frame active at each sampled
+    instant, PNG-encoded."""
     from datapatterns_spark.operators.multimodal import (
         make_real_media_table,
         sample_frames,
@@ -246,15 +251,30 @@ def test_sample_frames_real_path(spark):
         by_media.setdefault(r["media_id"], []).append(r)
     src = {r["media_id"]: bytes(r["media"]) for r in media.collect()}
     assert set(by_media) == set(src)
+    containers = set()
     for mid, rows in by_media.items():
         rows.sort(key=lambda r: r["frame_ms"])
         # 4 frames x 250ms = 1000ms timeline, sampled at 0/300/600/900
         assert [r["frame_ms"] for r in rows] == [0, 300, 600, 900]
-        w, h, frames = cd.gif_decode(src[mid])
-        for r, want_fi in zip(rows, (0, 1, 2, 3)):
+        payload = src[mid]
+        if payload[:6] in cd.GIF_SIGS:
+            containers.add("gif")
+            w, h, frames = cd.gif_decode(payload)
+            want = [bytes(frames[fi][1]) for fi in (0, 1, 2, 3)]
+        else:
+            containers.add("avi")
+            w, h, frame_ms, jpegs = cd.avi_mjpeg_decode(payload)
+            assert frame_ms == 250
+            want = []
+            for ts in (0, 300, 600, 900):
+                fi = min(ts // frame_ms, len(jpegs) - 1)
+                _, _, _, px = cd.jpeg_decode(jpegs[fi])
+                want.append(bytes(px))
+        for r, w_px in zip(rows, want):
             fw, fh, fc, px = cd.png_decode(bytes(r["frame"]))
             assert (fw, fh, fc) == (w, h, 3)
-            assert bytes(px) == bytes(frames[want_fi][1])
+            assert bytes(px) == w_px
+    assert containers == {"gif", "avi"}  # both video containers ran
 
 
 def test_resize_media_real_path(spark):
@@ -506,3 +526,33 @@ def test_jpeg_error_contracts():
         cd.jpeg_decode(bytes(prog))
     with pytest.raises(NotImplementedError):
         cd.jpeg_encode(bytes(16), 2, 2, 2)  # 2-channel unsupported
+
+
+def test_avi_mjpeg_roundtrip():
+    """MJPEG-AVI encode -> decode: container metadata survives and
+    every frame's JPEG decodes to the source pixels within the
+    baseline-JPEG error envelope (exact for solid frames)."""
+    w, h = 16, 12
+    raw = [bytes(bytearray([40 + 60 * f] * (w * h * 3))) for f in range(4)]
+    data = cd.avi_mjpeg_encode(raw, w, h, frame_ms=100)
+    w2, h2, dur, jpegs = cd.avi_mjpeg_decode(data)
+    assert (w2, h2, dur, len(jpegs)) == (w, h, 100, 4)
+    for f, j in enumerate(jpegs):
+        fw, fh, fc, px = cd.jpeg_decode(j)
+        assert (fw, fh, fc) == (w, h, 3)
+        assert max(abs(p - (40 + 60 * f)) for p in px) <= 2
+
+
+def test_avi_error_contracts():
+    """Wrong RIFF type / truncation / non-MJPEG codec all raise."""
+    w, h = 8, 8
+    data = cd.avi_mjpeg_encode([bytes(w * h * 3)], w, h)
+    with pytest.raises(ValueError):
+        cd.avi_mjpeg_decode(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        cd.avi_mjpeg_decode(data[: len(data) // 2])
+    hacked = bytearray(data)
+    p = hacked.find(b"vidsMJPG")
+    hacked[p + 4 : p + 8] = b"H264"
+    with pytest.raises(NotImplementedError):
+        cd.avi_mjpeg_decode(bytes(hacked))
