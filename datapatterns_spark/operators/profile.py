@@ -128,6 +128,11 @@ class ProfileParams:
     # this take the partition-local candidate path instead of the
     # exact pattern histogram (near-unique pattern spaces = free text)
     approx_pattern_limit: int = 200_000
+    # False: skip the eager localCheckpoint materialization of reused
+    # intermediates, keeping full lineage in the returned plan (shared
+    # passes then re-run per consumer) -- for plan inspection or for
+    # embedding the profile inside a larger plan optimized whole
+    materialize: bool = True
     extras: dict = field(default_factory=dict)
 
     @property
@@ -601,6 +606,7 @@ def profile(
     lcb_limit: int = 64,
     allow_zero: bool = False,
     mode: str = "exact",
+    materialize: bool = True,
 ) -> DataFrame:
     """Profile every (selected) column of ``df``.
 
@@ -623,6 +629,7 @@ def profile(
         lcb_limit=min(max(lcb_limit, 0), 1000),
         allow_zero=allow_zero,
         mode=mode,
+        materialize=materialize,
     )
     attrs, children = walk_schema(df.schema, params.field_list)
     sampled = _deterministic_sample(df, params.sample_size)
@@ -657,7 +664,7 @@ def profile(
     return out.orderBy("sort_value").drop("sort_value", "_local_name", "_kind")
 
 
-def _materialize(df: DataFrame, n_attrs: int) -> DataFrame:
+def _materialize(df: DataFrame, n_attrs: int, enabled: bool = True) -> DataFrame:
     """Eagerly materialize a reused profile intermediate.
 
     Eager — lazy caching would let the final job's parallel branches
@@ -675,7 +682,14 @@ def _materialize(df: DataFrame, n_attrs: int) -> DataFrame:
     expression tree (a serial driver cost, measured dominant at the
     39-type fixture).  Interleaved flagship A/B at 4.8M turns:
     persist 17.9/18.7 s vs localCheckpoint 19.7/16.8 s — identical
-    within this host's documented variance window."""
+    within this host's documented variance window.
+
+    ``enabled=False`` (ProfileParams.materialize) returns the frame
+    untouched — full lineage kept, shared passes re-run per consumer;
+    for plan inspection (pushdown/pruning tests) or embedding the
+    profile inside a larger plan a caller optimizes whole."""
+    if not enabled:
+        return df
     return df.localCheckpoint()
 
 
@@ -745,7 +759,7 @@ def _profile_flat(
         # lineage-truncated — each consumer then plans against a leaf
         # scan instead of re-running Catalyst over the melt expression
         # tree, a measured driver-side serial cost (see _materialize)
-        hist = _materialize(derive(hist, params.need_flags, need_pattern), len(attrs))
+        hist = _materialize(derive(hist, params.need_flags, need_pattern), len(attrs), params.materialize)
         stats_src = hist
     elif params.need_flags:
         # fill/lengths/type-folds only: aggregate the melt directly
@@ -821,7 +835,7 @@ def _profile_flat(
     # base is one tiny row per attribute but costs a full input pass;
     # numeric-attr selection, low-card gating and the final assembly
     # all reuse it (see hist note)
-    base = _materialize(base, len(attrs))
+    base = _materialize(base, len(attrs), params.materialize)
 
     pieces = [base]
     prefixed = F.concat(F.lit(name_prefix), F.col("attribute"))
@@ -871,8 +885,9 @@ def _profile_flat(
                 F.sum("cnt").alias("rec_count"),
                 F.min(F.substring(F.col("value"), 1, plen)).alias("example"),
             )
-            .localCheckpoint()
         )
+        if params.materialize:
+            pat = pat.localCheckpoint()
         pieces.extend(_pattern_pieces(pat, params, name_prefix))
 
     # --- correlations (A12, Profile.ecl:1213-1260) ---
@@ -2179,10 +2194,10 @@ def _profile_flat_approx_v2(
     mats = {k: f for k, f in (("lp", lp), ("hv", heavy_pat), ("vh", vh)) if f is not None}
     if len(mats) > 1:
         with ThreadPoolExecutor(len(mats)) as ex:
-            futs = {k: ex.submit(_materialize, f, len(attrs)) for k, f in mats.items()}
+            futs = {k: ex.submit(_materialize, f, len(attrs), params.materialize) for k, f in mats.items()}
             mats = {k: f.result() for k, f in futs.items()}
     else:
-        mats = {k: _materialize(f, len(attrs)) for k, f in mats.items()}
+        mats = {k: _materialize(f, len(attrs), params.materialize) for k, f in mats.items()}
     lp, heavy_pat, vh = mats.get("lp"), mats.get("hv"), mats.get("vh")
     pat_frames = [f for f in (lp, heavy_pat) if f is not None]
     if vh is not None and derive_names:
@@ -2340,7 +2355,7 @@ def _profile_flat_approx_v1(
         ).drop("_q")
     # tiny (one row per attribute) but costs a full input pass; the
     # low-card listing and the final assembly both reuse it.
-    summary = _materialize(summary, len(attrs))
+    summary = _materialize(summary, len(attrs), params.materialize)
 
     need_pat_feature = params.has("patterns") and params.max_patterns > 0
     need_vh = params.has("modes") or (
@@ -2432,7 +2447,7 @@ def _profile_flat_approx_v1(
         # lineage — the per-consumer Catalyst re-optimization of the
         # melt subtree was the measured serial bottleneck at high
         # parallelism (see _materialize)
-        hist2 = _materialize(hist2, len(attrs))
+        hist2 = _materialize(hist2, len(attrs), params.materialize)
         _phase_mark("pass2_hist")
         if params.need_flags:
             typefold = hist2.groupBy("attribute").agg(
@@ -2501,7 +2516,7 @@ def _profile_flat_approx_v1(
             # materialized once for its three consumers (modes
             # max-join x2, breakdown)
         )
-        vh = _materialize(vh, len(attrs))
+        vh = _materialize(vh, len(attrs), params.materialize)
         _phase_mark("pass3_lowcard_vh")
         if params.has("modes"):
             pieces.append(_modes_piece(vh, name_prefix))

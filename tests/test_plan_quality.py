@@ -31,8 +31,13 @@ def test_profile_prunes_scan_columns(spark):
     """A 2-column profile of an 11-column parquet table must read only
     those 2 columns (ReadSchema pruning at the scan)."""
     df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    # materialize=False keeps full lineage (the default eagerly
+    # localCheckpoints the shared melt, which cuts the scan out of the
+    # returned plan) — the lazy plan here is exactly what executes at
+    # checkpoint time, so the pruning it shows is the pruning that runs
     prof = profile(df, field_list=["l_returnflag", "l_quantity"],
-                   features=("fill_rate", "cardinality"))
+                   features=("fill_rate", "cardinality"),
+                   materialize=False)
     plan = _plan(prof)
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scans, "no parquet scan with ReadSchema found"
