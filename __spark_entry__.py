@@ -545,6 +545,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return q.join(nrm, "vec_id")
 
+    def q_text_lm_score(spark, sf):
+        """Char-bigram LM quality scores (the CCNet-style perplexity
+        gate): model self-trained on the corpus, every doc scored by
+        mean add-alpha conditional log-prob.  Exact oracle: each ln()
+        term is quantized to integer 1e-9 units with the cross-engine
+        floor(x+0.5) rule and summed as longs."""
+        return TA.lm_quality_score(_t(spark, sf, "documents"))
+
     def q_text_contamination(spark, sf):
         """Benchmark decontamination: 8-gram overlap of the corpus
         against a planted eval set (every 40th document re-labeled).
@@ -880,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "text_redact": q_text_redact,
         "text_repetition": q_text_repetition,
+        "text_lm_score": q_text_lm_score,
         "text_contamination": q_text_contamination,
         "embedding_transform": q_embedding_transform,
         "pack_sequences": q_pack_sequences,
@@ -1345,6 +1354,36 @@ FROM ranked WHERE sample_rank <= 40
     text_fp_sql = xxh64_str_sql(
         "documents", ["doc_id"], norm_text, out="fp", cte_prefix="fp"
     )
+
+    # ---- text_lm_score (char-bigram LM, self-trained, add-alpha) ----
+    _lm_norm = _NORM_SQL.format(v="text")
+    text_lm_score_sql = f"""
+WITH lmnt AS MATERIALIZED (SELECT doc_id, {_lm_norm} AS s FROM documents),
+lmbg AS MATERIALIZED (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, length(s)),
+                               i -> substr(s, CAST(i AS INT), 2))) AS bg
+  FROM lmnt WHERE length(s) >= 2),
+lmmodel AS MATERIALIZED (SELECT bg, COUNT(*) AS cnt FROM lmbg GROUP BY bg),
+lmuni AS MATERIALIZED (
+  SELECT substr(bg, 1, 1) AS a, SUM(cnt) AS fcnt FROM lmmodel GROUP BY 1),
+lmv AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) + 1 AS v FROM lmmodel),
+lmlp AS (
+  SELECT b.doc_id,
+         CAST(FLOOR(LN((COALESCE(m.cnt, 0) + 0.5)
+                       / (COALESCE(u.fcnt, 0) + 0.5 * (SELECT v FROM lmv)))
+                    * 1000000000 + 0.5) AS BIGINT) AS lp9
+  FROM lmbg b
+  LEFT JOIN lmmodel m USING (bg)
+  LEFT JOIN lmuni u ON substr(b.bg, 1, 1) = u.a),
+lmagg AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp9) AS s
+          FROM lmlp GROUP BY doc_id)
+SELECT lmnt.doc_id AS id,
+       CAST(COALESCE(lmagg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(ROUND(lmagg.s / (lmagg.n_bigrams * 1000000000.0), 6), 0.0)
+         AS lm_score
+FROM lmnt LEFT JOIN lmagg USING (doc_id)
+"""
 
     # ---- text_contamination (8-gram eval overlap) ----
     _ct_norm = _NORM_SQL.format(v="text")
@@ -2417,6 +2456,7 @@ FROM src GROUP BY attribute
         "multimodal_frames": multimodal_frames_sql,
         "text_redact": text_redact_sql,
         "text_repetition": text_repetition_sql,
+        "text_lm_score": text_lm_score_sql,
         "text_contamination": text_contamination_sql,
         "embedding_transform": embedding_transform_sql,
         "pack_sequences": pack_sequences_sql,

@@ -87,6 +87,121 @@ def fingerprint(col: Column) -> Column:
     return F.xxhash64(normalized_text(col))
 
 
+# ---------------------------------------------------------------------------
+# character-bigram language-model quality scoring (round 3)
+# ---------------------------------------------------------------------------
+def _char_bigrams(text_col: Column) -> Column:
+    """Array of character bigrams of the normalized text (empty for
+    texts shorter than 2 chars — sequence(1, 0) would DESCEND in
+    Spark, so the short case is guarded explicitly)."""
+    s = normalized_text(text_col)
+    n = F.length(s) - F.lit(1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substr(s, i, F.lit(2))
+    )
+    return F.when(n >= 1, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_bigram_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Train data for the character-bigram LM: ``(bg, cnt)`` counts
+    over the corpus's normalized text.  One scan -> explode ->
+    map-side-combinable groupBy; the result is bounded by the squared
+    character alphabet (a few thousand rows at any corpus size), so it
+    broadcasts."""
+    return (
+        df.select(F.explode(_char_bigrams(F.col(text_col))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def lm_quality_score(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document language-model quality score — the CCNet-style
+    perplexity gate of web-scale curation pipelines (Wenzek et al.
+    2020 use a 5-gram KenLM; this is the dependency-free char-bigram
+    analogue with identical plumbing): average add-alpha conditional
+    log-probability ``mean ln P(b|a)`` of the document's normalized
+    character stream under ``model`` (``char_bigram_counts`` output;
+    trained on ``df`` itself when None).  Natural-language text scores
+    high; mojibake/binary spew/repetitive boilerplate score low —
+    threshold on ``lm_score`` as a curation gate.
+
+    Returns ``(id, n_bigrams, lm_score)`` with score 0.0 for
+    sub-2-char docs.  Scale shape: the model aggregate is bounded by
+    the squared alphabet and BROADCAST to both joins; the corpus is
+    scanned once and shuffles only the slim per-doc partial sums
+    (map-side combine).  Cross-engine determinism: each ln() term is
+    quantized to integer 1e-9 units with the floor(x+0.5) rule (the
+    one rounding identical across engines), summed exactly as longs,
+    and only the final mean is rounded."""
+    if model is None:
+        model = char_bigram_counts(df, text_col)
+    # conditional denominators c(a.) and the alphabet size V (distinct
+    # successor chars + 1 unseen slot) — both tiny, derived from the
+    # model, evaluated once
+    uni = model.groupBy(F.substring("bg", 1, 1).alias("_a")).agg(
+        F.sum("cnt").alias("fcnt")
+    )
+    vocab = model.select(
+        F.countDistinct(F.substring("bg", 2, 1)).alias("v")
+    ).collect()[0]["v"] + 1
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(_char_bigrams(F.col(text_col))).alias("bg"),
+    )
+    scored = (
+        docs.join(F.broadcast(model), "bg", "left")
+        .join(
+            F.broadcast(uni),
+            F.substring("bg", 1, 1) == F.col("_a"),
+            "left",
+        )
+        .select(
+            "id",
+            F.when(F.col("bg").isNull(), F.lit(None)).otherwise(
+                F.floor(
+                    F.log(
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                        / (
+                            F.coalesce(F.col("fcnt"), F.lit(0))
+                            + F.lit(alpha * vocab)
+                        )
+                    )
+                    * F.lit(1e9)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("lp9"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("lp9").alias("n_bigrams"),
+            F.sum("lp9").alias("_s"),
+        )
+        .select(
+            "id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(F.col("_s") / (F.col("n_bigrams") * F.lit(1e9)), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lm_score"),
+        )
+    )
+
+
 # winnowing (MOSS-style document fingerprinting): polynomial rolling
 # hash over character k-grams, then the minimum of every w-window of
 # consecutive k-gram hashes.  The selected set is the classic

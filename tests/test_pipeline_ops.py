@@ -1096,3 +1096,71 @@ def test_ivf_empty_query_schema_matches_nonempty(spark):
     empty = S.ivf_topk(emb, qs.limit(0), query_id_col="qid", k=5)
     assert empty.schema == nonempty.schema
     assert empty.collect() == []
+
+
+def test_lm_quality_score_differential(spark):
+    """Char-bigram LM scoring matches a pure-Python replay of the same
+    add-alpha arithmetic exactly (integer-quantized terms), including
+    the sub-2-char zero case; natural text outscores keyboard mash
+    under a model trained on natural text."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quiet brown fox rests under the old tree"),
+        (3, "zxqj vwkp qqqq zzzz xjxj wqwq"),
+        (4, "a"),
+        (5, None),
+        (6, "the dog and the fox and the tree are there"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in TA.lm_quality_score(df).collect()}
+
+    def norm(t):
+        t = (t or "").lower()
+        t = _re.sub(r"[!-/:-@\[-`{-~]", " ", t)
+        return _re.sub(r"\s+", " ", t).strip()
+
+    grams = {}
+    model = Counter()
+    for did, t in rows:
+        s = norm(t)
+        g = [s[i : i + 2] for i in range(len(s) - 1)] if len(s) >= 2 else []
+        grams[did] = g
+        model.update(g)
+    uni = Counter()
+    for bg, c in model.items():
+        uni[bg[0]] += c
+    v = len({bg[1] for bg in model}) + 1
+    for did, g in grams.items():
+        if not g:
+            assert (out[did]["n_bigrams"], out[did]["lm_score"]) == (0, 0.0)
+            continue
+        s9 = sum(
+            math.floor(
+                math.log((model[bg] + 0.5) / (uni[bg[0]] + 0.5 * v)) * 1e9 + 0.5
+            )
+            for bg in g
+        )
+        assert out[did]["n_bigrams"] == len(g)
+        assert abs(out[did]["lm_score"] - round(s9 / (len(g) * 1e9), 6)) < 1e-9
+    # ranking property: mash scores below every natural-text doc
+    assert out[3]["lm_score"] < min(out[i]["lm_score"] for i in (1, 2, 6))
+
+
+def test_lm_quality_score_external_model(spark):
+    """Scoring a batch under a PRE-TRAINED model (the incremental /
+    cross-corpus shape): unseen bigrams fall back to the alpha floor
+    instead of erroring."""
+    train = spark.createDataFrame(
+        [(1, "aaab aaab aaab")], "doc_id long, text string"
+    )
+    model = TA.char_bigram_counts(train)
+    score = spark.createDataFrame(
+        [(9, "aaab"), (10, "zzzz")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in TA.lm_quality_score(score, model=model).collect()}
+    assert out[9]["lm_score"] > out[10]["lm_score"]
+    assert out[10]["n_bigrams"] == 3
