@@ -714,6 +714,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         decisions, _ = incremental_minhash_dedup(b2, store, threshold=0.7)
         return decisions
 
+    def q_dedup_spans(spark, sf):
+        """Exact-substring duplicate SPANS (Lee et al. 2022 suffix-
+        array dedup, n-gram formulation): maximal token spans covered
+        by 8-grams occurring >= 2 times corpus-wide, merged per doc.
+        Output is pure integer positions, so the oracle replays the
+        pipeline on gram STRINGS (the Spark side joins on xxhash64 of
+        the gram — a collision would only over-merge, ~1e-11 at this
+        scale)."""
+        return D.duplicate_token_spans(
+            _t(spark, sf, "documents"), "text", "doc_id", n=8, min_count=2
+        )
+
     def q_dedup_components(spark, sf):
         """Near-dup pairs -> dedup clusters + canonical keep-list via
         large-star/small-star connected components."""
@@ -882,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_record_structure": q_best_record,
         "apply_best_types": q_apply_best_types,
         "sample_stratified": q_sample_stratified,
+        "dedup_spans": q_dedup_spans,
         "dedup_components": q_dedup_components,
         "dedup_conversations": q_dedup_conversations,
         "dedup_incremental": q_dedup_incremental,
@@ -1708,6 +1721,35 @@ SELECT f.conv, g.canonical, (f.conv = g.canonical) AS keep
 FROM fps f JOIN grp g USING (n_turns, fp_xor, fp_sum)
 """
 
+
+    # ---- dedup_spans (exact-substring duplicate spans, n=8) ----
+    _ds_norm = _NORM_SQL.format(v="text")
+    dedup_spans_sql = f"""
+WITH dsn AS MATERIALIZED (SELECT doc_id, {_ds_norm} AS s FROM documents),
+dst AS (SELECT doc_id, string_split(s, ' ') AS tk FROM dsn),
+dpos AS MATERIALIZED (
+  SELECT doc_id, CAST(UNNEST(range(1, len(tk) - 6)) AS INT) AS i, tk
+  FROM dst WHERE len(tk) >= 8),
+dgr AS (SELECT doc_id, i, tk[i + 0] || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] || ' ' || tk[i + 4] || ' ' || tk[i + 5] || ' ' || tk[i + 6] || ' ' || tk[i + 7] AS g FROM dpos),
+dhot AS (SELECT g FROM dgr GROUP BY g HAVING COUNT(*) >= 2),
+ddup AS (SELECT doc_id, i, i + 7 AS e FROM dgr WHERE g IN (SELECT g FROM dhot)),
+dmrk AS (
+  SELECT doc_id, i, e,
+         CASE WHEN i > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS nw
+  FROM ddup),
+disl AS (
+  SELECT doc_id, i, e,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM dmrk)
+SELECT doc_id AS id, CAST(MIN(i) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(MAX(e) - MIN(i) + 1 AS BIGINT) AS span_tokens
+FROM disl GROUP BY doc_id, isl
+"""
+
     # ---- dedup_components: CC over the minhash pairs ----
     # Independent algorithm as the oracle: a recursive label-
     # propagation closure (min reachable id per node) vs Spark's
@@ -2447,6 +2489,7 @@ FROM src GROUP BY attribute
         "best_record_structure": best_record_sql,
         "apply_best_types": apply_best_types_sql,
         "sample_stratified": sample_stratified_sql,
+        "dedup_spans": dedup_spans_sql,
         "dedup_components": dedup_components_sql,
         "dedup_conversations": dedup_conversations_sql,
         "dedup_incremental": dedup_incremental_sql,

@@ -184,6 +184,98 @@ def ngram_jaccard_pairs(
     return out
 
 
+def duplicate_token_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_count: int = 2,
+) -> DataFrame:
+    """EXACT-substring duplicate spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    their suffix-array pass at a 50-token threshold, re-expressed as
+    a distributed n-gram formulation): every maximal token span of a
+    document covered by word ``n``-grams occurring at least
+    ``min_count`` times ACROSS THE CORPUS.  Downstream curation cuts
+    or down-weights these spans (licence boilerplate, templated
+    pages, quoted chunks) instead of dropping whole documents.
+
+    Returns ``(id, span_start, span_end, span_tokens)`` — 1-based
+    token positions over the normalized text, overlapping/adjacent
+    spans merged per document.
+
+    Scale shape: one corpus scan explodes positioned n-grams; the
+    duplicated-gram set comes from a map-side-combinable
+    ``groupBy(gram)`` count (never a self-join), re-joined by gram
+    hash; span merging is a per-document window — bounded by document
+    length, so no hot-key risk at web scale (documents are bounded;
+    the corpus-wide work is the two shuffles).  Suffix arrays find
+    duplicates of ANY length >= threshold; the n-gram formulation
+    needs >= n shared tokens to light up — the standard trade for a
+    shuffle-native implementation."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    cnt = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.xxhash64(
+                    F.concat_ws(" ", F.slice(toks, i, n))
+                ).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,g:bigint>>"))
+    pos = df.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("p")
+    ).select("id", F.col("p.i").alias("i"), F.col("p.g").alias("g"))
+    # duplicated grams: count >= min_count corpus-wide (partial aggs
+    # combine map-side; a boilerplate gram in 10M docs is ONE row out)
+    hot = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= F.lit(min_count))
+        .select("g")
+    )
+    dup = pos.join(hot, "g", "left_semi").select(
+        "id", "i", (F.col("i") + F.lit(n - 1)).alias("e")
+    )
+    # gaps-and-islands per doc: a position starts a new span when it
+    # clears the running max end of everything before it (+1 merges
+    # token-adjacent spans into one contiguous duplicated region)
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = dup.withColumn(
+        "_new",
+        F.when(
+            F.col("i") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_isl", F.sum("_new").over(w_run))
+    return (
+        marked.groupBy("id", "_isl")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

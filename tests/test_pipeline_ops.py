@@ -1164,3 +1164,32 @@ def test_lm_quality_score_external_model(spark):
     out = {r["id"]: r for r in TA.lm_quality_score(score, model=model).collect()}
     assert out[9]["lm_score"] > out[10]["lm_score"]
     assert out[10]["n_bigrams"] == 3
+
+
+def test_duplicate_token_spans(spark):
+    """Exact-substring duplicate spans: a 10-token run shared by two
+    docs lights up as one merged span in each (8-grams at positions
+    1..3 of the run overlap-merge); unique text emits nothing;
+    within-doc repetition counts toward the corpus threshold."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"{shared} one two three"),
+        (2, f"zero {shared}"),
+        (3, "totally unique words nothing repeats here at all ever done"),
+        # within-doc repeat: the same 8 tokens twice in ONE doc
+        (4, "p q r s t u v w filler p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in D.duplicate_token_spans(df, "text", "doc_id", n=8).collect():
+        out.setdefault(r["id"], []).append(
+            (r["span_start"], r["span_end"], r["span_tokens"])
+        )
+    # doc 1: shared run at tokens 1-10 -> grams at 1,2,3 merge to [1,10]
+    assert out[1] == [(1, 10, 10)]
+    # doc 2: same run shifted by the leading token -> [2,11]
+    assert out[2] == [(2, 11, 10)]
+    assert 3 not in out
+    # doc 4: both copies of the 8-token run are duplicated grams
+    # (positions 1 and 10); they don't touch, so two spans
+    assert sorted(out[4]) == [(1, 8, 8), (10, 17, 8)]
