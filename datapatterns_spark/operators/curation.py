@@ -31,6 +31,8 @@ def curate_documents(
     minhash_threshold: float = 0.8,
     max_dup_line_frac: float | None = None,
     max_top_ngram_char_frac: float | None = None,
+    min_lm_score: float | None = None,
+    lm_model: DataFrame | None = None,
 ) -> DataFrame:
     """Curated ``(doc_id, lang_guess, quality, [pii_total,] text)``.
 
@@ -79,6 +81,23 @@ def curate_documents(
             d = d.filter(
                 rc["top_ngram_char_frac"] <= float(max_top_ngram_char_frac)
             )
+    if min_lm_score is not None:
+        # CCNet-style LM perplexity gate: score the gated batch under
+        # ``lm_model`` (a char_bigram_counts frame — pass a model
+        # trained on a reference corpus for cross-batch-stable
+        # thresholds; None self-trains on this batch) and keep docs
+        # scoring at or above the floor.  The model broadcast-joins;
+        # the only added shuffle is the slim per-doc score agg.
+        from .textanalysis import lm_quality_score
+
+        scores = lm_quality_score(
+            d, model=lm_model, text_col="text", id_col="doc_id"
+        ).select(F.col("id").alias("doc_id"), "lm_score")
+        d = (
+            d.join(scores, "doc_id")
+            .filter(F.col("lm_score") >= float(min_lm_score))
+            .drop("lm_score")
+        )
 
     if dedup == "exact":
         d = d.withColumn("_k", F.xxhash64(normalized_text(F.col("text"))))

@@ -276,6 +276,59 @@ def duplicate_token_spans(
     )
 
 
+def cut_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove the duplicated token spans found by
+    :func:`duplicate_token_spans` from each document — span-level
+    cutting (keep the document, drop the boilerplate) instead of
+    whole-document dedup.
+
+    Returns ``(id, text, n_tokens_cut)`` where ``text`` is the
+    NORMALIZED token stream with covered positions removed (positions
+    are 1-based over the normalized split, matching the span frame).
+    Docs without spans pass through with ``n_tokens_cut = 0``.
+
+    Scale shape: the span list is collected per doc (bounded by
+    document length), joined once; the cut itself is a single
+    higher-order-expression projection — no extra corpus shuffle
+    beyond the span join."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    sp = spans.groupBy(F.col("id")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    empty_spans = F.array().cast(
+        "array<struct<span_start:bigint,span_end:bigint>>"
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_tk")).join(
+        sp, "id", "left"
+    ).select("id", "_tk", F.coalesce(F.col("_spans"), empty_spans).alias("_spans"))
+    n = F.size("_tk")
+    indexed = F.when(
+        n >= 1,
+        F.zip_with(
+            F.col("_tk"),
+            F.sequence(F.lit(1), n),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+    ).otherwise(F.array().cast("array<struct<t:string,i:int>>"))
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("_spans"),
+            lambda b: (s["i"] >= b["span_start"]) & (s["i"] <= b["span_end"]),
+        ),
+    )
+    return base.select(
+        "id",
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text"),
+        (n - F.size(kept)).cast("long").alias("n_tokens_cut"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -1193,3 +1193,51 @@ def test_duplicate_token_spans(spark):
     # doc 4: both copies of the 8-token run are duplicated grams
     # (positions 1 and 10); they don't touch, so two spans
     assert sorted(out[4]) == [(1, 8, 8), (10, 17, 8)]
+
+
+def test_cut_duplicate_spans(spark):
+    """Span-level cutting: the duplicated run is removed from each
+    doc's normalized token stream, unique docs pass through unchanged
+    (normalized), and cut counts match span lengths."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"{shared} one two three"),
+        (2, f"zero {shared}"),
+        (3, "Totally unique, words - nothing repeats here at all ever done"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = D.duplicate_token_spans(df, "text", "doc_id", n=8)
+    out = {r["id"]: r for r in D.cut_duplicate_spans(df, spans).collect()}
+    assert out[1]["text"] == "one two three" and out[1]["n_tokens_cut"] == 10
+    assert out[2]["text"] == "zero" and out[2]["n_tokens_cut"] == 10
+    assert out[3]["text"] == (
+        "totally unique words nothing repeats here at all ever done"
+    )
+    assert out[3]["n_tokens_cut"] == 0
+
+
+def test_curate_documents_lm_gate(spark):
+    """min_lm_score gates mojibake out under a model trained on the
+    natural-text majority (self-trained here); the pre-trained-model
+    path keeps thresholds stable across batches."""
+    from datapatterns_spark.operators.curation import curate_documents
+
+    nat = [
+        (i, "the quick brown fox jumps over the lazy dog again and again")
+        for i in range(10)
+    ]
+    rows = nat + [(99, "zxqj vwkp qqqq zzzz xjxj wqwq zzkk qqjj")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # find a floor between the mash score and the natural score
+    scored = {
+        r["id"]: r["lm_score"]
+        for r in TA.lm_quality_score(df).collect()
+    }
+    floor = (scored[99] + scored[0]) / 2
+    out = curate_documents(df, dedup=None, min_lm_score=floor)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 99 not in kept and 0 in kept
+    # pre-trained model path: same gate driven by an external model
+    model = TA.char_bigram_counts(spark.createDataFrame(nat, "doc_id long, text string"))
+    out2 = curate_documents(df, dedup=None, min_lm_score=floor, lm_model=model)
+    assert 99 not in {r["doc_id"] for r in out2.collect()}
