@@ -346,6 +346,9 @@ def run_suite() -> dict:
         "pack_sequences",
         "dedup_conversations",
         "dedup_incremental_minhash",
+        # round-3 additions: LM quality gate + exact-substring spans
+        "text_lm_score",
+        "dedup_spans",
     ]
     for name in headline:
         # Warm this query's exact plan shapes (codegen/JIT/AQE are
