@@ -30,6 +30,12 @@ table.stats td{padding:1px 10px 1px 0}
 .barrow{font-size:11px;font-family:monospace;white-space:nowrap}
 .fillwrap{background:#eee;width:160px;display:inline-block;height:10px}
 .section{font-size:11px;color:#888;text-transform:uppercase;margin-top:8px}
+details.card>summary{cursor:pointer;list-style:none;display:flex;
+align-items:baseline;gap:12px}
+details.card>summary::before{content:'\25BE';color:#999;font-size:11px}
+details.card[open]>summary{margin-bottom:6px}
+details.card:not([open])>summary::before{content:'\25B8'}
+details.card>summary h2{display:inline;margin:0}
 """
 
 
@@ -188,9 +194,13 @@ def render_profile_html(profile_df: DataFrame, title: str = "Data Profile") -> s
         if row.get("cardinality") is not None:
             meta_bits.append(f"cardinality {row['cardinality']}")
         meta_bits.append(f"rows {rec}")
+        # <details open>: each attribute card folds/unfolds natively —
+        # the zero-JS answer to the reference report's interactive
+        # ECL-Watch widget (index.ts); default-open keeps the printed
+        # / fully-expanded reading identical to previous rounds
         parts = [
-            f"<div class='card'><h2>{_esc(row['attribute'])}</h2>",
-            f"<div class='meta'>{' &middot; '.join(meta_bits)}</div>",
+            f"<details class='card' open><summary><h2>{_esc(row['attribute'])}</h2>",
+            f"<span class='meta'>{' &middot; '.join(meta_bits)}</span></summary>",
             fill_html,
         ]
         lengths = [row.get(k) for k in ("min_length", "max_length", "ave_length")]
@@ -231,7 +241,7 @@ def render_profile_html(profile_df: DataFrame, title: str = "Data Profile") -> s
                 "<div class='section'>correlations</div>"
                 f"<table class='stats'>{corr_rows}</table>"
             )
-        parts.append("</div>")
+        parts.append("</details>")
         cards.append("".join(parts))
     return (
         "<!doctype html><html><head><meta charset='utf-8'>"

@@ -149,3 +149,17 @@ def test_read_orc_roundtrip(spark, tmp_path):
     df.write.orc(out)
     back = read_orc(spark, out)
     assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_report_cards_are_collapsible(spark):
+    """Round-3: each attribute card is a native <details open> block —
+    fold/unfold interactivity with zero JS (the static answer to the
+    reference report's interactive widget)."""
+    df = spark.createDataFrame(
+        [("Dan", 100), ("Mia", 300)], "name string, amount int"
+    )
+    html_text = render_profile_html(profile(df))
+    assert html_text.count("<details class='card' open>") == 2
+    assert html_text.count("</details>") == 2
+    assert html_text.count("<summary>") == 2
+    assert "<script" not in html_text  # still dependency-free
