@@ -138,3 +138,119 @@ def test_dedup_sink_stream(spark, tmp_path):
     assert spark.read.parquet(store_p).select("fp").distinct().count() == 25
     # survivors map 1:1 onto distinct fingerprints
     assert uniques.select("fp").distinct().count() == 25
+
+
+def test_sessionize_conversations_equals_batch(spark, tmp_path, multi_file_input):
+    """The applyInPandasWithState session summary, driven through a
+    real readStream over multiple micro-batches, converges to EXACTLY
+    the batch conversation_fingerprints folds (count / bit_xor /
+    decimal sum) plus correct first/last timestamps."""
+    from datapatterns_spark.operators.dedup import conversation_fingerprints
+    from datapatterns_spark.streaming import sessionize_conversations
+
+    in_path, batch_df = multi_file_input
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+    out = sessionize_conversations(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    rows = spark.sql("select * from sess_mem").collect()
+    assert rows and all(not r["closed"] for r in rows)
+    # latest update per conversation = the full-session summary
+    final = {}
+    for r in rows:
+        if r["conv"] not in final or r["n_turns"] > final[r["conv"]]["n_turns"]:
+            final[r["conv"]] = r
+    want = {
+        r["conv"]: r
+        for r in conversation_fingerprints(batch_df).collect()
+    }
+    assert set(final) == set(want)
+    for conv, w in want.items():
+        got = final[conv]
+        assert got["n_turns"] == w["n_turns"]
+        assert got["fp_xor"] == w["fp_xor"]
+        assert got["fp_sum"] == str(w["fp_sum"])  # decimal(38,0) vs str
+    # timestamps: min/max of the conversation's ts in millis
+    ts = {
+        r["conv_id"]: r
+        for r in batch_df.groupBy("conv_id")
+        .agg(
+            (F.min(F.col("ts").cast("double")) * 1000).cast("long").alias("f"),
+            (F.max(F.col("ts").cast("double")) * 1000).cast("long").alias("l"),
+        )
+        .collect()
+    }
+    for conv, got in final.items():
+        assert (got["first_ts"], got["last_ts"]) == (ts[conv]["f"], ts[conv]["l"])
+
+
+def test_sessionize_conversations_timeout_closes(spark, tmp_path):
+    """With timeout_ms set, an idle conversation emits one final
+    closed=true row and drops its state (processing-time timeout —
+    the bounded-state guarantee).  NOTE: a ProcessingTimeTimeout query
+    runs continuous no-data state-cleanup batches, so
+    processAllAvailable never settles — the test POLLS the memory
+    sink instead (the cleanup batches are also what fire the timeouts
+    without any new data arriving)."""
+    import time as _time
+
+    from datapatterns_spark.operators.dedup import conversation_fingerprints
+    from datapatterns_spark.streaming import sessionize_conversations
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    batch = spark.createDataFrame(
+        [
+            ("A", 0, "user", "hello", "", None),
+            ("A", 1, "assistant", "world", "", None),
+            ("B", 0, "user", "x", "", None),
+        ],
+        schema,
+    )
+    in_dir = tmp_path / "sess_in"
+    batch.coalesce(1).write.mode("overwrite").parquet(str(in_dir / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(in_dir) + "/*")
+    out = sessionize_conversations(stream, timeout_ms=500)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_to")
+        .option("checkpointLocation", str(tmp_path / "ckpt_to"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 90
+        rows = []
+        while _time.time() < deadline:
+            rows = spark.sql("select * from sess_to").collect()
+            if {r["conv"] for r in rows if r["closed"]} >= {"A", "B"}:
+                break
+            _time.sleep(1.0)
+    finally:
+        q.stop()
+    closed = {r["conv"]: r for r in rows if r["closed"]}
+    assert set(closed) == {"A", "B"}, [str(r) for r in rows]
+    # the closing summary carries the FULL session fold — equal to the
+    # batch fingerprints
+    want = {r["conv"]: r for r in conversation_fingerprints(batch).collect()}
+    for conv, w in want.items():
+        assert closed[conv]["n_turns"] == w["n_turns"]
+        assert closed[conv]["fp_xor"] == w["fp_xor"]
+        assert closed[conv]["fp_sum"] == str(w["fp_sum"])
+    # open (running-summary) rows were emitted before the close
+    assert {r["conv"] for r in rows if not r["closed"]} >= {"A", "B"}
