@@ -801,9 +801,12 @@ def jpeg_encode(px: bytes | bytearray, w: int, h: int, c: int) -> bytes:
         raise NotImplementedError(f"jpeg_encode: {c} channels (1 or 3)")
 
     out = bytearray(b"\xff\xd8")  # SOI
-    # DQT (zigzag order per spec)
+    # DQT — T.81 B.2.4.1: element k of the segment is the quantizer for
+    # zigzag position k, so the natural-raster Annex K tables must be
+    # permuted through _ZIGZAG on write (the decoder reads them back
+    # zigzag-indexed, as any spec-compliant decoder does)
     for tid, qt in ((0, _QT_LUMA), (1, _QT_CHROMA))[: 1 if c == 1 else 2]:
-        zz = bytes(qt[i] for i in range(64))
+        zz = bytes(qt[_ZIGZAG[k]] for k in range(64))
         out += b"\xff\xdb" + _st.pack(">H", 3 + 64) + bytes([tid]) + zz
     # SOF0
     out += b"\xff\xc0" + _st.pack(">H", 8 + 3 * len(planes)) + bytes([8])
@@ -837,7 +840,11 @@ def jpeg_encode(px: bytes | bytearray, w: int, h: int, c: int) -> bytes:
         list(_component_blocks(p, w, h)) for p in planes
     ]
     preds = [0] * len(planes)
-    qt_zz = [[qts[ci][i] for i in range(64)] for ci in range(len(planes))]
+    # zigzag-indexed view of the natural-raster tables, matching the
+    # DQT bytes above and _fdct_quant's zigzag coefficient order
+    qt_zz = [
+        [qts[ci][_ZIGZAG[k]] for k in range(64)] for ci in range(len(planes))
+    ]
     for mcu in range(len(gens[0])):
         for ci in range(len(planes)):
             coeffs = _fdct_quant(gens[ci][mcu], qt_zz[ci])

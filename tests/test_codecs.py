@@ -486,11 +486,11 @@ def test_jpeg_reference_pins():
     px = bytes(((x * 31 + y * 17) % 256) for y in range(8) for x in range(8))
     data = cd.jpeg_encode(px, 8, 8, 1)
     assert hashlib.sha256(data).hexdigest() == (
-        "e78c53db33fcd18e2c8eb9452faa49986ec90732e9834a09929f646f7551a985"
+        "89d79a1682ca6624ff8d78c02bec8802c3eb621a15a11ebf427d41866d24b2ec"
     )
     _, _, _, out = cd.jpeg_decode(data)
     assert hashlib.sha256(bytes(out)).hexdigest() == (
-        "8219e3eec47d33348d193f92d2ded1e97287679a4f805fdc6133963e8b006904"
+        "9ec93bfbff4afeb30e774719171bd53f6b72879b6160296b50becf2c3498b6a0"
     )
 
     px3 = bytes(
@@ -501,11 +501,11 @@ def test_jpeg_reference_pins():
     )
     d3 = cd.jpeg_encode(px3, 12, 10, 3)
     assert hashlib.sha256(d3).hexdigest() == (
-        "7f5b7859c820fa1f10a9964920637f52fa303df5b4c5febc839fdb56440b3947"
+        "61e9ea1ab1722df0d9a60ff42dcee05ddddbd191b97055b1c9e05ae0eaf189fc"
     )
     _, _, _, o3 = cd.jpeg_decode(d3)
     assert hashlib.sha256(bytes(o3)).hexdigest() == (
-        "5b0fc050a26a5cd1fd1f871c1e7a58b9c41f6d6e81cf43863d6e58c46427be68"
+        "724b6336c780a243a95d2acc60f46b0d97a330a0863f9f3ee223f250c7407e8c"
     )
 
 
