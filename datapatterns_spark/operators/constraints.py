@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from .benford import CRITICAL_1, CRITICAL_N, EXPECTED, FRACTIONAL_TYPES, INTEGRAL_TYPES
 from ..functions.benford_digit import nth_digit
 from ..plans.local import lit_df
+from ..materialize import materialize
 from .validation import expand_helpers
 
 SAMPLE_VIOLATIONS = 5
@@ -691,15 +692,16 @@ def run_checks(
         )
     ]
     jobs = []
-    # lazy localCheckpoint, not persist: each frame is consumed twice
-    # (the verdict aggregation below + the returned violations frame),
-    # and the aggregation collect inside THIS call is the materializing
-    # action — one job, after which the caller's violations actions
-    # read the checkpointed partitions.  A persist here leaked one
-    # CacheManager entry per run_checks call for the session lifetime
-    # (round-3 fix, same class as the profile/minhash leaks).
+    # lazy materialize, not a bare persist: each frame is consumed
+    # twice (the verdict aggregation below + the returned violations
+    # frame), and the aggregation collect inside THIS call is the
+    # materializing action — one job, after which the caller's
+    # violations actions read the materialized partitions.  A persist
+    # here leaked one CacheManager entry per run_checks call for the
+    # session lifetime (round-3 fix, same class as the profile/minhash
+    # leaks); see materialize.py for the deployment modes.
     if fused is not None:
-        fused = fused.localCheckpoint(eager=False)
+        fused = materialize(fused, eager=False)
         jobs.append(
             lambda: agg_rows.extend(
                 fused.groupBy("partition", "check_name")
@@ -708,7 +710,7 @@ def run_checks(
             )
         )
     if gviol is not None:
-        gviol = gviol.localCheckpoint(eager=False)
+        gviol = materialize(gviol, eager=False)
         jobs.append(
             lambda: agg_rows.extend(
                 gviol.groupBy("partition", "check_name")

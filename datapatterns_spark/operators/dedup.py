@@ -41,6 +41,8 @@ import warnings
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datapatterns_spark.materialize import materialize
+
 
 # ---------------------------------------------------------------------------
 # exact
@@ -418,15 +420,16 @@ def minhash_lsh_pairs(
     # distinct before the aggregation; the shuffle carries (id, hash)
     # partials, never text.
     # signatures are tiny (num_hashes longs per doc); eager
-    # localCheckpoint so the band fan-out + self-join don't recompute
-    # the corpus scan.  NOT persist(): a persisted frame stays in the
-    # CacheManager for the session's lifetime unless explicitly
+    # materialize so the band fan-out + self-join don't recompute the
+    # corpus scan.  NOT a bare persist(): a persisted frame stays in
+    # the CacheManager for the session's lifetime unless explicitly
     # unpersisted — in a long-running curation driver each call would
-    # leak a cached frame.  A localCheckpoint is materialized once,
-    # cuts lineage, and is freed by the ContextCleaner as soon as the
-    # returned frame is no longer referenced (the connected_components
-    # pattern, round-2 ADVICE item 1).
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).localCheckpoint()
+    # leak a cached frame.  The default (localCheckpoint) is
+    # materialized once, cuts lineage, and is freed by the
+    # ContextCleaner as soon as the returned frame is no longer
+    # referenced; see materialize.py for the executor-loss trade and
+    # the persist/checkpoint deployment modes.
+    sig = materialize(minhash_signatures(df, text_col, id_col, n, num_hashes))
     buckets = sig.select(
         "id",
         F.explode(
@@ -481,30 +484,27 @@ def minhash_lsh_pairs(
     star = marked.filter(
         F.col("anchor").isNotNull() & (F.col("id") != F.col("anchor"))
     ).select(F.col("anchor").alias("id_a"), F.col("id").alias("id_b"))
-    cands = (
-        all_pairs.unionAll(star)
-        .dropDuplicates(["id_a", "id_b"])
+    cands = materialize(
+        all_pairs.unionAll(star).dropDuplicates(["id_a", "id_b"])
         # the candidate-pair frame is referenced TWICE downstream (the
         # verify join's base + the cand_ids semi-join input):
-        # checkpointed so the band self-join executes once, not per
+        # materialized so the band self-join executes once, not per
         # reference.  Its size is bounded by the near-dup candidate
         # count — orders of magnitude under the corpus at any scale
         # (A/B at bench scale: 4.3s -> 3.4s interleaved best-of-3,
-        # identical pairs).  localCheckpoint, not persist — see `sig`.
-        .localCheckpoint()
+        # identical pairs).  Mode trade: see `sig`.
     )
     # exact-Jaccard verification: recompute distinct shingle sets ONLY
     # for candidate docs (a semi-join-bounded set, tiny vs the corpus)
     cand_ids = cands.select(F.col("id_a").alias("id")).union(
         cands.select(F.col("id_b").alias("id"))
     ).distinct()
-    shc = (
+    shc = materialize(
         df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
         .join(cand_ids, "id", "left_semi")
-        # referenced twice (sh_a / sh_b sides) — checkpoint the bounded
-        # candidate shingle sets so the corpus scan + semi-join run
-        # once.  localCheckpoint, not persist — see `sig`.
-        .localCheckpoint()
+        # referenced twice (sh_a / sh_b sides) — materialize the
+        # bounded candidate shingle sets so the corpus scan + semi-join
+        # run once.  Mode trade: see `sig`.
     )
     sh_a = shc.toDF("id_a", "sh_a")
     sh_b = shc.toDF("id_b", "sh_b")
@@ -767,16 +767,16 @@ def connected_components(
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # nodes come from the RAW pairs (before the self-loop filter) so a
     # document appearing only in a self-pair still gets a label; eager
-    # localCheckpoint instead of persist() — materialized once, lineage
-    # cut, and freed by the ContextCleaner when unreferenced (a plain
-    # persist here leaked a cached frame for the session's lifetime)
-    nodes = (
+    # materialize instead of a bare persist() — by default materialized
+    # once, lineage cut, and freed by the ContextCleaner when
+    # unreferenced (a plain persist here leaked a cached frame for the
+    # session's lifetime); see materialize.py for the deployment modes
+    nodes = materialize(
         raw.select(F.col("u").alias("node"))
         .unionAll(raw.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
-    e = (
+    e = materialize(
         raw.filter(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
@@ -784,8 +784,7 @@ def connected_components(
         .distinct()
         # eager: the input pair pipeline (often a full LSH run) is
         # evaluated ONCE here; every reference inside the first star
-        # round reads the checkpointed partitions
-        .localCheckpoint()
+        # round reads the materialized partitions
     )
     if e.isEmpty():
         # no non-self edges: every node (necessarily self-loop-only)
@@ -835,19 +834,21 @@ def connected_components(
             joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionAll(joined.select(F.col("u"), F.col("m").alias("v")))
         )
-        # localCheckpoint: an ITERATIVE DataFrame loop must truncate
-        # lineage each round — persist() caches data but keeps the
-        # logical plan, which doubles per iteration until Catalyst
+        # cut_lineage: an ITERATIVE DataFrame loop must truncate
+        # lineage each round — persist() alone caches data but keeps
+        # the logical plan, which doubles per iteration until Catalyst
         # chokes on the tree (measured: a 12-edge chain blew the plan
-        # printer before converging).  LAZY here: the signature
-        # aggregation right below is the materializing action, so each
-        # round runs exactly one Spark job (the agg's full scan
-        # computes — and therefore checkpoints — every partition)
-        e = (
+        # printer before converging) — so persist mode falls back to a
+        # real lineage cut here.  LAZY: the signature aggregation right
+        # below is the materializing action, so each round runs exactly
+        # one Spark job (the agg's full scan computes — and therefore
+        # materializes — every partition)
+        e = materialize(
             small.filter(F.col("u") != F.col("v"))
             .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
-            .distinct()
-            .localCheckpoint(eager=False)
+            .distinct(),
+            eager=False,
+            cut_lineage=True,
         )
         sig = signature(e)
         if sig == prev_sig:
@@ -1005,13 +1006,14 @@ def incremental_minhash_dedup(
     both sides (anchor-star against the bucket minimum) exactly like
     :func:`minhash_lsh_pairs`, so boilerplate clusters stay linear.
     """
-    # eager localCheckpoint, not persist(): `sigs` is referenced many
-    # times below AND returned to the caller as `new_sigs` — a plain
-    # persist would oblige every caller to unpersist or leak a cached
-    # frame per batch for the session's lifetime.  The checkpointed
-    # frame is materialized once and freed by the ContextCleaner when
-    # the caller drops it (no unpersist obligation).
-    sigs = minhash_signatures(new_df, text_col, id_col, n, num_hashes).localCheckpoint()
+    # eager materialize, not a bare persist(): `sigs` is referenced
+    # many times below AND returned to the caller as `new_sigs` — a
+    # plain persist would oblige every caller to unpersist or leak a
+    # cached frame per batch for the session's lifetime.  The default
+    # (localCheckpoint) is materialized once and freed by the
+    # ContextCleaner when the caller drops it (no unpersist
+    # obligation); see materialize.py for the deployment modes.
+    sigs = materialize(minhash_signatures(new_df, text_col, id_col, n, num_hashes))
     nb = _sig_band_keys(sigs, num_hashes, bands)
     est = sig_estimated_jaccard(num_hashes)
 

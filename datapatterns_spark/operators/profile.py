@@ -61,6 +61,7 @@ from ..functions.patterns import (
     map_pattern,
     map_pattern_finished,
 )
+from ..materialize import materialize
 from ..plans.local import lit_df
 from ..plans.schema_walk import (
     KIND_ARRAY,
@@ -687,10 +688,14 @@ def _materialize(df: DataFrame, n_attrs: int, enabled: bool = True) -> DataFrame
     ``enabled=False`` (ProfileParams.materialize) returns the frame
     untouched — full lineage kept, shared passes re-run per consumer;
     for plan inspection (pushdown/pruning tests) or embedding the
-    profile inside a larger plan a caller optimizes whole."""
+    profile inside a larger plan a caller optimizes whole.
+
+    The localCheckpoint-vs-persist executor-loss trade is deployment
+    policy, not per-operator choice — see materialize.py
+    (DP_MATERIALIZE) for the persist/checkpoint modes."""
     if not enabled:
         return df
-    return df.localCheckpoint()
+    return materialize(df)
 
 
 def _profile_flat(
@@ -887,7 +892,7 @@ def _profile_flat(
             )
         )
         if params.materialize:
-            pat = pat.localCheckpoint()
+            pat = materialize(pat)
         pieces.extend(_pattern_pieces(pat, params, name_prefix))
 
     # --- correlations (A12, Profile.ecl:1213-1260) ---

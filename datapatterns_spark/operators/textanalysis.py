@@ -10,6 +10,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import normalized_text
+from ..materialize import materialize
 
 # marker-word lists per language for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -148,11 +149,11 @@ def lm_quality_score(
         model = char_bigram_counts(df, text_col)
     # the model frame feeds THREE consumers (vocab collect, the
     # conditional-denominator agg, the scoring join) — eager
-    # localCheckpoint so the corpus bigram pass runs once, not three
+    # materialize so the corpus bigram pass runs once, not three
     # times (balanced-scan sf0.1: 4.7 -> ~3.5 s; single-task input:
-    # 47 -> 32 s); freed by the ContextCleaner when scoring completes
-    # (never a persist leak)
-    model = model.localCheckpoint()
+    # 47 -> 32 s); under the default mode it is freed by the
+    # ContextCleaner when scoring completes (never a persist leak)
+    model = materialize(model)
     # conditional denominators c(a.) and the alphabet size V (distinct
     # successor chars + 1 unseen slot) — both tiny, derived from the
     # model, evaluated once

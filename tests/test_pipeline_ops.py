@@ -1216,6 +1216,23 @@ def test_cut_duplicate_spans(spark):
     assert out[3]["n_tokens_cut"] == 0
 
 
+def test_cut_duplicate_spans_null_and_empty_text(spark):
+    """Docstring contract: span-free docs pass through with
+    n_tokens_cut = 0 — including NULL and empty text (normalized_text
+    coalesces, so the empty branch is taken, never a null count)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [], "id long, span_start long, span_end long, span_tokens long"
+    )
+    out = {r["id"]: r for r in D.cut_duplicate_spans(df, spans).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["n_tokens_cut"] == 0
+        assert out[i]["text"] is not None
+    assert out[3]["text"] == "a b c d"
+
+
 def test_curate_documents_lm_gate(spark):
     """min_lm_score gates mojibake out under a model trained on the
     natural-text majority (self-trained here); the pre-trained-model
