@@ -206,12 +206,19 @@ def duplicate_token_spans(
     token positions over the normalized text, overlapping/adjacent
     spans merged per document.
 
-    Scale shape: one corpus scan explodes positioned n-grams; the
-    duplicated-gram set comes from a map-side-combinable
-    ``groupBy(gram)`` count (never a self-join), re-joined by gram
-    hash; span merging is a per-document window — bounded by document
-    length, so no hot-key risk at web scale (documents are bounded;
-    the corpus-wide work is the two shuffles).  Suffix arrays find
+    Scale shape: ONE corpus scan explodes positioned n-grams into a
+    materialized frame consumed by both the duplicated-gram count and
+    the semi-join (without the reuse point the expensive explode would
+    evaluate twice); the duplicated-gram set comes from a map-side-
+    combinable ``groupBy(gram)`` count (never a self-join), re-joined
+    by gram key; span merging is a per-document window — bounded by
+    document length, so no hot-key risk at web scale (documents are
+    bounded; the corpus-wide work is the two shuffles).  Grams are
+    keyed on TWO independently-salted xxhash64s (128 bits): a single
+    64-bit key collides at the birthday bound near 10^14 corpus grams
+    (~10^8 false pairs, each silently marking both grams "duplicated"
+    since a collision alone satisfies min_count=2); the pair is
+    collision-free at any realistic corpus size.  Suffix arrays find
     duplicates of ANY length >= threshold; the n-gram formulation
     needs >= n shared tokens to light up — the standard trade for a
     shuffle-native implementation."""
@@ -225,22 +232,30 @@ def duplicate_token_spans(
                 i.alias("i"),
                 F.xxhash64(
                     F.concat_ws(" ", F.slice(toks, i, n))
-                ).alias("g"),
+                ).alias("g1"),
+                F.xxhash64(
+                    F.lit(0x5A17), F.concat_ws(" ", F.slice(toks, i, n))
+                ).alias("g2"),
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<i:int,g:bigint>>"))
-    pos = df.select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("p")
-    ).select("id", F.col("p.i").alias("i"), F.col("p.g").alias("g"))
+    ).otherwise(F.array().cast("array<struct<i:int,g1:bigint,g2:bigint>>"))
+    pos = materialize(
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("p")).select(
+            "id",
+            F.col("p.i").alias("i"),
+            F.col("p.g1").alias("g1"),
+            F.col("p.g2").alias("g2"),
+        )
+    )
     # duplicated grams: count >= min_count corpus-wide (partial aggs
     # combine map-side; a boilerplate gram in 10M docs is ONE row out)
     hot = (
-        pos.groupBy("g")
+        pos.groupBy("g1", "g2")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= F.lit(min_count))
-        .select("g")
+        .select("g1", "g2")
     )
-    dup = pos.join(hot, "g", "left_semi").select(
+    dup = pos.join(hot, ["g1", "g2"], "left_semi").select(
         "id", "i", (F.col("i") + F.lit(n - 1)).alias("e")
     )
     # gaps-and-islands per doc: a position starts a new span when it

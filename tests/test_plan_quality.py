@@ -226,3 +226,20 @@ def test_connected_components_round_is_agg_and_join(spark):
     plan = _plan(out)
     assert "collect_list" not in plan and "collect_set" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_duplicate_token_spans_single_corpus_scan(spark):
+    """The positioned-gram frame is materialized once and consumed by
+    BOTH the duplicated-gram count and the semi-join: the returned
+    plan must contain no source scan at all (the one corpus scan ran
+    inside the materialize job) and both join sides must read the
+    materialized frame."""
+    from datapatterns_spark.operators.dedup import duplicate_token_spans
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = duplicate_token_spans(df, "text", "doc_id", n=8)
+    plan = _plan(out)
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+    assert plan.count("ExistingRDD") >= 2
