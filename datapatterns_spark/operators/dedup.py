@@ -145,9 +145,13 @@ def ngram_jaccard_pairs(
     stay exact) while a caller who never reads this docstring is still
     safe from the C(df, 2) blowup: one shingle in 10M boilerplate docs
     would otherwise emit ~5*10^13 candidate rows.  Pairs whose EVERY
-    common shingle is over-cap are then missed (documented deviation);
-    pass ``None`` to explicitly opt out and get exact semantics at any
-    document frequency."""
+    common shingle is over-cap are then missed — a deviation from the
+    documented 'exact' semantics, so it is never silent: whenever the
+    cap drops anything a ``UserWarning`` reports how many shingles
+    were dropped (the count is read off the already-materialized
+    hot-shingle frame, no extra corpus pass).  Pass ``None`` to
+    explicitly opt out and get exact semantics at any document
+    frequency."""
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).withColumn("size", F.size("sh"))
@@ -158,13 +162,27 @@ def ngram_jaccard_pairs(
         # ones a Window.partitionBy(g) would gather into one task —
         # count them with a skew-immune groupBy (map-side partial agg)
         # and remove via broadcast anti-join against the tiny (by
-        # construction: few shingles exceed the cap) hot-shingle set
-        hot = (
+        # construction: few shingles exceed the cap) hot-shingle set.
+        # inv feeds both the count and the anti-join probe: materialize
+        # it so the corpus shingle explode runs once, and materialize
+        # the (tiny) hot set so the observability count below is free.
+        inv = materialize(inv)
+        hot = materialize(
             inv.groupBy("g")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_shingle_df)
             .select("g")
         )
+        n_hot = hot.count()
+        if n_hot:
+            warnings.warn(
+                f"ngram_jaccard_pairs: max_shingle_df={max_shingle_df} "
+                f"dropped {n_hot} over-cap shingle(s); pairs whose every "
+                "common shingle was dropped are missed. Pass "
+                "max_shingle_df=None for exact semantics.",
+                UserWarning,
+                stacklevel=2,
+            )
         inv = inv.join(F.broadcast(hot), "g", "left_anti")
     a = inv.alias("a")
     b = inv.alias("b")

@@ -66,6 +66,13 @@ def main() -> None:
                     help="signature-estimated Jaccard threshold for"
                          " --dedup minhash")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="clear a non-empty --output produced with"
+                         " DIFFERENT run parameters and start fresh"
+                         " (without it such a run refuses, resume or"
+                         " not: stale fps/sigs stores and data/batch=N"
+                         " partitions from the old parameterization"
+                         " would silently leak into this run)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -128,15 +135,34 @@ def main() -> None:
         ]
     except AnalysisException:
         stored_params = None
-    if args.resume and stored_params is not None and stored_params != params_json:
-        sys.exit(
-            "[curation] refusing to --resume: this output was produced with "
-            "different run parameters (partitioning / gates / redaction), so "
-            "COMPLETE manifest rows do not describe the current run.\n"
-            f"  stored:  {stored_params}\n"
-            f"  current: {params_json}\n"
-            "Re-run with the stored flags, or start a fresh --output."
-        )
+    if stored_params is not None and stored_params != params_json:
+        # a non-resume run into a parameter-mismatched output is just
+        # as wrong as a mismatched --resume: it would inherit the old
+        # parameterization's fps/sigs dedup stores, manifest rows and
+        # leftover data/batch=N partitions.  Refuse unless --overwrite
+        # explicitly clears the old run.
+        if args.overwrite and not args.resume:
+            import shutil
+
+            print(
+                f"[curation] --overwrite: clearing {out} "
+                "(previous run used different parameters)"
+            )
+            for sub in ("data", "fps", "sigs", "manifest", "params"):
+                shutil.rmtree(os.path.join(out, sub), ignore_errors=True)
+            stored_params = None
+        else:
+            verb = "--resume" if args.resume else "run into this --output"
+            sys.exit(
+                f"[curation] refusing to {verb}: it was produced with "
+                "different run parameters (partitioning / gates / "
+                "redaction), so its dedup stores, manifest rows and "
+                "data partitions do not describe the current run.\n"
+                f"  stored:  {stored_params}\n"
+                f"  current: {params_json}\n"
+                "Re-run with the stored flags, start a fresh --output, "
+                "or pass --overwrite (non-resume) to clear it."
+            )
     if stored_params != params_json:
         lit_df(spark, [(params_json,)], "params_json string").write.mode(
             "overwrite"

@@ -1027,7 +1027,11 @@ def test_ngram_jaccard_default_cap_drops_ultra_common_shingle(spark):
         F.col("id").alias("doc_id"),
         F.concat(F.lit("aaa bbb ccc u"), F.col("id").cast("string")).alias("text"),
     )
-    out = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3)
+    # the exactness loss must be OBSERVABLE: the cap warns with the
+    # dropped-shingle count the moment it drops anything (the plan is
+    # built eagerly enough that the warning fires at call time)
+    with pytest.warns(UserWarning, match="dropped 1 over-cap"):
+        out = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3)
     assert out.count() == 0
     # counterfactual at small scale: the same shape UNDER the cap DOES
     # pair (proving the big corpus's emptiness came from the cap, not

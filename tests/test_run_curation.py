@@ -107,3 +107,26 @@ def test_run_curation_minhash_near_dups_and_resume(tmp_path, spark):
     )
     assert bad.returncode != 0
     assert "refusing to --resume" in (bad.stderr + bad.stdout)
+
+    # a NON-resume run into the same output with different params is
+    # just as wrong (it would inherit the old sigs store + data
+    # partitions): refuse without --overwrite...
+    bad2 = subprocess.run(
+        [_sys.executable, f"{REPO}/scripts/run_curation.py",
+         "--docs", src, "--output", outdir, "--partitions", "16",
+         "--batch-size", "4", "--master", "local[8]",
+         "--dedup", "minhash", "--minhash-threshold", "0.8"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert bad2.returncode != 0
+    assert "refusing to run into this --output" in (bad2.stderr + bad2.stdout)
+    # ...and with --overwrite the old store/data/manifest are cleared,
+    # so the reparameterized run produces a fresh, correct result
+    stdout3 = _run(
+        ["--docs", src, "--output", outdir, "--partitions", "16",
+         "--batch-size", "4", "--master", "local[8]",
+         "--dedup", "minhash", "--minhash-threshold", "0.8", "--overwrite"]
+    )
+    assert "curated 120 docs -> kept 40" in stdout3
+    assert spark.read.parquet(f"{outdir}/data").count() == 40
+    assert spark.read.parquet(f"{outdir}/manifest").count() == 16
