@@ -220,20 +220,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_validate(spark, sf):
-        v = validate(
+        """Both Validate() rule surfaces in one entry (round-4 entry
+        consolidation; formerly validate_rules + validate_allfilled,
+        unchanged semantics): expression/helper rules over lineitem
+        (src='lineitem') unioned with the AllFieldsFilled() helper
+        over customer (src='customer')."""
+
+        def grouped(v, src):
+            return (
+                v.groupBy(
+                    F.concat_ws(
+                        ",", F.col("validation_results.violations")
+                    ).alias("violations"),
+                    F.col("validation_results.num_violations").alias(
+                        "num_violations"
+                    ),
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(src).alias("src"), "*")
+            )
+
+        v1 = validate(
             _t(spark, sf, "lineitem"),
             "QtyPositive:l_quantity > 0;"
             "DiscSmall:l_discount <= 0.06;"
             "TaxSmall:l_tax <= 0.04;"
             "FlagUpper:IsOnlyUppercase(l_returnflag)",
         )
-        return (
-            v.groupBy(
-                F.concat_ws(",", F.col("validation_results.violations")).alias("violations"),
-                F.col("validation_results.num_violations").alias("num_violations"),
-            )
-            .agg(F.count(F.lit(1)).alias("n"))
+        v2 = validate(
+            _t(spark, sf, "customer"),
+            "AllFilled:AllFieldsFilled();BalPos:c_acctbal >= 0",
         )
+        return grouped(v1, "lineitem").unionByName(grouped(v2, "customer"))
 
     def q_constraint_verdicts(spark, sf):
         ev = _t(spark, sf, "events")
@@ -300,19 +318,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
         )
         return verdicts.select("check_name", "passed", "violation_count")
-
-    def q_validate_allfilled(spark, sf):
-        v = validate(
-            _t(spark, sf, "customer"),
-            "AllFilled:AllFieldsFilled();BalPos:c_acctbal >= 0",
-        )
-        return (
-            v.groupBy(
-                F.concat_ws(",", F.col("validation_results.violations")).alias("violations"),
-                F.col("validation_results.num_violations").alias("num_violations"),
-            )
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
 
     def q_validate_fixes(spark, sf):
         """Both Fix() forms in one entry (the round-3 entry
@@ -756,12 +761,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_multimodal_transform(spark, sf):
-        """Feature extraction AND resize over the same deterministic
-        media table, joined on media_id (the round-3 entry
-        consolidation; formerly multimodal_features +
-        multimodal_resize, unchanged semantics — both run through the
-        Arrow mapInPandas plumbing with the fake deterministic
-        decoder)."""
+        """Feature extraction, resize AND frame sampling through the
+        Arrow mapInPandas plumbing with the fake deterministic decoder
+        (the round-3/4 entry consolidations; formerly
+        multimodal_features + multimodal_resize + multimodal_frames,
+        unchanged semantics).  Rows with part='transform' carry the
+        features+resize join over a 200-row media table; rows with
+        part='frames' carry per-video sampled-frame counts over a
+        120-row table (n_frames; other columns null)."""
         from datapatterns_spark.operators import multimodal as MM
 
         media = MM.make_fake_media_table(spark, n=200)
@@ -783,46 +790,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "width",
             "height",
         )
-        return f.join(r, "media_id")
+        transform = f.join(r, "media_id").select(
+            F.lit("transform").alias("part"),
+            "media_id", "n_bytes", "f0_scaled", "media", "width", "height",
+            F.lit(None).cast("long").alias("n_frames"),
+        )
+        media2 = MM.make_fake_media_table(spark, n=120)
+        frames = (
+            MM.sample_frames(media2, every_ms=1000, fake=True)
+            .groupBy("media_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"))
+            .select(
+                F.lit("frames").alias("part"),
+                "media_id",
+                F.lit(None).cast("long").alias("n_bytes"),
+                F.lit(None).cast("long").alias("f0_scaled"),
+                F.lit(None).cast("string").alias("media"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                "n_frames",
+            )
+        )
+        return transform.unionByName(frames)
 
-    def q_multimodal_real_features(spark, sf):
-        # the REAL decode path: stdlib PNG/WAV codecs inside the Arrow
-        # mapInPandas workers — no fake=True anywhere.  Pixel decoding
-        # is not SQL-expressible, so this is a rows-only entry; exact
-        # feature parity vs the pure-Python codecs is test-pinned
-        # (tests/test_codecs.py::test_extract_features_real_path).
+    def q_multimodal_real(spark, sf):
+        """The REAL decode paths (no fake=True anywhere): stdlib
+        PNG/JPEG/GIF/AVI/WAV codecs inside the Arrow mapInPandas
+        workers.  part='features' rows carry (k=payload bytes,
+        v=features[0] scaled to a long); part='frames' rows carry
+        (k=frame timestamp ms, v=PNG-re-encoded frame byte length) for
+        every video sampled at 250 ms.  Pixel decoding is not
+        SQL-expressible, so the DuckDB oracle SELECTs a checked-in
+        expected-output fixture derived from the pure-Python codecs
+        (scripts/make_multimodal_fixture.py; Spark-vs-pure codec
+        parity is itself pinned by tests/test_codecs.py) — the round-4
+        consolidation of the formerly rows-only
+        multimodal_real_features + multimodal_real_frames entries."""
         from datapatterns_spark.operators import multimodal as MM
 
         media = MM.make_real_media_table(spark, n=24)
         feats = MM.extract_features(media)  # fake defaults to False
-        return feats.select(
+        fpart = feats.select(
+            F.lit("features").alias("part"),
             "media_id",
-            "n_bytes",
-            F.round(F.element_at("features", 1), 5).alias("f0"),
+            F.col("n_bytes").alias("k"),
+            F.round(F.element_at("features", 1).cast("double") * 65535)
+            .cast("long")
+            .alias("v"),
         )
-
-    def q_multimodal_real_frames(spark, sf):
-        # REAL frame sampling: animated-GIF decode (stdlib LZW codec)
-        # inside the Arrow workers, each sampled instant's composed
-        # frame re-encoded as PNG.  Rows-only (pixel decode is not
-        # SQL-expressible); frame-exactness is test-pinned
-        # (tests/test_codecs.py::test_sample_frames_real_path).
-        from datapatterns_spark.operators import multimodal as MM
-
-        media = MM.make_real_media_table(spark, n=24).filter(
-            "meta.media_type = 'video'"
+        frames = MM.sample_frames(
+            media.filter("meta.media_type = 'video'"), every_ms=250
         )
-        frames = MM.sample_frames(media, every_ms=250)
-        return frames.select(
-            "media_id", "frame_ms", F.octet_length("frame").alias("frame_bytes")
+        rpart = frames.select(
+            F.lit("frames").alias("part"),
+            "media_id",
+            F.col("frame_ms").alias("k"),
+            F.octet_length("frame").cast("long").alias("v"),
         )
-
-    def q_multimodal_frames(spark, sf):
-        from datapatterns_spark.operators import multimodal as MM
-
-        media = MM.make_fake_media_table(spark, n=120)
-        frames = MM.sample_frames(media, every_ms=1000, fake=True)
-        return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+        return fpart.unionByName(rpart)
 
     def q_profile_incremental(spark, sf):
         """Mergeable per-partition profile states folded into a table
@@ -872,7 +897,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdicts_per_partition": q_verdicts_per_partition,
         "drift_metrics": q_drift_metrics,
         "constraint_alternation": q_constraint_alternation,
-        "validate_allfilled": q_validate_allfilled,
         "validate_fixes": q_validate_fixes,
         "similarity_topk": q_similarity_topk,
         "dedup_exact": q_exact_dedup,
@@ -887,9 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_suite": q_transcript_suite,
         "profile_approx": q_profile_approx,
         "multimodal_transform": q_multimodal_transform,
-        "multimodal_real_features": q_multimodal_real_features,
-        "multimodal_real_frames": q_multimodal_real_frames,
-        "multimodal_frames": q_multimodal_frames,
+        "multimodal_real": q_multimodal_real,
         "ann_ivf_topk": q_ann_ivf,
         "best_record_structure": q_best_record,
         "apply_best_types": q_apply_best_types,
@@ -1225,14 +1247,28 @@ SELECT media_id, sha256(payload || '64x48') AS media,
 FROM pl
 """
 
-    # ---- multimodal_transform (round-3 consolidation: features +
-    # resize over the same fake media table, joined) ----
+    # ---- multimodal_transform (round-3/4 consolidations: features +
+    # resize joined over one fake media table, unioned with per-video
+    # sampled-frame counts over another) ----
     multimodal_transform_sql = f"""
 WITH mf AS MATERIALIZED ({multimodal_features_sql}),
 mr AS MATERIALIZED ({multimodal_resize_sql})
-SELECT mf.media_id, mf.n_bytes, mf.f0_scaled, mr.media, mr.width, mr.height
+SELECT 'transform' AS part, mf.media_id, mf.n_bytes, mf.f0_scaled,
+       mr.media, mr.width, mr.height, CAST(NULL AS BIGINT) AS n_frames
 FROM mf JOIN mr ON mr.media_id = mf.media_id
+UNION ALL
+SELECT 'frames', f.media_id, NULL, NULL, NULL, NULL, NULL, f.n_frames
+FROM ({multimodal_frames_sql}) f
 """
+
+    # ---- multimodal_real: checked-in expected-output fixture derived
+    # from the pure-Python codecs (scripts/make_multimodal_fixture.py;
+    # pixel decode itself is not SQL-expressible, codec parity pinned
+    # by tests/test_codecs.py) ----
+    multimodal_real_sql = (
+        "SELECT part, media_id, k, v FROM "
+        "'/root/repo/tests/fixtures/multimodal_real_expected.parquet'"
+    )
 
     # ---- text_winnow (winnowing fingerprints, k=5 w=4) ----
     # identical modular fold as the Spark expression: mod applied after
@@ -1864,13 +1900,21 @@ FROM (
     cnt_cases = " + ".join(
         f"(CASE WHEN ({t}) IS DISTINCT FROM TRUE THEN 1 ELSE 0 END)" for _, t in tests
     )
-    validate_sql = f"""
-WITH v AS (
+    # round-4 consolidation: lineitem rules + customer AllFieldsFilled
+    # in one frame, discriminated by src (the af_* pieces are built
+    # where the customer helper expansion is derived, below)
+    validate_sql_template = """
+SELECT 'lineitem' AS src, violations, num_violations, COUNT(*) AS n FROM (
   SELECT concat_ws(',',
          {name_cases}) AS violations,
          CAST({cnt_cases} AS INT) AS num_violations
-  FROM lineitem)
-SELECT violations, num_violations, COUNT(*) AS n FROM v GROUP BY 1, 2
+  FROM lineitem) GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'customer', violations, num_violations, COUNT(*) AS n FROM (
+  SELECT concat_ws(',',
+         {af_names}) AS violations,
+         CAST({af_cnt} AS INT) AS num_violations
+  FROM customer) GROUP BY 1, 2, 3
 """
 
     # ---- constraint verdicts on events ----
@@ -1988,14 +2032,12 @@ UNION ALL SELECT check_name, passed, ks AS metric FROM ({drift_ks_sql})
     af_cnt = " + ".join(
         f"(CASE WHEN ({t}) IS DISTINCT FROM TRUE THEN 1 ELSE 0 END)" for _, t in af_tests
     )
-    validate_allfilled_sql = f"""
-WITH v AS (
-  SELECT concat_ws(',',
-         {af_names}) AS violations,
-         CAST({af_cnt} AS INT) AS num_violations
-  FROM customer)
-SELECT violations, num_violations, COUNT(*) AS n FROM v GROUP BY 1, 2
-"""
+    validate_sql = validate_sql_template.format(
+        name_cases=name_cases,
+        cnt_cases=cnt_cases,
+        af_names=af_names,
+        af_cnt=af_cnt,
+    )
 
     # ---- Swap() fix form (Validation.ecl:513-518) ----
     validate_fix_swap_sql = """
@@ -2475,7 +2517,6 @@ FROM src GROUP BY attribute
         "constraint_verdicts": constraint_sql,
         "drift_metrics": drift_metrics_sql,
         "constraint_alternation": constraint_alternation_sql,
-        "validate_allfilled": validate_allfilled_sql,
         "validate_fixes": validate_fixes_sql,
         "similarity_topk": similarity_sql,
         "dedup_exact": dedup_exact_sql,
@@ -2496,7 +2537,7 @@ FROM src GROUP BY attribute
         "dedup_incremental_minhash": dedup_incremental_minhash_sql,
         "winnow": winnow_sql,
         "multimodal_transform": multimodal_transform_sql,
-        "multimodal_frames": multimodal_frames_sql,
+        "multimodal_real": multimodal_real_sql,
         "text_redact": text_redact_sql,
         "text_repetition": text_repetition_sql,
         "text_lm_score": text_lm_score_sql,

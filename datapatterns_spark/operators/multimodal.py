@@ -299,13 +299,12 @@ def resize_media(
     return slim.mapInPandas(batches, out_schema)
 
 
-def make_real_media_table(spark, n: int = 24, seed: int = 42) -> DataFrame:
-    """Deterministic media table whose payloads are REAL encoded
-    formats — 8-bit RGB PNGs (seeded gradient+checker patterns),
-    baseline JPEGs (seeded smooth gradients), animated GIFs
-    (moving-bar frames), and PCM-16 WAV tones — so the non-fake
-    decode path can run end-to-end with no external fixtures.  Pure
-    function of (n, seed)."""
+def real_media_rows(n: int = 24, seed: int = 42) -> list[tuple]:
+    """The driver-side row list behind :func:`make_real_media_table` —
+    a pure function of (n, seed) with no Spark dependency, so the
+    expected-output fixture generator
+    (scripts/make_multimodal_fixture.py) can rebuild the identical
+    payloads outside any Spark session."""
     import io as _io
     import math as _math
     import wave as _wave
@@ -376,6 +375,16 @@ def make_real_media_table(spark, n: int = 24, seed: int = 42) -> DataFrame:
             payload = buf.getvalue()
             meta = ("audio", "wav", 0, 0, dur_ms)
         rows.append((i, payload, meta))
+    return rows
+
+
+def make_real_media_table(spark, n: int = 24, seed: int = 42) -> DataFrame:
+    """Deterministic media table whose payloads are REAL encoded
+    formats — 8-bit RGB PNGs (seeded gradient+checker patterns),
+    baseline JPEGs (seeded smooth gradients), animated GIFs
+    (moving-bar frames), MJPEG AVIs, and PCM-16 WAV tones — so the
+    non-fake decode path can run end-to-end with no external fixtures.
+    Pure function of (n, seed)."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -383,7 +392,7 @@ def make_real_media_table(spark, n: int = 24, seed: int = 42) -> DataFrame:
             T.StructField("meta", MEDIA_META_SCHEMA),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(real_media_rows(n, seed), schema)
 
 
 def make_fake_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:

@@ -556,3 +556,27 @@ def test_avi_error_contracts():
     hacked[p + 4 : p + 8] = b"H264"
     with pytest.raises(NotImplementedError):
         cd.avi_mjpeg_decode(bytes(hacked))
+
+
+def test_multimodal_fixture_up_to_date():
+    """The checked-in expected-output parquet for the multimodal_real
+    oracle must match a fresh derivation from the pure-Python codecs —
+    a codec change without `python3 scripts/make_multimodal_fixture.py`
+    fails here instead of at the correctness gate."""
+    import importlib.util
+
+    import pyarrow.parquet as pq
+
+    spec = importlib.util.spec_from_file_location(
+        "make_multimodal_fixture",
+        "/root/repo/scripts/make_multimodal_fixture.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fresh = mod.expected_rows()
+    stored = pq.read_table(
+        "/root/repo/tests/fixtures/multimodal_real_expected.parquet"
+    ).to_pylist()
+    assert [
+        (r["part"], r["media_id"], r["k"], r["v"]) for r in stored
+    ] == fresh
