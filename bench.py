@@ -235,12 +235,12 @@ def flagship_profile_validate(spark, input_path: str) -> int:
         # with): run_checks then derives it above the group-check
         # window, keeping partition bytes out of that pass's
         # Exchange+Sort (the flagship's worst-scaling stage)
-        # DP_SEGMENT_SIZE: opt-in hot-group hardening (bounds every
-        # group-check window task by one segment of turn_idx; see
-        # constraints.run_checks).  Default off: the generator's
-        # conversations are bounded, so the unsegmented plan is the
-        # honest benchmark shape; measured overhead when enabled with
-        # no hot groups is ~15-20% of the checks pass.
+        # DP_SEGMENT_SIZE pins hot-group segmentation; unset, the
+        # library default ("auto") probes the hottest conversation with
+        # a cheap hash-sample and segments only when one would straggle
+        # a window task — the generator's conversations are bounded, so
+        # the probe keeps the unsegmented plan and the benchmark pays
+        # exactly one slim probe job (the honest default-config shape).
         seg = os.environ.get("DP_SEGMENT_SIZE")
         verdicts, violations = C.run_checks(
             df,
@@ -248,7 +248,7 @@ def flagship_profile_validate(spark, input_path: str) -> int:
             partition_col=F.pmod(F.xxhash64("conv_id"), F.lit(N_PARTS)),
             key_cols=["conv_id", "turn_idx"],
             partitions=[str(i) for i in range(N_PARTS)],
-            segment_size=int(seg) if seg else None,
+            segment_size=int(seg) if seg else "auto",
         )
         # run_checks materialized every violation pass (persisted
         # parents of `violations`) and the verdict rows already carry

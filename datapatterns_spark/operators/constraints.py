@@ -42,6 +42,23 @@ from .validation import expand_helpers
 
 SAMPLE_VIOLATIONS = 5
 
+# auto-segmentation probe (run_checks segment_size="auto"): sample
+# ~1/PROBE_MOD of each group's rows by a deterministic (group, order)
+# hash, estimate the hottest group as PROBE_MOD * max sampled count,
+# and turn segmentation on past THRESHOLD rows.  The threshold sits
+# where a single window task stops being comfortable (a few million
+# rows); SIZE bounds each segmented task well under it.
+AUTO_SEGMENT_PROBE_MOD = 128
+AUTO_SEGMENT_THRESHOLD = 4_000_000
+AUTO_SEGMENT_SIZE = 1_000_000
+
+# run_checks refuses to build a per-partition verdict grid past this
+# many distinct partition values: the grid is assembled driver-side
+# (by design — see the verdict-assembly comment), so an accidental
+# high-cardinality partition_col (e.g. a row id) must fail loudly
+# instead of OOMing the driver.
+MAX_VERDICT_PARTITIONS = 100_000
+
 
 # ---------------------------------------------------------------------------
 # check definitions
@@ -279,13 +296,47 @@ def baseline_histogram(
 # ---------------------------------------------------------------------------
 # the suite runner
 # ---------------------------------------------------------------------------
+def _auto_segment_size(
+    df: DataFrame, windows: list[tuple[str, str]]
+) -> int | None:
+    """Decide whether run_checks' window pass needs skew segmentation
+    — WITHOUT the caller knowing to ask (a 100x operator won't): for
+    each monotonic (group, order) window, estimate the hottest group's
+    row count from a deterministic ~1/PROBE_MOD hash-sample of (group,
+    order) pairs over a two-column pruned scan (map-side-combining
+    groupBy; the probe never materializes a full per-group count for
+    small groups that sample to zero).  Returns AUTO_SEGMENT_SIZE when
+    any estimated group exceeds AUTO_SEGMENT_THRESHOLD, else None —
+    the common case pays one cheap slim probe job and keeps the
+    unsegmented single-window plan."""
+    est_max = 0
+    for g, o in windows:
+        row = (
+            df.select(g, o)
+            .filter(
+                F.pmod(
+                    F.xxhash64(F.col(g), F.col(o)),
+                    F.lit(AUTO_SEGMENT_PROBE_MOD),
+                )
+                == 0
+            )
+            .groupBy(g)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("_m"))
+            .collect()
+        )
+        m = row[0]["_m"] or 0
+        est_max = max(est_max, m * AUTO_SEGMENT_PROBE_MOD)
+    return AUTO_SEGMENT_SIZE if est_max > AUTO_SEGMENT_THRESHOLD else None
+
+
 def run_checks(
     df: DataFrame,
     checks: list[Check],
     partition_col: str | Column | None = None,
     key_cols: list[str] | None = None,
     partitions: list[str] | None = None,
-    segment_size: int | None = None,
+    segment_size: int | str | None = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Run every check, returning ``(verdicts, violations)``.
 
@@ -322,12 +373,18 @@ def run_checks(
     check already uses that exact window, so both ride the same Window
     operator.  The two passes are materialized concurrently.
 
-    ``segment_size`` (opt-in skew hardening): a window partitioned by
+    ``segment_size`` (skew hardening): a window partitioned by
     the bare group key puts EVERY row of a group in one task — a
     pathological group (a viral / runaway-agent conv_id with 10^8+
     turns) becomes an unsplittable straggler that AQE cannot divide
     (skew handling can split shuffle partitions, never one window
-    key).  With ``segment_size=S``, every monotonic check whose order
+    key).  The DEFAULT ``"auto"`` probes the hottest group with a
+    cheap deterministic hash-sample (see :func:`_auto_segment_size`)
+    and enables segmentation only past ``AUTO_SEGMENT_THRESHOLD``
+    estimated rows, so pathological inputs are handled without the
+    caller knowing to ask; pass an int to pin S, or ``None`` to force
+    the unsegmented plan (and skip the probe job entirely).
+    With ``segment_size=S``, every monotonic check whose order
     key is integral — and any uniqueness check fused onto its window —
     partitions by ``(group, floor(order / S))`` instead, bounding each
     task by one segment of the order key; cross-segment adjacency
@@ -494,10 +551,19 @@ def run_checks(
     # joins the window's partition key (see docstring).  Only integral
     # order keys segment — floor(o / S) must be exact and NULL-safe.
     seg_windows: dict[tuple[str, str], Column] = {}
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    if segment_size == "auto":
+        integral_windows = [
+            g_o for g_o in mono_windows if dtypes.get(g_o[1]) in integral
+        ]
+        segment_size = (
+            _auto_segment_size(df, integral_windows)
+            if integral_windows
+            else None
+        )
     if segment_size is not None:
         if segment_size < 1:
             raise ValueError("segment_size must be >= 1")
-        integral = {"tinyint", "smallint", "int", "bigint"}
         for g_o in mono_windows:
             if dtypes.get(g_o[1]) in integral:
                 # NULL order keys keep a NULL segment: window hash
@@ -767,7 +833,21 @@ def run_checks(
     if partitions is not None:
         part_values = [str(p) for p in partitions]
     else:
-        part_values = [r[0] for r in df.select(part).distinct().collect()]
+        # cardinality guard: limit(N+1) bounds what can ever reach the
+        # driver, so a mistaken partition_col fails with a clear error
+        # after pulling at most N+1 slim rows, never an OOM
+        part_rows = (
+            df.select(part).distinct().limit(MAX_VERDICT_PARTITIONS + 1).collect()
+        )
+        if len(part_rows) > MAX_VERDICT_PARTITIONS:
+            raise ValueError(
+                f"partition_col {partition_col!r} has more than "
+                f"{MAX_VERDICT_PARTITIONS} distinct values; per-partition "
+                "verdicts are assembled driver-side, so pass a coarser "
+                "partition expression (e.g. a bucket transform of the key) "
+                "or the expected values via partitions=[...]"
+            )
+        part_values = [r[0] for r in part_rows]
     if all_check_names:
         vmap = {(r["partition"], r["check_name"]): r for r in agg_rows}
         for prt in part_values:

@@ -58,7 +58,7 @@ def run_with_manifest(
     key_cols: list[str] | None = None,
     batch_size: int = 8,
     snapshot_id: str = "",
-    segment_size: int | None = None,
+    segment_size: int | str | None = "auto",
 ) -> DataFrame:
     """Run ``checks`` per partition with checkpoint/resume.
 

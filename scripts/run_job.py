@@ -51,7 +51,10 @@ def main() -> None:
     ap.add_argument("--segment-size", type=int, default=None,
                     help="bound group-check window tasks by this many "
                          "turn_idx values per segment (hot-conversation "
-                         "skew hardening; see constraints.run_checks)")
+                         "skew hardening; see constraints.run_checks). "
+                         "Unset, the library probes the hottest group "
+                         "and segments automatically when one would "
+                         "straggle a window task")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -117,7 +120,9 @@ def main() -> None:
             key_cols=["conv_id", "turn_idx"],
             batch_size=args.batch_size,
             snapshot_id=snap,
-            segment_size=args.segment_size,
+            segment_size=(
+                args.segment_size if args.segment_size is not None else "auto"
+            ),
         )
         f_prof.result()
     n_fail = verdicts.filter(~F.col("passed")).count()

@@ -483,3 +483,61 @@ def test_run_checks_randomized_differential(spark):
             )
             assert gv == py_viol, f"seed={seed} segment_size={s} violations diverge"
             viol.unpersist()
+
+
+def test_auto_segmentation_probes_and_triggers(spark, monkeypatch):
+    """The DEFAULT segment_size="auto" must (a) keep the unsegmented
+    plan on balanced inputs, (b) detect a pathological hot group from
+    its hash-sample probe and segment WITHOUT any caller opt-in, with
+    verdicts identical either way."""
+    monkeypatch.setattr(C, "AUTO_SEGMENT_THRESHOLD", 1_000)
+    monkeypatch.setattr(C, "AUTO_SEGMENT_SIZE", 500)
+    # balanced: conversations of <= 40 turns -> probe stays off
+    balanced = spark.range(400).select(
+        F.concat(F.lit("c"), (F.col("id") % 10).cast("string")).alias("conv"),
+        (F.col("id") / 10).cast("int").alias("t"),
+        F.timestamp_seconds(F.col("id").cast("double")).alias("ts"),
+    )
+    assert C._auto_segment_size(balanced, [("conv", "t")]) is None
+    # pathological: one 20k-turn conversation among normal ones
+    hot = spark.range(20_000).select(
+        F.lit("viral").alias("conv"),
+        F.col("id").cast("int").alias("t"),
+        F.timestamp_seconds(F.col("id").cast("double") * 2).alias("ts"),
+    ).unionByName(balanced)
+    assert C._auto_segment_size(hot, [("conv", "t")]) == 500
+    checks = [C.monotonic("mono", "ts", "conv", "t"), C.unique("uq", ["conv", "t"])]
+    auto = _vv_sets(*C.run_checks(hot, checks, key_cols=["conv", "t"]))
+    off = _vv_sets(
+        *C.run_checks(hot, checks, key_cols=["conv", "t"], segment_size=None)
+    )
+    pinned = _vv_sets(
+        *C.run_checks(hot, checks, key_cols=["conv", "t"], segment_size=500)
+    )
+    assert auto == off == pinned
+
+
+def test_partition_cardinality_guard(spark, monkeypatch):
+    """A high-cardinality partition_col must fail with a clear error
+    (the verdict grid is assembled driver-side), pulling at most
+    cap+1 slim rows — never OOM the driver."""
+    monkeypatch.setattr(C, "MAX_VERDICT_PARTITIONS", 50)
+    df = spark.range(500).select(
+        F.col("id").cast("string").alias("rowid"),
+        (F.col("id") % 7).alias("v"),
+    )
+    with pytest.raises(ValueError, match="more than 50 distinct"):
+        C.run_checks(
+            df,
+            [C.row_rule("v_small", "v < 7")],
+            partition_col="rowid",
+        )
+    # passing the expected values explicitly skips the guard (the
+    # caller has asserted the grid size)
+    verdicts, _ = C.run_checks(
+        df,
+        [C.row_rule("v_small", "v < 7")],
+        partition_col="rowid",
+        partitions=[str(i) for i in range(3)],
+    )
+    assert verdicts.count() == 3
