@@ -231,6 +231,8 @@ def sessionize_conversations(
     text_col: str = "text",
     ts_col: str = "ts",
     timeout_ms: int | None = None,
+    event_timeout_ms: int | None = None,
+    watermark_delay: str = "10 seconds",
 ):
     """Custom STATEFUL streaming operator (``applyInPandasWithState``
     — the input_hint's sanctioned shape for state Spark can't express
@@ -249,6 +251,18 @@ def sessionize_conversations(
     time) emits one final row with ``closed = true`` and drops its
     state — streaming sessionization with bounded state.
 
+    ``event_timeout_ms`` (mutually exclusive with ``timeout_ms``)
+    closes on EVENT time instead: the stream is watermarked on
+    ``ts_col`` with ``watermark_delay`` lateness, each update arms a
+    timeout at ``last event ts + event_timeout_ms``, and the close
+    fires when the WATERMARK passes it — the production shape for a
+    transcript stream, where "idle" means the conversation's own
+    clock went quiet, not the ingest pipeline's (a backlog replay
+    closes nothing spuriously, and late turns within the watermark
+    still fold in before the close).  Unlike the processing-time
+    variant, the query settles under ``processAllAvailable`` (the
+    watermark only advances with data).
+
     Scale shape: the per-turn hash is computed JVM-side BEFORE the
     stateful exchange (the state function folds pre-hashed longs with
     vectorized/object-int arithmetic — no per-row Python on text);
@@ -261,7 +275,13 @@ def sessionize_conversations(
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    slim = stream_df.select(
+    if timeout_ms is not None and event_timeout_ms is not None:
+        raise ValueError(
+            "pass either timeout_ms (processing time) or "
+            "event_timeout_ms (event time), not both"
+        )
+
+    cols = [
         F.col(conv_col).cast("string").alias("conv"),
         F.xxhash64(
             F.concat(
@@ -271,7 +291,14 @@ def sessionize_conversations(
             )
         ).alias("h"),
         (F.col(ts_col).cast("double") * 1000).cast("long").alias("ts_ms"),
-    )
+    ]
+    if event_timeout_ms is not None:
+        # event-time mode keeps the raw timestamp column solely to
+        # carry the watermark; other modes keep the exchange slim
+        cols.append(F.col(ts_col).alias("ts_event"))
+    slim = stream_df.select(*cols)
+    if event_timeout_ms is not None:
+        slim = slim.withWatermark("ts_event", watermark_delay)
 
     out_schema = (
         "conv string, n_turns long, fp_xor long, fp_sum string, "
@@ -319,6 +346,18 @@ def sessionize_conversations(
         state.update((n, x, str(s), f, l))
         if timeout_ms is not None:
             state.setTimeoutDuration(int(timeout_ms))
+        elif event_timeout_ms is not None and l is not None:
+            # close when the WATERMARK passes the conversation's own
+            # last event + the idle budget; the engine requires the
+            # armed timestamp to sit beyond the current watermark, so
+            # a conversation already older than the budget (a late
+            # straggler group) closes at the next watermark tick
+            state.setTimeoutTimestamp(
+                max(
+                    int(l) + int(event_timeout_ms),
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
         yield pd.DataFrame(
             [(conv, n, x, str(s), f, l, False)],
             columns=[
@@ -327,11 +366,12 @@ def sessionize_conversations(
             ],
         )
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if timeout_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
+    if timeout_ms is not None:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    elif event_timeout_ms is not None:
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return slim.groupBy("conv").applyInPandasWithState(
         fold, out_schema, state_schema, "update", timeout
     )

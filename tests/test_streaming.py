@@ -286,3 +286,76 @@ def test_minhash_dedup_sink_stream(spark, tmp_path):
     sigs = spark.read.parquet(sig_p)
     assert sigs.count() == 20  # survivors only
     assert sum(c.startswith("m") for c in sigs.columns) == 64
+
+
+def test_sessionize_event_time_timeout_closes_with_late_turns(spark, tmp_path):
+    """event_timeout_ms closes a conversation when the WATERMARK
+    passes its last event + idle budget (event time, not wall clock):
+    a late-but-within-watermark turn still folds into the session
+    before the close, and the closed row equals the batch
+    conversation_fingerprints fold exactly.  EventTimeTimeout settles
+    under availableNow (the watermark only advances with data), unlike
+    the processing-time variant."""
+    from datapatterns_spark.operators.dedup import conversation_fingerprints
+    from datapatterns_spark.streaming import sessionize_conversations
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(c, t, "user", x, "", float(ts)) for c, t, x, ts in rows],
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    in_dir = tmp_path / "sess_evt_in"
+    # b1: A active (last event 12s), B active (11s)
+    mk([("A", 0, "hello", 10.0), ("A", 1, "world", 12.0),
+        ("B", 0, "hi", 11.0)]).coalesce(1).write.parquet(str(in_dir / "b1"))
+    # b2: a LATE turn for A (ts 13s, behind B's 30s but >= watermark)
+    # plus B progress that pushes the watermark to 30s
+    mk([("A", 2, "late addendum", 13.0),
+        ("B", 1, "more", 30.0)]).coalesce(1).write.parquet(str(in_dir / "b2"))
+    # b3: fresh conversation C; at this batch's start the watermark
+    # (30s) has passed A's last-event(13s)+5s budget -> A closes
+    mk([("C", 0, "new", 40.0)]).coalesce(1).write.parquet(str(in_dir / "b3"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    out = sessionize_conversations(
+        stream, event_timeout_ms=5_000, watermark_delay="0 seconds"
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_evt")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess_evt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    rows = spark.sql("select * from sess_evt").collect()
+    closed = {r["conv"]: r for r in rows if r["closed"]}
+    assert "A" in closed and "C" not in closed
+    a = closed["A"]
+    # the close carries the FULL fold, late turn included
+    batch_a = mk(
+        [("A", 0, "hello", 10.0), ("A", 1, "world", 12.0),
+         ("A", 2, "late addendum", 13.0)]
+    )
+    want = conversation_fingerprints(batch_a).collect()[0]
+    assert a["n_turns"] == want["n_turns"] == 3
+    assert a["fp_xor"] == want["fp_xor"]
+    assert a["fp_sum"] == str(want["fp_sum"])
+    assert (a["first_ts"], a["last_ts"]) == (10_000, 13_000)
+    # mutually exclusive timeout modes are rejected up front
+    with pytest.raises(ValueError, match="not both"):
+        sessionize_conversations(stream, timeout_ms=1, event_timeout_ms=1)
