@@ -35,6 +35,8 @@ has_unicode                           ``max``
 num_n / num_sum / num_sumsq /         ``sum`` x3 / ``min`` / ``max``
 num_min / num_max                     -> exact mean + POPULATION
                                       std-dev (Profile.ecl:1083-1086)
+q_sketch (t-digest, opt-in via       centroid-merge
+``quantile_delta``)                   (functions/tdigest.py)
 ====================================  =================================
 
 Exactness: every merged statistic except ``cardinality`` is EXACT and
@@ -205,17 +207,117 @@ def _state_melt(
     return base.select("_part", F.inline(F.array(*structs)))
 
 
+_DIGEST_SCHEMA = "partition string, attribute string, q_sketch binary"
+
+
+def _quantile_value_cols(
+    attrs: list[AttrInfo], allow_zero: bool
+) -> list[tuple[str, Column]]:
+    """Per-attribute numeric-reading columns for the t-digest pass —
+    the same ``v`` definition as :func:`_state_melt` (native doubles
+    for given-numeric attributes with the allow-zero fill rule; gated
+    ``try_cast`` of the canonical string otherwise).  Attributes with
+    no numeric reading (boolean / array / binary) are skipped entirely,
+    so the digest scan never reads their columns."""
+    cols: list[tuple[str, Column]] = []
+    for a in attrs:
+        c = F.col(a.name)
+        if a.kind == KIND_NUMERIC:
+            filled = (
+                c.isNotNull()
+                if allow_zero
+                else (c.isNotNull() & (c.cast("double") != 0))
+            )
+            cols.append((a.name, F.when(filled, c.cast("double"))))
+        elif a.kind in (KIND_BOOLEAN, KIND_ARRAY, KIND_BINARY):
+            continue
+        else:
+            v = _value_expr(a)
+            ln = F.length(v)
+            gate = (ln > 0) & (ln <= 40) & v.rlike("^[0-9+\\-.]")
+            cols.append((a.name, F.when(gate, v.try_cast("double"))))
+    return cols
+
+
+def _attr_digests(
+    df: DataFrame,
+    attrs: list[AttrInfo],
+    allow_zero: bool,
+    part: Column,
+    delta: float,
+) -> DataFrame:
+    """(partition, attribute) -> serialized t-digest, built without
+    ever materializing a group: ``mapInPandas`` emits one sub-digest
+    per (partition, attribute) per Arrow batch (memory bounded by the
+    batch size — a hot partition yields more slim sub-digest rows, not
+    a bigger task), then an ordinary shuffle of those few-KB rows
+    merges centroids per group.  Both steps are the sanctioned
+    Arrow-vectorized shapes; the value math inside is numpy."""
+    value_cols = _quantile_value_cols(attrs, allow_zero)
+    if not value_cols:
+        return df.sparkSession.createDataFrame([], _DIGEST_SCHEMA)
+    names = [n for n, _ in value_cols]
+
+    def _subs(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.tdigest import TDigest
+
+        for pdf in batches:
+            rows = []
+            for p, grp in pdf.groupby("_part", sort=False, dropna=False):
+                for n in names:
+                    d = TDigest.from_values(
+                        grp[n].to_numpy(dtype=np.float64, copy=False), delta
+                    )
+                    if d.means.size:
+                        rows.append((p, n, d.to_bytes()))
+            yield pd.DataFrame(
+                rows, columns=["partition", "attribute", "q_sketch"]
+            )
+
+    def _merge(key, pdf):
+        import pandas as pd
+
+        from ..functions.tdigest import TDigest
+
+        d = TDigest.merge_all(
+            [TDigest.from_bytes(bytes(b)) for b in pdf["q_sketch"]]
+        )
+        return pd.DataFrame(
+            [(key[0], key[1], d.to_bytes())],
+            columns=["partition", "attribute", "q_sketch"],
+        )
+
+    slim = df.select(
+        part.alias("_part"), *[v.alias(n) for n, v in value_cols]
+    )
+    subs = slim.mapInPandas(_subs, _DIGEST_SCHEMA)
+    return subs.groupBy("partition", "attribute").applyInPandas(
+        _merge, _DIGEST_SCHEMA
+    )
+
+
 def profile_state(
     df: DataFrame,
     partition_col: str | Column | None = None,
     field_list: list[str] | None = None,
     allow_zero: bool = False,
+    quantile_delta: float | None = None,
 ) -> DataFrame:
     """Per-(partition, attribute) mergeable profile state rows.
 
     One column-pruned scan, one bounded aggregation — the per-partition
     unit of work of :func:`profile_incremental`.  ``partition_col``
-    defaults to a whole-input constant."""
+    defaults to a whole-input constant.
+
+    ``quantile_delta`` opts into a mergeable t-digest quantile sketch
+    per state row (column ``q_sketch``, functions/tdigest.py) built in
+    a second column-pruned pass over only the numeric-readable
+    attributes.  Like the HLL cardinality sketch this is the documented
+    approx-mode deviation: the one-shot profile's exact positional
+    quartiles cannot merge, the digest can."""
     attrs, _children = walk_schema(df.schema, field_list=field_list)
     pname = partition_col if isinstance(partition_col, str) else None
     if pname is not None:
@@ -273,7 +375,11 @@ def profile_state(
         [(a.name, a.kind, a.given_type, a.ordinal) for a in attrs],
         "attribute string, kind string, given_attribute_type string, ordinal int",
     )
-    return state.join(F.broadcast(meta), "attribute").select(*STATE_COLUMNS)
+    out = state.join(F.broadcast(meta), "attribute").select(*STATE_COLUMNS)
+    if quantile_delta is not None:
+        digests = _attr_digests(df, attrs, allow_zero, part, quantile_delta)
+        out = out.join(digests, ["partition", "attribute"], "left")
+    return out
 
 
 def merge_states(states: DataFrame) -> DataFrame:
@@ -282,7 +388,12 @@ def merge_states(states: DataFrame) -> DataFrame:
 
     Pure second-level aggregation over (n_partitions x n_attributes)
     tiny rows — no data rescans.  All output statistics are exact
-    except ``cardinality`` (HLL union estimate)."""
+    except ``cardinality`` (HLL union estimate) and — when the states
+    carry a ``q_sketch`` column — the t-digest quartiles
+    (``numeric_lower_quartile`` / ``numeric_median`` /
+    ``numeric_upper_quartile``, same naming as the one-shot approx
+    profile)."""
+    has_q = "q_sketch" in states.columns
     merged = states.groupBy("attribute").agg(
         F.first("kind").alias("kind"),
         F.first("given_attribute_type").alias("given_attribute_type"),
@@ -328,6 +439,52 @@ def merge_states(states: DataFrame) -> DataFrame:
         best = F.when(cond, bt) if best is None else best.when(cond, bt)
     n = F.col("num_n")
     mean = F.col("num_sum") / n
+    quartile_cols: list = []
+    if has_q:
+
+        def _qmerge(key, pdf):
+            import pandas as pd
+
+            from ..functions.tdigest import TDigest
+
+            d = TDigest.merge_all(
+                [TDigest.from_bytes(bytes(b)) for b in pdf["q_sketch"]]
+            )
+            if d.means.size == 0:
+                row = (key[0], None, None, None)
+            else:
+                row = (
+                    key[0],
+                    round(d.quantile(0.25), 4),
+                    round(d.quantile(0.50), 4),
+                    round(d.quantile(0.75), 4),
+                )
+            return pd.DataFrame(
+                [row],
+                columns=[
+                    "attribute",
+                    "numeric_lower_quartile",
+                    "numeric_median",
+                    "numeric_upper_quartile",
+                ],
+            )
+
+        qdf = (
+            states.where(F.col("q_sketch").isNotNull())
+            .select("attribute", "q_sketch")
+            .groupBy("attribute")
+            .applyInPandas(
+                _qmerge,
+                "attribute string, numeric_lower_quartile double,"
+                " numeric_median double, numeric_upper_quartile double",
+            )
+        )
+        merged = merged.join(qdf, "attribute", "left")
+        quartile_cols = [
+            "numeric_lower_quartile",
+            "numeric_median",
+            "numeric_upper_quartile",
+        ]
     return (
         merged.withColumn("best_attribute_type", best)
         .withColumn(
@@ -369,10 +526,62 @@ def merge_states(states: DataFrame) -> DataFrame:
                     4,
                 ),
             ).alias("numeric_std_dev"),
+            *quartile_cols,
             "ordinal",
         )
         .orderBy("ordinal")
         .drop("ordinal")
+    )
+
+
+def digest_drift(base_states: DataFrame, cur_states: DataFrame) -> DataFrame:
+    """Per-attribute KS distance between two state stores' merged
+    t-digests: distribution drift computed from stored profile states
+    ALONE — no rescan of either dataset, unlike the value-histogram
+    drift in operators/constraints.py (PSI/KS/JS), which needs a pass
+    over the current data.  Error is bounded by the digests' rank
+    error (functions/tdigest.py), so this is the 10^12-row drift
+    screen: run it per ingest from the checkpointed states, rescan
+    only attributes it flags."""
+    for name, s in (("base_states", base_states), ("cur_states", cur_states)):
+        if "q_sketch" not in s.columns:
+            raise ValueError(
+                f"{name} has no q_sketch column; build states with "
+                "profile_state(..., quantile_delta=...)"
+            )
+    tagged = (
+        base_states.select("attribute", "q_sketch")
+        .withColumn("side", F.lit("base"))
+        .unionByName(
+            cur_states.select("attribute", "q_sketch").withColumn(
+                "side", F.lit("cur")
+            )
+        )
+        .where(F.col("q_sketch").isNotNull())
+    )
+
+    def _ks(key, pdf):
+        import math
+
+        import pandas as pd
+
+        from ..functions.tdigest import TDigest, ks_distance
+
+        sides = {
+            side: TDigest.merge_all(
+                [TDigest.from_bytes(bytes(b)) for b in grp["q_sketch"]]
+            )
+            for side, grp in pdf.groupby("side")
+        }
+        a, b = sides.get("base"), sides.get("cur")
+        ks = None
+        if a is not None and b is not None and a.means.size and b.means.size:
+            v = ks_distance(a, b)
+            ks = None if math.isnan(v) else v
+        return pd.DataFrame([(key[0], ks)], columns=["attribute", "ks"])
+
+    return tagged.groupBy("attribute").applyInPandas(
+        _ks, "attribute string, ks double"
     )
 
 
@@ -384,6 +593,7 @@ def profile_incremental(
     allow_zero: bool = False,
     batch_size: int = 8,
     snapshot_id: str = "",
+    quantile_delta: float | None = None,
 ) -> DataFrame:
     """Checkpointed incremental profile over a partitioned table.
 
@@ -392,9 +602,24 @@ def profile_incremental(
     operators/manifest.py), appending their state rows, then returns
     the merge of ALL states — so a run over a grown table costs one
     pass over the NEW partitions plus a tiny merge, and a crashed run
-    loses at most one batch."""
+    loses at most one batch.
+
+    ``quantile_delta`` must match the store: mixing state rows with
+    and without ``q_sketch`` would silently drop quantile coverage for
+    the sketchless partitions, so a mismatch against existing states
+    fails fast (the same param-pinning contract as the curation job's
+    run-params guard)."""
     spark = df.sparkSession
     done = completed_partitions(spark, state_path)
+    if done:
+        stored = spark.read.parquet(f"{state_path}/states").columns
+        if ("q_sketch" in stored) != (quantile_delta is not None):
+            raise ValueError(
+                "quantile_delta mismatch with existing states under "
+                f"{state_path!r}: stored rows "
+                f"{'have' if 'q_sketch' in stored else 'lack'} q_sketch; "
+                "rerun with the original setting or a fresh state_path"
+            )
     parts = [
         r["p"]
         for r in df.select(F.col(partition_col).cast("string").alias("p"))
@@ -415,7 +640,11 @@ def profile_incremental(
         started = time.time()
         sub = df.filter(F.col(partition_col).cast("string").isin(batch))
         profile_state(
-            sub, partition_col, field_list=field_list, allow_zero=allow_zero
+            sub,
+            partition_col,
+            field_list=field_list,
+            allow_zero=allow_zero,
+            quantile_delta=quantile_delta,
         ).write.mode("append").parquet(f"{state_path}/states")
         finished = time.time()
         lit_df(

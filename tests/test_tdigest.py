@@ -1,0 +1,197 @@
+"""t-digest quantile sketch: pure-numpy accuracy/merge/serialization
+properties, the Spark mergeable-quantile state integration, and the
+sketch-based drift screen."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datapatterns_spark.functions.tdigest import (
+    DEFAULT_COMPRESSION,
+    TDigest,
+    ks_distance,
+)
+from datapatterns_spark.operators.incremental import (
+    digest_drift,
+    merge_states,
+    profile_incremental,
+    profile_state,
+)
+
+
+# ---------------------------------------------------------------------------
+# pure sketch properties
+# ---------------------------------------------------------------------------
+def _rank_err(values: np.ndarray, est: float, q: float) -> float:
+    return abs(float((values <= est).mean()) - q)
+
+
+def test_quantile_accuracy_skewed():
+    rng = np.random.RandomState(7)
+    v = rng.lognormal(0.0, 1.0, 100_000)
+    d = TDigest.from_values(v)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        assert _rank_err(v, d.quantile(q), q) < 0.01
+
+
+def test_merge_grouping_independence():
+    rng = np.random.RandomState(11)
+    v = rng.normal(0.0, 1.0, 60_000)
+    whole = TDigest.from_values(v)
+    for n_parts in (3, 17, 64):
+        merged = TDigest.merge_all(
+            [TDigest.from_values(p) for p in np.array_split(v, n_parts)]
+        )
+        assert merged.count == pytest.approx(whole.count)
+        assert merged.vmin == whole.vmin and merged.vmax == whole.vmax
+        for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+            assert _rank_err(v, merged.quantile(q), q) < 0.01
+
+
+def test_serialization_round_trip():
+    d = TDigest.from_values(np.arange(1000.0))
+    d2 = TDigest.from_bytes(d.to_bytes())
+    assert np.array_equal(d2.means, d.means)
+    assert np.array_equal(d2.weights, d.weights)
+    assert (d2.vmin, d2.vmax, d2.delta) == (d.vmin, d.vmax, d.delta)
+    with pytest.raises(ValueError):
+        TDigest.from_bytes(b"not a digest")
+
+
+def test_empty_and_degenerate():
+    e = TDigest.from_values([])
+    assert e.means.size == 0 and np.isnan(e.quantile(0.5))
+    assert TDigest.merge_all([e, e]).means.size == 0
+    one = TDigest.from_values([3.25])
+    assert one.quantile(0.0) == one.quantile(1.0) == 3.25
+    const = TDigest.from_values([5.0] * 1000)
+    assert const.quantile(0.5) == 5.0
+    # NaNs are dropped, not folded in
+    assert TDigest.from_values([1.0, np.nan, 3.0]).count == 2.0
+
+
+def test_cdf_quantile_consistency():
+    rng = np.random.RandomState(3)
+    v = rng.gamma(2.0, 2.0, 50_000)
+    d = TDigest.from_values(v)
+    for q in (0.1, 0.5, 0.9):
+        assert d.cdf(d.quantile(q)) == pytest.approx(q, abs=0.01)
+    assert d.cdf(d.vmin - 1) == 0.0 and d.cdf(d.vmax + 1) == 1.0
+
+
+def test_ks_distance_matches_analytic():
+    rng = np.random.RandomState(5)
+    a = TDigest.from_values(rng.normal(0, 1, 100_000))
+    b = TDigest.from_values(rng.normal(0.3, 1, 100_000))
+    same = TDigest.from_values(rng.normal(0, 1, 100_000))
+    # analytic KS(N(0,1), N(0.3,1)) = 2*Phi(0.15) - 1 ~= 0.1192
+    assert ks_distance(a, b) == pytest.approx(0.1192, abs=0.02)
+    assert ks_distance(a, same) < 0.02
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e12, max_value=1e12, allow_nan=False
+        ),
+        min_size=1,
+        max_size=500,
+    )
+)
+def test_digest_properties(values):
+    v = np.asarray(values)
+    d = TDigest.from_values(v)
+    assert d.count == pytest.approx(float(v.size))
+    assert d.vmin == v.min() and d.vmax == v.max()
+    # weight is conserved exactly through a merge-with-self
+    m = TDigest.merge_all([d, TDigest.from_bytes(d.to_bytes())])
+    assert m.count == pytest.approx(2.0 * v.size)
+    # estimates stay inside the observed range
+    for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+        assert v.min() <= d.quantile(q) <= v.max()
+    # rank error bound (generous: ~3/delta) on the median — two-sided
+    # so duplicate values (CDF jumps) don't misread as rank error
+    est = d.quantile(0.5)
+    eps = max(3.0 / DEFAULT_COMPRESSION, 1.5 / v.size)
+    assert float((v < est).mean()) <= 0.5 + eps
+    assert float((v <= est).mean()) >= 0.5 - eps
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: mergeable quantile state
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def skew_df(spark):
+    # 3 partitions with very different sizes and ranges; f has nulls,
+    # s holds numeric-content strings (exercises the try_cast reading)
+    rows = []
+    for i in range(4000):
+        rows.append(("p0", float(i % 1000), str(i % 50), None if i % 7 == 0 else i * 0.5))
+    for i in range(400):
+        rows.append(("p1", float(2000 + i), "x" + str(i), float(i)))
+    rows.append(("p2", 9.0, "42", 1.25))
+    return spark.createDataFrame(rows, "part string, n double, s string, f double")
+
+
+def test_state_quantiles_merge(spark, skew_df):
+    states = profile_state(skew_df, "part", quantile_delta=100.0)
+    assert "q_sketch" in states.columns
+    merged = {r["attribute"]: r.asDict() for r in merge_states(states).collect()}
+    pdf = skew_df.toPandas()
+    for attr in ("n", "f"):
+        vals = pdf[attr].dropna()
+        vals = vals[vals != 0.0]  # allow_zero=False fill rule
+        n = len(vals)
+        for col, q in (
+            ("numeric_lower_quartile", 0.25),
+            ("numeric_median", 0.5),
+            ("numeric_upper_quartile", 0.75),
+        ):
+            est = merged[attr][col]
+            rank = float((vals <= est).mean())
+            assert abs(rank - q) < 0.03, (attr, col, est, rank)
+    # numeric-content strings get digests too (same reading as profile)
+    assert merged["s"]["numeric_median"] is not None
+
+
+def test_state_quantiles_off_by_default(skew_df):
+    states = profile_state(skew_df, "part")
+    assert "q_sketch" not in states.columns
+    assert "numeric_median" not in merge_states(states).columns
+
+
+def test_incremental_quantile_pinning(spark, skew_df, tmp_path):
+    p = str(tmp_path / "states")
+    out = profile_incremental(
+        skew_df, "part", p, quantile_delta=100.0, batch_size=2
+    )
+    rows = {r["attribute"]: r.asDict() for r in out.collect()}
+    assert rows["n"]["numeric_median"] is not None
+    # param mismatch against the stored states fails fast
+    with pytest.raises(ValueError, match="quantile_delta mismatch"):
+        profile_incremental(skew_df, "part", p)
+
+
+def test_digest_drift_screen(spark):
+    base = spark.range(0, 20_000).select(
+        F.lit("p").alias("part"),
+        (F.col("id") % 1000).cast("double").alias("stable"),
+        (F.col("id") % 1000).cast("double").alias("shifted"),
+    )
+    cur = spark.range(0, 20_000).select(
+        F.lit("p").alias("part"),
+        (F.col("id") % 1000).cast("double").alias("stable"),
+        ((F.col("id") % 1000) + 500).cast("double").alias("shifted"),
+    )
+    bs = profile_state(base, "part", quantile_delta=100.0)
+    cs = profile_state(cur, "part", quantile_delta=100.0)
+    ks = {r["attribute"]: r["ks"] for r in digest_drift(bs, cs).collect()}
+    assert ks["stable"] < 0.02
+    assert ks["shifted"] > 0.3
+    with pytest.raises(ValueError, match="q_sketch"):
+        digest_drift(bs.drop("q_sketch"), cs)
