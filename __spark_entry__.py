@@ -877,6 +877,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("numeric_std_dev").alias("nstd"),
         )
 
+    def q_profile_quantile_sketch(spark, sf):
+        """Mergeable t-digest quantile state (round 4): per-partition
+        sketches merged into table quartiles, checked against the DATA
+        rather than against a SQL twin (a t-digest has no tractable
+        SQL re-derivation).  Output rows carry the MEASURED exact rank
+        of each merged estimate, bucketed to the nearest 0.25 — equal
+        to the target quantile only when the sketch meets its rank
+        error contract (<1%, vs the 12.5% bucket half-width).  Two
+        drift rows pin digest_drift at its analytic extremes: KS of a
+        distribution against itself (0) and against a
+        disjoint-support shift (1)."""
+        from datapatterns_spark.operators.incremental import (
+            digest_drift,
+            merge_states,
+            profile_state,
+        )
+
+        orders = _t(spark, sf, "orders")
+        attrs = ["o_orderkey", "o_custkey", "o_totalprice"]
+        merged = merge_states(
+            profile_state(
+                orders, "o_orderpriority", field_list=attrs,
+                quantile_delta=100.0,
+            )
+        )
+        est = {
+            r["attribute"]: r.asDict()
+            for r in merged.select(
+                "attribute",
+                "numeric_lower_quartile",
+                "numeric_median",
+                "numeric_upper_quartile",
+            ).collect()
+        }  # 3 tiny rows — driver-bounded by len(attrs)
+        # exact rank of each estimate in ONE aggregation over orders
+        # (fill rule matches the state pass: non-null, non-zero)
+        aggs = []
+        qcols = {
+            0.25: "numeric_lower_quartile",
+            0.5: "numeric_median",
+            0.75: "numeric_upper_quartile",
+        }
+        for a in attrs:
+            v = F.when(
+                F.col(a).isNotNull() & (F.col(a).cast("double") != 0),
+                F.col(a).cast("double"),
+            )
+            for q, col in qcols.items():
+                e = float(est[a][col])
+                aggs.append(
+                    (F.count(F.when(v <= e, 1)) / F.count(v)).alias(
+                        f"{a}::{q}"
+                    )
+                )
+        ranks = orders.agg(*aggs).collect()[0]
+        rows = [
+            ("rank", a, q, round(ranks[f"{a}::{q}"] * 4) / 4)
+            for a in attrs
+            for q in qcols
+        ]
+        # drift extremes: even vs odd orderkey halves (same
+        # distribution -> KS ~0 -> bucket 0), and a disjoint-support
+        # shift of o_totalprice (KS = 1 exactly)
+        even = orders.where(F.col("o_orderkey") % 2 == 0)
+        odd = orders.where(F.col("o_orderkey") % 2 == 1)
+        span = orders.agg(
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("s")
+        ).collect()[0]["s"]
+        shifted = orders.withColumn(
+            "o_totalprice", F.col("o_totalprice") + 10.0 * float(span)
+        )
+        pr = ["o_totalprice"]
+        mk = lambda d: profile_state(  # noqa: E731
+            d, "o_orderpriority", field_list=pr, quantile_delta=100.0
+        )
+        same_ks = digest_drift(mk(even), mk(odd)).collect()[0]["ks"]
+        far_ks = digest_drift(mk(even), mk(shifted)).collect()[0]["ks"]
+        rows.append(("drift_same", "o_totalprice", 0.0, round(same_ks * 4) / 4))
+        rows.append(("drift_far", "o_totalprice", 1.0, round(far_ks * 4) / 4))
+        from datapatterns_spark.plans.local import lit_df
+
+        return lit_df(
+            spark, rows, "part string, attribute string, q double, val double"
+        )
+
     # Round-3 note: the driver's correctness gate records at most 50
     # entries (CORRECTNESS_r02 covered exactly the first 50 of 60), so
     # same-grain entries are consolidated — every operator keeps
@@ -930,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents": q_curate_documents,
         "winnow": q_winnow,
         "profile_incremental": q_profile_incremental,
+        "profile_quantile_sketch": q_profile_quantile_sketch,
     }
 
 
@@ -2503,6 +2589,26 @@ SELECT attribute,
 FROM src GROUP BY attribute
 """
 
+    # ---- profile_quantile_sketch ----
+    # The t-digest itself has no tractable SQL re-derivation, so the
+    # Spark side outputs MEASURED verdicts (exact rank of each merged
+    # estimate against the data, bucketed to the nearest 0.25; KS at
+    # its analytic extremes) and the oracle pins the expected verdict
+    # grid: val == q for every row.  A sketch violating its rank-error
+    # contract (or a drift KS off its analytic value) hash-mismatches.
+    pqs_rows = [
+        f"SELECT 'rank' AS part, '{a}' AS attribute, CAST({q} AS DOUBLE) AS q,"
+        f" CAST({q} AS DOUBLE) AS val"
+        for a in ["o_orderkey", "o_custkey", "o_totalprice"]
+        for q in [0.25, 0.5, 0.75]
+    ] + [
+        "SELECT 'drift_same', 'o_totalprice', CAST(0.0 AS DOUBLE),"
+        " CAST(0.0 AS DOUBLE)",
+        "SELECT 'drift_far', 'o_totalprice', CAST(1.0 AS DOUBLE),"
+        " CAST(1.0 AS DOUBLE)",
+    ]
+    profile_quantile_sketch_sql = " UNION ALL ".join(pqs_rows)
+
     return {
         "profile_fill_lengths": profile_fill_lengths_sql,
         "profile_numeric_stats": profile_numeric,
@@ -2527,6 +2633,7 @@ FROM src GROUP BY attribute
         "dedup_embedding_cosine": dedup_embedding_sql,
         "profile_normalize_compare": profile_normalize_compare_sql,
         "profile_incremental": profile_incremental_sql,
+        "profile_quantile_sketch": profile_quantile_sketch_sql,
         "best_record_structure": best_record_sql,
         "apply_best_types": apply_best_types_sql,
         "sample_stratified": sample_stratified_sql,
