@@ -192,7 +192,38 @@ def test_incremental_state_prunes_and_stays_jvm(spark):
     assert "BatchEvalPython" not in mplan and "ArrowEvalPython" not in mplan
 
 
-def test_stratified_sample_skew_safe_shape(spark):
+def test_digest_pass_slim_shuffle(spark):
+    """The t-digest quantile pass must (a) build sub-digests map-side
+    via MapInPandas (never materializing a (partition, attribute)
+    group), (b) shuffle ONLY the slim serialized-digest rows — the
+    exchange above the MapInPandas carries exactly (partition,
+    attribute, q_sketch), no data columns — and (c) skip columns with
+    no numeric reading at its scan."""
+    from datapatterns_spark.operators.incremental import profile_state
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    st = profile_state(
+        df,
+        "o_orderpriority",
+        field_list=["o_custkey", "o_totalprice"],
+        quantile_delta=100.0,
+    )
+    plan = _plan(st)
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan  # the centroid merge
+    # the merge's exchange hash-partitions on (partition, attribute)
+    # and sits ABOVE the MapInPandas: the rows it moves are the few-KB
+    # sub-digests, not data
+    lines = plan.splitlines()
+    mip = next(i for i, ln in enumerate(lines) if "MapInPandas" in ln)
+    exch = [
+        i
+        for i, ln in enumerate(lines)
+        if "Exchange hashpartitioning" in ln and "attribute" in ln
+    ]
+    assert any(i < mip for i in exch)  # plan prints consumers first
+    # row-at-a-time Python never appears
+    assert "BatchEvalPython" not in plan
     """sample_stratified must rank through the salted two-phase top-k:
     two Window operators whose first partitions by (strata, salt) —
     never one window partition per stratum — and no Python eval."""
