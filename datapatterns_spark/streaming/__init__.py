@@ -58,6 +58,7 @@ def profile_state_sink(
     partition_col=None,
     field_list=None,
     allow_zero: bool = False,
+    quantile_delta: float | None = None,
 ):
     """Return a ``foreachBatch`` function that profiles each
     micro-batch into MERGEABLE state rows (operators/incremental.py) —
@@ -70,9 +71,12 @@ def profile_state_sink(
     :func:`stream_profile`.  Every statistic is exact vs a batch pass
     over everything seen so far except cardinality (HLL union — and
     HLL register-max union is grouping-independent, so the estimate
-    equals the single-pass sketch's).  Batch writes go to per-batch
-    subdirectories with overwrite so foreachBatch's replay-on-failure
-    semantics stay exactly-once."""
+    equals the single-pass sketch's).  ``quantile_delta`` adds the
+    mergeable t-digest quantile sketch per state row, so the rolling
+    profile also carries quartiles (approximate, rank-error-bounded —
+    same contract as the batch incremental profile).  Batch writes go
+    to per-batch subdirectories with overwrite so foreachBatch's
+    replay-on-failure semantics stay exactly-once."""
     from ..operators.incremental import profile_state
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -82,6 +86,7 @@ def profile_state_sink(
                 partition_col,
                 field_list=field_list,
                 allow_zero=allow_zero,
+                quantile_delta=quantile_delta,
             )
             .write.mode("overwrite")
             .parquet(f"{state_path}/states/batch={batch_id}")

@@ -76,6 +76,31 @@ def test_stream_profile_equals_batch(spark, tmp_path, multi_file_input):
         assert streamed[attr] == row, attr
 
 
+def test_stream_profile_quantile_state(spark, tmp_path, multi_file_input):
+    """quantile_delta threads through the sink: the rolling profile
+    carries t-digest quartiles, and the micro-batch-merged estimate
+    stays inside the sketch's rank-error contract vs the batch data."""
+    in_path, batch_df = multi_file_input
+    out = str(tmp_path / "prof_q_out")
+    _run_stream(
+        spark, in_path, batch_df.schema,
+        profile_state_sink(out, quantile_delta=100.0), tmp_path, "prof_q",
+    )
+    merged = {
+        r["attribute"]: r.asDict()
+        for r in stream_profile(spark, out).collect()
+    }
+    vals = sorted(
+        r["turn_idx"] for r in batch_df.select("turn_idx").collect()
+        if r["turn_idx"] != 0  # allow_zero=False fill rule
+    )
+    est = merged["turn_idx"]["numeric_median"]
+    rank = sum(1 for v in vals if v <= est) / len(vals)
+    assert abs(rank - 0.5) < 0.1
+    # non-numeric attrs stay null, not garbage
+    assert merged["role"]["numeric_median"] is None
+
+
 def test_stream_profile_batch_replay_idempotent(spark, tmp_path, multi_file_input):
     """Re-running a batch id (the foreachBatch failure-replay path)
     must not double-count: per-batch overwrite."""
