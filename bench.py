@@ -394,10 +394,10 @@ def run_suite(include_flagship: bool = True) -> dict:
         # with full methodology lives in BASELINE.md.
         "scaling_recorded": {
             "pair": "local[2] -> local[8]",
-            "efficiency": 0.843,
-            "turns_per_sec": {"local2": 109505.3, "local8": 369449.3},
+            "efficiency": 0.842,
+            "turns_per_sec": {"local2": 118921.2, "local8": 400681.5},
             "input_turns": 38455298,
-            "source": "BASELINE.md 'Scaling evidence (round 3)' (bench.py --scaling-only; both legs faster than r2 — the narrow leg +15.8% from the fixed-cost removal, which lowers the ratio while improving every width)",
+            "source": "BASELINE.md 'Scaling evidence (round 4)' (bench.py --scaling-only; all probes 0.92-0.96 normal band; both legs ~8.5% faster than r3 at an unchanged ratio)",
         },
     }
 
