@@ -120,9 +120,15 @@ def shingles(col: Column, n: int = 3, words: bool = True, distinct: bool = True)
         # short docs: fall back to the whole text as one shingle
         grams = F.when(count > 0, grams).otherwise(F.array(norm))
     else:
-        count = F.greatest(F.length(norm) - (n - 1), F.lit(0))
+        # one-pass codepoint split, then slice-joins — NOT per-index
+        # substring, whose UTF8 codepoint seek is O(len) per call and
+        # O(len^2) per document (measured 16x on char bigrams,
+        # textanalysis._char_bigrams)
+        chars = F.regexp_extract_all(norm, F.lit("(?s)."), 0)
+        count = F.greatest(F.size(chars) - (n - 1), F.lit(0))
         grams = F.transform(
-            F.sequence(F.lit(1), count), lambda i: F.substring(norm, i, n)
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(chars, i, n), ""),
         )
         grams = F.when(count > 0, grams).otherwise(F.array(norm))
     return F.array_distinct(grams) if distinct else grams

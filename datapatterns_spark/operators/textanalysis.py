@@ -94,13 +94,24 @@ def fingerprint(col: Column) -> Column:
 def _char_bigrams(text_col: Column) -> Column:
     """Array of character bigrams of the normalized text (empty for
     texts shorter than 2 chars — sequence(1, 0) would DESCEND in
-    Spark, so the short case is guarded explicitly)."""
+    Spark, so the short case is guarded explicitly).
+
+    Built from a one-pass codepoint split + zip of adjacent slices,
+    NOT per-index ``substr``: substr on UTF8 counts codepoints, so
+    each call seeks from the string start — O(len) per call, O(len^2)
+    per document.  Measured on the 50k-doc sf1.0 corpus: 22-29 s ->
+    1.4-1.9 s for the identical 22.1M bigrams.  ``(?s).`` matches one
+    CODEPOINT in Java regex, so astral chars split exactly as substr
+    counted them."""
     s = normalized_text(text_col)
-    n = F.length(s) - F.lit(1)
-    grams = F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.substr(s, i, F.lit(2))
+    chars = F.regexp_extract_all(s, F.lit("(?s)."), 0)
+    m = F.size(chars)
+    grams = F.zip_with(
+        F.slice(chars, 1, m - 1),
+        F.slice(chars, 2, m - 1),
+        lambda a, b: F.concat(a, b),
     )
-    return F.when(n >= 1, grams).otherwise(
+    return F.when(m >= 2, grams).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -117,6 +128,87 @@ def char_bigram_counts(
         df.select(F.explode(_char_bigrams(F.col(text_col))).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# Model-size ceiling for the literal-map scoring path: below it the
+# whole per-(bigram, first-char) log-prob table rides the PLAN as two
+# create_map literals and scoring is a map-only array fold — no
+# explode, no joins, no shuffle (sf1.0: 41.5 -> see BASELINE.md).  A
+# natural-language alphabet squared sits comfortably under it; corpora
+# whose normalized bigram space exceeds it (binary spew, CJK) keep the
+# broadcast-join formulation, which is unbounded-safe.  Same
+# house pattern as similarity.LITERAL_CENTROID_LIMIT.
+LM_LITERAL_LIMIT = 4096
+
+
+def _lm_score_literal(
+    df, model, uni, vocab, text_col, id_col, alpha
+) -> DataFrame:
+    """Literal-map scoring path: one map-only pass, zero shuffles.
+
+    The quantized ln() terms are computed IN Spark on the tiny
+    model/uni frames (the same expressions the join path evaluates
+    per-row), so both paths produce bit-identical lp9 longs and the
+    oracle stays exact regardless of which path runs."""
+
+    def quant(x: Column) -> Column:
+        return F.floor(F.log(x) * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    present = (
+        model.join(uni, F.substring("bg", 1, 1) == F.col("_a"), "left")
+        .select(
+            "bg",
+            quant(
+                (F.col("cnt") + F.lit(alpha))
+                / (F.coalesce(F.col("fcnt"), F.lit(0)) + F.lit(alpha * vocab))
+            ).alias("lp9"),
+        )
+        .collect()  # bounded: caller guarantees <= LM_LITERAL_LIMIT rows
+    )
+    unseen = uni.select(
+        "_a",
+        quant(F.lit(alpha) / (F.col("fcnt") + F.lit(alpha * vocab))).alias(
+            "lp9"
+        ),
+    ).collect()  # bounded by the alphabet
+    g = (
+        df.sparkSession.range(1)
+        .select(quant(F.lit(alpha) / F.lit(alpha * vocab)).alias("lp9"))
+        .collect()[0]["lp9"]
+    )
+    m_bg = F.create_map(
+        *[l for r in present for l in (F.lit(r["bg"]), F.lit(r["lp9"]))]
+    )
+    m_a = (
+        F.create_map(
+            *[l for r in unseen for l in (F.lit(r["_a"]), F.lit(r["lp9"]))]
+        )
+        if unseen
+        else None
+    )
+
+    def per_bigram(bg: Column) -> Column:
+        cands = [F.element_at(m_bg, bg)]
+        if m_a is not None:
+            cands.append(F.element_at(m_a, F.substring(bg, 1, 1)))
+        cands.append(F.lit(g))
+        return F.coalesce(*cands)
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _char_bigrams(F.col(text_col)).alias("_arr"),
+    )
+    n = F.size("_arr")
+    s = F.aggregate(
+        "_arr", F.lit(0).cast("long"), lambda acc, bg: acc + per_bigram(bg)
+    )
+    return base.select(
+        "id",
+        n.cast("long").alias("n_bigrams"),
+        F.when(n > 0, F.round(s / (n * F.lit(1e9)), 6))
+        .otherwise(F.lit(0.0))
+        .alias("lm_score"),
     )
 
 
@@ -138,13 +230,17 @@ def lm_quality_score(
     threshold on ``lm_score`` as a curation gate.
 
     Returns ``(id, n_bigrams, lm_score)`` with score 0.0 for
-    sub-2-char docs.  Scale shape: the model aggregate is bounded by
-    the squared alphabet and BROADCAST to both joins; the corpus is
-    scanned once and shuffles only the slim per-doc partial sums
-    (map-side combine).  Cross-engine determinism: each ln() term is
-    quantized to integer 1e-9 units with the floor(x+0.5) rule (the
-    one rounding identical across engines), summed exactly as longs,
-    and only the final mean is rounded."""
+    sub-2-char docs (``id`` assumed unique, as throughout the
+    pipeline).  Scale shape, two formulations with bit-identical
+    output: models up to ``LM_LITERAL_LIMIT`` rows (any natural
+    language) ride the plan as literal maps and scoring is ONE
+    map-only array fold — no explode, no join, no shuffle; larger
+    models broadcast into the explode+join formulation, whose corpus
+    pass scans once and shuffles only slim per-doc partial sums.
+    Cross-engine determinism: each ln() term is quantized to integer
+    1e-9 units with the floor(x+0.5) rule (the one rounding identical
+    across engines), summed exactly as longs, and only the final mean
+    is rounded."""
     if model is None:
         model = char_bigram_counts(df, text_col)
     # the model frame feeds THREE consumers (vocab collect, the
@@ -163,6 +259,16 @@ def lm_quality_score(
     vocab = model.select(
         F.countDistinct(F.substring("bg", 2, 1)).alias("v")
     ).collect()[0]["v"] + 1
+    # literal-map fast path: for alphabet-bounded models the whole
+    # log-prob table fits the plan and scoring needs NO explode, NO
+    # joins and NO shuffle — one array fold per row.  Result is
+    # bit-identical to the join path (terms computed in Spark on the
+    # same tiny frames); the join path remains for over-limit models.
+    n_model_rows = model.count()
+    if 0 < n_model_rows <= LM_LITERAL_LIMIT:
+        return _lm_score_literal(
+            df, model, uni, vocab, text_col, id_col, alpha
+        )
     docs = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(_char_bigrams(F.col(text_col))).alias("bg"),
