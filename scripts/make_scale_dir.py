@@ -14,12 +14,17 @@ randomness):
 * key columns get ``rep * (max_key + 1)`` offsets, with foreign keys
   offset by the OWNING table's domain so cross-table joins stay
   FK-consistent at any factor;
-* ``documents.text`` is salted per replica (every 8th token gets an
-  ``_r{rep}`` suffix) so shingle/minhash near-dup structure stays
-  representative instead of every doc gaining factor-1 exact twins —
-  a salt every 8 tokens breaks most word 5-grams between replicas
-  (Jaccard ~0.2, below every dedup threshold in the suite) while
-  keeping per-row length/alphabet statistics essentially unchanged;
+* ``documents.text`` is salted per replica (EVERY token gets an
+  ``_r{rep}`` suffix for rep > 0) so replicas are shingle-disjoint:
+  cross-replica Jaccard is exactly 0, so the scaled corpus is "factor
+  independent shards with sf0.1's internal near-dup structure" and
+  per-doc candidate-pair counts stay scale-invariant.  (A first cut
+  salted every 8th token, leaving cross-replica Jaccard ~0.35 — still
+  INSIDE MinHash band-collision range, which handed every doc ~factor
+  artificial near-twin candidates and made the LSH entries measure a
+  denser corpus than sf0.1, superlinearly: dedup_incremental_minhash
+  14.9x at factor 10.  Near-dup density, not just row count, is part
+  of "the same shape at 10x".);
 * ``embeddings.embedding`` gets a per-replica perturbation on one
   hash-chosen dimension so ANN top-k is not dominated by exact-tie
   duplicate vectors;
@@ -70,20 +75,19 @@ TABLES = [
 
 
 def _salted_text(rep_col, text_col="text"):
-    """Deterministic per-replica text mutation: suffix every 8th token
-    (phase rotated by replica) with _r<rep>.  Replica 0 untouched."""
+    """Deterministic per-replica text mutation: suffix EVERY token with
+    _r<rep> so replicas share no shingle.  Replica 0 untouched."""
     toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     salted = F.array_join(
         F.transform(
             toks,
-            lambda t, i: F.when(
-                (rep_col > 0) & ((i + rep_col) % 8 == 0),
-                F.concat(t, F.lit("_r"), rep_col.cast("string")),
-            ).otherwise(t),
+            lambda t: F.concat(t, F.lit("_r"), rep_col.cast("string")),
         ),
         " ",
     )
-    return F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(salted)
+    return F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+        F.when(rep_col == 0, F.col(text_col)).otherwise(salted)
+    )
 
 
 def scale_table(
