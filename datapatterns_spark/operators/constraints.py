@@ -552,6 +552,12 @@ def run_checks(
     # order keys segment — floor(o / S) must be exact and NULL-safe.
     seg_windows: dict[tuple[str, str], Column] = {}
     integral = {"tinyint", "smallint", "int", "bigint"}
+    if isinstance(segment_size, str) and segment_size != "auto":
+        # env-var pass-through without int() is the likely caller error
+        raise ValueError(
+            "segment_size must be an int, None, or 'auto' — got "
+            f"{segment_size!r}"
+        )
     if segment_size == "auto":
         integral_windows = [
             g_o for g_o in mono_windows if dtypes.get(g_o[1]) in integral

@@ -377,8 +377,19 @@ def profile_state(
     )
     out = state.join(F.broadcast(meta), "attribute").select(*STATE_COLUMNS)
     if quantile_delta is not None:
-        digests = _attr_digests(df, attrs, allow_zero, part, quantile_delta)
-        out = out.join(digests, ["partition", "attribute"], "left")
+        digests = _attr_digests(
+            df, attrs, allow_zero, part, quantile_delta
+        ).withColumnsRenamed({"partition": "_dp", "attribute": "_da"})
+        # null-SAFE on partition: a null partition key is a legal state
+        # row (both passes keep it), and a plain equi-join would
+        # silently drop its sketch — quantiles would then exclude
+        # values that every other statistic includes
+        out = out.join(
+            digests,
+            out["partition"].eqNullSafe(digests["_dp"])
+            & (out["attribute"] == digests["_da"]),
+            "left",
+        ).drop("_dp", "_da")
     return out
 
 
@@ -612,14 +623,38 @@ def profile_incremental(
     spark = df.sparkSession
     done = completed_partitions(spark, state_path)
     if done:
-        stored = spark.read.parquet(f"{state_path}/states").columns
-        if ("q_sketch" in stored) != (quantile_delta is not None):
+        stored_df = spark.read.parquet(f"{state_path}/states")
+        if ("q_sketch" in stored_df.columns) != (quantile_delta is not None):
             raise ValueError(
                 "quantile_delta mismatch with existing states under "
                 f"{state_path!r}: stored rows "
-                f"{'have' if 'q_sketch' in stored else 'lack'} q_sketch; "
-                "rerun with the original setting or a fresh state_path"
+                f"{'have' if 'q_sketch' in stored_df.columns else 'lack'} "
+                "q_sketch; rerun with the original setting or a fresh "
+                "state_path"
             )
+        if quantile_delta is not None:
+            # pin the VALUE too: digests at different compressions merge
+            # without error but mix rank-error contracts silently.  The
+            # delta rides every serialized TD1 header, so one stored
+            # sketch answers for the whole store (profile_state writes a
+            # single delta per run, and this guard holds inductively).
+            row = (
+                stored_df.where(F.col("q_sketch").isNotNull())
+                .select("q_sketch")
+                .first()
+            )
+            if row is not None:
+                from ..functions.tdigest import TDigest
+
+                stored_delta = TDigest.from_bytes(bytes(row[0])).delta
+                if stored_delta != float(quantile_delta):
+                    raise ValueError(
+                        "quantile_delta mismatch with existing states "
+                        f"under {state_path!r}: stored sketches use "
+                        f"delta={stored_delta}, run requested "
+                        f"{float(quantile_delta)}; rerun with the "
+                        "original setting or a fresh state_path"
+                    )
     parts = [
         r["p"]
         for r in df.select(F.col(partition_col).cast("string").alias("p"))

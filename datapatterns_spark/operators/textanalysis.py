@@ -134,12 +134,16 @@ def char_bigram_counts(
 # Model-size ceiling for the literal-map scoring path: below it the
 # whole per-(bigram, first-char) log-prob table rides the PLAN as two
 # create_map literals and scoring is a map-only array fold — no
-# explode, no joins, no shuffle (sf1.0: 41.5 -> see BASELINE.md).  A
-# natural-language alphabet squared sits comfortably under it; corpora
-# whose normalized bigram space exceeds it (binary spew, CJK) keep the
-# broadcast-join formulation, which is unbounded-safe.  Same
+# explode, no joins, no shuffle.  Spark's GetMapValue on a literal map
+# is a LINEAR key scan, so the ceiling is sized by measurement, not
+# plan size: at the natural 132-row sf1.0 model literal ~= join
+# (4.7-5.8 vs 5.5-5.6 s); at a planted 4000-row all-miss model the
+# scan costs 4x the join (18.1 vs 4.4 s).  512 keeps the worst-case
+# scan comfortably under the join's constant while covering real
+# normalized-text alphabets; bigger models (mixed-script, CJK) take
+# the broadcast-join formulation, which is unbounded-safe.  Same
 # house pattern as similarity.LITERAL_CENTROID_LIMIT.
-LM_LITERAL_LIMIT = 4096
+LM_LITERAL_LIMIT = 512
 
 
 def _lm_score_literal(
@@ -189,9 +193,12 @@ def _lm_score_literal(
     )
 
     def per_bigram(bg: Column) -> Column:
-        cands = [F.element_at(m_bg, bg)]
+        # try_element_at: null on miss under ANSI mode too (plain
+        # element_at raises MAP_KEY_DOES_NOT_EXIST there, and scoring
+        # a corpus under an EXTERNAL model legitimately misses keys)
+        cands = [F.try_element_at(m_bg, bg)]
         if m_a is not None:
-            cands.append(F.element_at(m_a, F.substring(bg, 1, 1)))
+            cands.append(F.try_element_at(m_a, F.substring(bg, 1, 1)))
         cands.append(F.lit(g))
         return F.coalesce(*cands)
 

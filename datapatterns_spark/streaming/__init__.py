@@ -351,15 +351,22 @@ def sessionize_conversations(
         state.update((n, x, str(s), f, l))
         if timeout_ms is not None:
             state.setTimeoutDuration(int(timeout_ms))
-        elif event_timeout_ms is not None and l is not None:
+        elif event_timeout_ms is not None:
             # close when the WATERMARK passes the conversation's own
             # last event + the idle budget; the engine requires the
             # armed timestamp to sit beyond the current watermark, so
             # a conversation already older than the budget (a late
-            # straggler group) closes at the next watermark tick
+            # straggler group) closes at the next watermark tick.
+            # A conversation with NO valid event time yet (all-null
+            # ts — dirty data) arms off the watermark alone: without
+            # an armed timestamp EventTimeTimeout would never fire and
+            # its state would live forever
+            anchor = (
+                int(l) if l is not None else state.getCurrentWatermarkMs()
+            )
             state.setTimeoutTimestamp(
                 max(
-                    int(l) + int(event_timeout_ms),
+                    anchor + int(event_timeout_ms),
                     state.getCurrentWatermarkMs() + 1,
                 )
             )

@@ -353,6 +353,17 @@ def test_segmented_group_checks_match_unsegmented(spark):
         assert seg == base, f"segment_size={s} diverged"
 
 
+def test_segment_size_rejects_stray_strings(spark):
+    """An un-converted env var ('500') must fail with a message naming
+    the accepted values, not a bare TypeError deep in the runner."""
+    df = spark.createDataFrame(
+        [("c", 0, 1.0), ("c", 1, 2.0)], "conv string, t int, v double"
+    )
+    checks = [C.monotonic("mono_v", "v", group_by="conv", order_by="t")]
+    with pytest.raises(ValueError, match="'auto'"):
+        C.run_checks(df, checks, key_cols=["conv", "t"], segment_size="500")
+
+
 def test_segmented_suite_on_generated_transcripts(spark):
     """The full transcript suite (fused unique+monotonic windows, row
     and stat checks, per-partition grain with a derivable partition

@@ -1170,6 +1170,23 @@ def test_lm_quality_score_external_model(spark):
     assert out[10]["n_bigrams"] == 3
 
 
+def test_lm_quality_score_ansi_mode(spark):
+    """The literal-map path must stay null-on-miss under ANSI mode
+    (plain element_at raises MAP_KEY_DOES_NOT_EXIST there; scoring
+    under an external model legitimately misses keys)."""
+    train = spark.createDataFrame(
+        [(1, "aaab aaab aaab")], "doc_id long, text string"
+    )
+    model = TA.char_bigram_counts(train)
+    score = spark.createDataFrame([(10, "zzzz")], "doc_id long, text string")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = TA.lm_quality_score(score, model=model).collect()
+        assert rows[0]["n_bigrams"] == 3 and rows[0]["lm_score"] < 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
 def test_duplicate_token_spans(spark):
     """Exact-substring duplicate spans: a 10-token run shared by two
     docs lights up as one merged span in each (8-grams at positions

@@ -384,3 +384,63 @@ def test_sessionize_event_time_timeout_closes_with_late_turns(spark, tmp_path):
     # mutually exclusive timeout modes are rejected up front
     with pytest.raises(ValueError, match="not both"):
         sessionize_conversations(stream, timeout_ms=1, event_timeout_ms=1)
+
+
+def test_sessionize_event_time_closes_null_ts_conversations(spark, tmp_path):
+    """A conversation whose every turn has a NULL timestamp (dirty
+    data) must still close under event-time mode: without an armed
+    timeout its state would live forever and no closed row would ever
+    surface.  It arms off the watermark alone."""
+    from datapatterns_spark.streaming import sessionize_conversations
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (c, t, "user", x, "", float(ts) if ts is not None else None)
+                for c, t, x, ts in rows
+            ],
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    in_dir = tmp_path / "sess_null_in"
+    # b1: N has ONLY null-ts turns; B carries the event clock
+    mk([("N", 0, "no clock", None), ("N", 1, "still none", None),
+        ("B", 0, "hi", 10.0)]).coalesce(1).write.parquet(str(in_dir / "b1"))
+    # b2: B pushes the watermark well past N's watermark-anchored budget
+    mk([("B", 1, "more", 60.0)]).coalesce(1).write.parquet(str(in_dir / "b2"))
+    # b3: keeps the stream moving so b2's watermark fires timeouts
+    mk([("B", 2, "again", 90.0)]).coalesce(1).write.parquet(str(in_dir / "b3"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    out = sessionize_conversations(
+        stream, event_timeout_ms=5_000, watermark_delay="0 seconds"
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_null")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess_null"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    closed = {
+        r["conv"]: r
+        for r in spark.sql("select * from sess_null").collect()
+        if r["closed"]
+    }
+    assert "N" in closed
+    n = closed["N"]
+    assert n["n_turns"] == 2
+    assert n["first_ts"] is None and n["last_ts"] is None

@@ -172,9 +172,36 @@ def test_incremental_quantile_pinning(spark, skew_df, tmp_path):
     )
     rows = {r["attribute"]: r.asDict() for r in out.collect()}
     assert rows["n"]["numeric_median"] is not None
-    # param mismatch against the stored states fails fast
+    # param mismatch against the stored states fails fast — presence…
     with pytest.raises(ValueError, match="quantile_delta mismatch"):
         profile_incremental(skew_df, "part", p)
+    # …and VALUE (sketches at different compressions merge without
+    # error but mix rank-error contracts silently)
+    with pytest.raises(ValueError, match="delta=100.0"):
+        profile_incremental(skew_df, "part", p, quantile_delta=50.0)
+
+
+def test_null_partition_keeps_sketch(spark):
+    """A null partition key is a legal state row; its values must
+    reach the merged quantiles (a plain equi-join would silently drop
+    exactly that sketch while every other statistic keeps the rows)."""
+    rows = [(None if i % 2 else "p", float(i + 1)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "part string, v double")
+    states = profile_state(df, "part", quantile_delta=100.0)
+    by_part = {
+        r["partition"]: r["q_sketch"]
+        for r in states.where(F.col("attribute") == "v").collect()
+    }
+    assert by_part[None] is not None and by_part["p"] is not None
+    med = {
+        r["attribute"]: r["numeric_median"]
+        for r in merge_states(states).collect()
+    }["v"]
+    # with both partitions contributing, the median sits near 1000;
+    # dropping the null-partition sketch would shift it to ~1001 only
+    # slightly — so assert on the sketch join itself above AND on a
+    # sane merged value here
+    assert 900 < med < 1100
 
 
 def test_digest_drift_screen(spark):
