@@ -308,25 +308,29 @@ def _auto_segment_size(
     small groups that sample to zero).  Returns AUTO_SEGMENT_SIZE when
     any estimated group exceeds AUTO_SEGMENT_THRESHOLD, else None —
     the common case pays one cheap slim probe job and keeps the
-    unsegmented single-window plan."""
-    est_max = 0
-    for g, o in windows:
-        row = (
-            df.select(g, o)
-            .filter(
-                F.pmod(
-                    F.xxhash64(F.col(g), F.col(o)),
-                    F.lit(AUTO_SEGMENT_PROBE_MOD),
-                )
-                == 0
-            )
-            .groupBy(g)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .agg(F.max("_n").alias("_m"))
-            .collect()
+    unsegmented single-window plan.  Multiple windows union into that
+    SAME single job (only the overall max matters), window-tagged so
+    equal group values in different windows never merge."""
+    from functools import reduce
+
+    parts = []
+    for i, (g, o) in enumerate(windows):
+        parts.append(
+            df.select(
+                F.concat_ws(
+                    "\x00", F.lit(str(i)), F.col(g).cast("string")
+                ).alias("_g"),
+                F.xxhash64(F.col(g), F.col(o)).alias("_h"),
+            ).filter(F.pmod(F.col("_h"), F.lit(AUTO_SEGMENT_PROBE_MOD)) == 0)
         )
-        m = row[0]["_m"] or 0
-        est_max = max(est_max, m * AUTO_SEGMENT_PROBE_MOD)
+    row = (
+        reduce(DataFrame.unionByName, parts)
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_m"))
+        .collect()
+    )
+    est_max = (row[0]["_m"] or 0) * AUTO_SEGMENT_PROBE_MOD
     return AUTO_SEGMENT_SIZE if est_max > AUTO_SEGMENT_THRESHOLD else None
 
 
