@@ -123,6 +123,14 @@ class TDigest:
         if not ds:
             delta = digests[0].delta if digests else DEFAULT_COMPRESSION
             return cls(np.empty(0), np.empty(0), np.nan, np.nan, delta)
+        deltas = {d.delta for d in ds}
+        if len(deltas) > 1:
+            # mixing compression contracts would silently blend rank-error
+            # bounds; fail fast like profile_incremental's per-store guard
+            raise ValueError(
+                "merge_all: digests carry differing delta values "
+                f"{sorted(deltas)}; rebuild with one quantile_delta"
+            )
         delta = ds[0].delta
         means = np.concatenate([d.means for d in ds])
         weights = np.concatenate([d.weights for d in ds])
@@ -164,10 +172,16 @@ class TDigest:
         by sketch-based drift (KS distance between two digests)."""
         if self.means.size == 0:
             return float("nan")
-        if x <= self.vmin:
-            return 0.0
+        # order matters: x >= vmax first, so the degenerate vmin == vmax
+        # digest (constant column) reports P(V <= v) = 1 at its own value
         if x >= self.vmax:
             return 1.0
+        if x < self.vmin:
+            return 0.0
+        if x == self.vmin:
+            # half of one sample's mass — Dunning's reference convention;
+            # P(V <= min) must not be 0 when the min was observed
+            return float(0.5 / self.count)
         total = self.count
         cum = np.cumsum(self.weights) - self.weights / 2.0
         pts = np.concatenate(([self.vmin], self.means, [self.vmax]))

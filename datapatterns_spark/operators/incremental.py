@@ -216,9 +216,12 @@ def _quantile_value_cols(
     """Per-attribute numeric-reading columns for the t-digest pass —
     the same ``v`` definition as :func:`_state_melt` (native doubles
     for given-numeric attributes with the allow-zero fill rule; gated
-    ``try_cast`` of the canonical string otherwise).  Attributes with
-    no numeric reading (boolean / array / binary) are skipped entirely,
-    so the digest scan never reads their columns."""
+    ``try_cast`` of the canonical string otherwise — binary included,
+    gated on BYTE length like the melt, so a binary column whose bytes
+    decode to numeric strings gets quartiles wherever it gets
+    num_n/mean/std).  Attributes with no numeric reading (boolean /
+    array) are skipped entirely, so the digest scan never reads their
+    columns."""
     cols: list[tuple[str, Column]] = []
     for a in attrs:
         c = F.col(a.name)
@@ -229,11 +232,13 @@ def _quantile_value_cols(
                 else (c.isNotNull() & (c.cast("double") != 0))
             )
             cols.append((a.name, F.when(filled, c.cast("double"))))
-        elif a.kind in (KIND_BOOLEAN, KIND_ARRAY, KIND_BINARY):
+        elif a.kind in (KIND_BOOLEAN, KIND_ARRAY):
             continue
         else:
             v = _value_expr(a)
-            ln = F.length(v)
+            # binary gates on byte length, everything else on the
+            # string form's length — exactly _state_melt's lncol
+            ln = _len_expr(a) if a.kind == KIND_BINARY else F.length(v)
             gate = (ln > 0) & (ln <= 40) & v.rlike("^[0-9+\\-.]")
             cols.append((a.name, F.when(gate, v.try_cast("double"))))
     return cols

@@ -142,6 +142,29 @@ def test_profile_incremental_resume(fixture_df, tmp_path):
     shutil.rmtree(path, ignore_errors=True)
 
 
+def test_binary_numeric_reading_includes_quartiles(spark):
+    """A binary column whose bytes decode to numeric strings gets the
+    melt's numeric reading (num_n/mean) AND t-digest quartiles — the
+    two passes must agree on which attributes are numeric-readable
+    (ADVICE r4: _quantile_value_cols used to skip KIND_BINARY)."""
+    rows = [
+        ("p0", bytearray(b"10"), bytearray(b"zz")),
+        ("p0", bytearray(b"20"), bytearray(b"yy")),
+        ("p1", bytearray(b"30"), None),
+    ]
+    df = spark.createDataFrame(rows, "part string, bnum binary, btxt binary")
+    out = _by_attr(
+        merge_states(profile_state(df, "part", quantile_delta=100.0))
+    )
+    bnum, btxt = out["bnum"], out["btxt"]
+    assert bnum["numeric_mean"] == pytest.approx(20.0)
+    # quartiles present wherever num stats are present
+    assert bnum["numeric_median"] == pytest.approx(20.0, abs=1e-9)
+    assert bnum["numeric_lower_quartile"] is not None
+    # non-numeric bytes: no numeric reading, no quartiles
+    assert btxt["numeric_mean"] is None and btxt["numeric_median"] is None
+
+
 def test_state_kinds_array_bool_temporal(spark):
     """SET OF lengths are element counts and never numeric
     (Profile.ecl:819-820, 846-847); booleans are always filled with

@@ -224,6 +224,9 @@ def test_digest_pass_slim_shuffle(spark):
     assert any(i < mip for i in exch)  # plan prints consumers first
     # row-at-a-time Python never appears
     assert "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_skew_safe_shape(spark):
     """sample_stratified must rank through the salted two-phase top-k:
     two Window operators whose first partitions by (strata, salt) —
     never one window partition per stratum — and no Python eval."""

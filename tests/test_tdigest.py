@@ -74,6 +74,30 @@ def test_empty_and_degenerate():
     assert TDigest.from_values([1.0, np.nan, 3.0]).count == 2.0
 
 
+def test_cdf_boundary_conventions():
+    # constant column: the degenerate vmin == vmax digest must report
+    # P(V <= v) = 1 at its own value, not 0 (vmax check wins over vmin)
+    const = TDigest.from_values([5.0] * 1000)
+    assert const.cdf(5.0) == 1.0
+    assert const.cdf(4.999) == 0.0 and const.cdf(5.001) == 1.0
+    # observed minimum carries half of one sample's mass (Dunning's
+    # reference convention), never hard 0
+    d = TDigest.from_values(np.arange(100, dtype=np.float64))
+    assert d.cdf(0.0) == pytest.approx(0.5 / 100)
+    assert d.cdf(-0.001) == 0.0
+
+
+def test_merge_all_rejects_mixed_delta():
+    a = TDigest.from_values([1.0, 2.0], delta=100.0)
+    b = TDigest.from_values([3.0, 4.0], delta=200.0)
+    with pytest.raises(ValueError, match="differing delta"):
+        TDigest.merge_all([a, b])
+    # same delta still merges
+    assert TDigest.merge_all(
+        [a, TDigest.from_values([9.0], delta=100.0)]
+    ).count == 3.0
+
+
 def test_cdf_quantile_consistency():
     rng = np.random.RandomState(3)
     v = rng.gamma(2.0, 2.0, 50_000)
