@@ -210,12 +210,74 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _winnowed_grams(
+    df: DataFrame, id_col: str, grams: Column, w: int
+) -> DataFrame:
+    """Explode only the winnowing-selected positions of the positioned
+    gram array: in every window of ``w`` consecutive gram hashes keep
+    the RIGHTMOST minimal one (Schleimer et al. 2003 robust
+    winnowing); documents with fewer than ``w`` grams keep their single
+    rightmost minimum.  Returns ``(id, p)`` with ``p`` the selected
+    ``struct<i,g1,g2>`` rows.
+
+    Stage shape mirrors winnow_table: the gram array, the selected-
+    position array, and the final explode are SEPARATE projections so
+    each non-cheap array is evaluated once per row (lambda bodies get
+    no subexpression elimination)."""
+    staged = df.select(F.col(id_col).alias("id"), grams.alias("_grams"))
+    g = F.col("_grams")
+    m = F.size(g)
+    nw = (m - w + 1).cast("int")
+    init = F.struct(
+        F.lit(None).cast("bigint").alias("h"), F.lit(0).cast("int").alias("pos")
+    )
+
+    def _step(acc: Column, pidx: Column) -> Column:
+        # <= keeps the RIGHTMOST minimal hash — the robust-winnowing
+        # tie rule, so equal-hash runs select deterministically
+        h = F.element_at(g, pidx)["g1"]
+        return F.when(
+            acc["h"].isNull() | (h <= acc["h"]),
+            F.struct(h.alias("h"), pidx.alias("pos")),
+        ).otherwise(acc)
+
+    def _argmin(p: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(w - 1)),
+            init,
+            lambda acc, j: _step(acc, (p + j).cast("int")),
+        )["pos"]
+
+    whole = F.aggregate(
+        F.sequence(F.lit(1), m.cast("int")),
+        init,
+        lambda acc, pidx: _step(acc, pidx.cast("int")),
+    )["pos"]
+    sel = (
+        F.when(
+            nw >= 1,
+            F.array_distinct(F.transform(F.sequence(F.lit(1), nw), _argmin)),
+        )
+        .when(m >= 1, F.array(whole))
+        .otherwise(F.array().cast("array<int>"))
+    )
+    staged = staged.select("id", "_grams", sel.alias("_sel"))
+    return staged.select(
+        "id",
+        F.explode(
+            F.transform(F.col("_sel"), lambda pidx: F.element_at(g, pidx))
+        ).alias("p"),
+    )
+
+
 def duplicate_token_spans(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 13,
     min_count: int = 2,
+    winnow_w: int = 1,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """EXACT-substring duplicate spans (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" —
@@ -245,7 +307,38 @@ def duplicate_token_spans(
     collision-free at any realistic corpus size.  Suffix arrays find
     duplicates of ANY length >= threshold; the n-gram formulation
     needs >= n shared tokens to light up — the standard trade for a
-    shuffle-native implementation."""
+    shuffle-native implementation.
+
+    **Volume lever** (``winnow_w > 1``): the materialized positioned-
+    gram frame is the engine's largest intermediate (~28 B x corpus
+    token count; at 10^12 turns, the dominant shuffle input).
+    ``winnow_w=w`` selects gram POSITIONS by the winnowing rule
+    (Schleimer et al. 2003, the same window-minimum machinery as
+    textanalysis.winnow_table): in every window of ``w`` consecutive
+    gram hashes, keep the rightmost minimal one.  Selection is
+    CONTENT-DEFINED — a duplicated token span selects the same interior
+    grams in every copy (a window fully inside the span sees identical
+    hashes everywhere), so every true duplicated span of
+    ``>= n + w - 1`` tokens still yields at least one corpus-wide
+    selected duplicate and is detected.  The frame shrinks to the
+    winnowing density ~2/(w+1) of all positions.  Resolution trade
+    (documented, not silent): reported span boundaries are recovered
+    from selected positions only, so each end can under-reach the true
+    boundary by up to ``w - 1`` gram positions, spans shorter than
+    ``n + w - 1`` tokens may be missed, and the island-merge slack
+    grows from 1 to ``w`` (selected positions inside one duplicated
+    region are at most ``w`` apart — two regions separated by a gap
+    ``<= w`` merge).  ``winnow_w=1`` (default) is the exact path with a
+    byte-identical plan to before the lever existed.
+
+    ``metrics`` (optional dict) receives the materialized-frame
+    observability counts — ``{"gram_positions": total corpus gram
+    positions, "frame_rows": rows actually materialized}`` — the
+    repo's no-silent-caps rule applied to the volume lever (the counts
+    cost one cheap job over the already-materialized frame plus one
+    scan-side aggregate; skipped entirely when ``metrics is None``)."""
+    if winnow_w < 1:
+        raise ValueError(f"winnow_w must be >= 1, got {winnow_w}")
     toks = F.split(normalized_text(F.col(text_col)), " ")
     cnt = F.size(toks) - F.lit(n - 1)
     grams = F.when(
@@ -263,14 +356,37 @@ def duplicate_token_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<i:int,g1:bigint,g2:bigint>>"))
+    if winnow_w > 1:
+        exploded = _winnowed_grams(df, id_col, grams, winnow_w)
+    else:
+        exploded = df.select(
+            F.col(id_col).alias("id"), F.explode(grams).alias("p")
+        )
     pos = materialize(
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("p")).select(
+        exploded.select(
             "id",
             F.col("p.i").alias("i"),
             F.col("p.g1").alias("g1"),
             F.col("p.g2").alias("g2"),
         )
     )
+    if metrics is not None:
+        # frame_rows is one job over checkpointed blocks; the total
+        # position count re-derives from a slim length aggregate (no
+        # text shuffled, map-side combined to one row)
+        metrics["frame_rows"] = pos.count()
+        metrics["gram_positions"] = (
+            df.select(
+                F.greatest(
+                    F.size(F.split(normalized_text(F.col(text_col)), " "))
+                    - F.lit(n - 1),
+                    F.lit(0),
+                ).alias("c")
+            )
+            .agg(F.sum("c"))
+            .collect()[0][0]
+            or 0
+        )
     # duplicated grams: count >= min_count corpus-wide (partial aggs
     # combine map-side; a boilerplate gram in 10M docs is ONE row out)
     hot = (
@@ -295,10 +411,15 @@ def duplicate_token_spans(
     w_run = Window.partitionBy("id").orderBy("i").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # slack = winnow_w: under winnowing, selected positions inside one
+    # duplicated region are at most w apart, so islands split only on
+    # gaps that cannot come from selection thinning.  w=1 -> the exact
+    # token-adjacency rule.
     marked = dup.withColumn(
         "_new",
         F.when(
-            F.col("i") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1,
+            F.col("i")
+            > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + winnow_w,
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn("_isl", F.sum("_new").over(w_run))
@@ -423,10 +544,23 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     bucket_cap: int = 2000,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: shingle -> minhash -> band -> bucket-join
     -> exact-Jaccard verification (no false positives; recall is the
     standard LSH S-curve at (bands, rows_per_band)).
+
+    ``metrics`` (optional dict) receives the cap observability counts —
+    ``candidate_pairs`` (rows entering exact verification),
+    ``capped_buckets`` (band buckets over ``bucket_cap``) and
+    ``cap_dropped_pairs`` (sum of C(bsz,2) - (bsz-1) over those
+    buckets: the all-pairs edges the star formulation does NOT emit) —
+    the repo's no-silent-caps rule made measurable: a run whose
+    extrapolation story depends on candidate volume and cap hit rates
+    can now record both.  Costs two small jobs when requested (the hot
+    aggregate re-runs over the materialized signatures; the candidate
+    count reads checkpointed blocks); ``metrics=None`` keeps the plan
+    unchanged.
 
     The signature is computed by exploding shingles and running
     ``min(xxhash64(g, i))`` aggregates — each hash evaluated exactly
@@ -505,8 +639,22 @@ def minhash_lsh_pairs(
         buckets.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("bsz"), F.min("id").alias("anchor"))
         .filter(F.col("bsz") > F.lit(bucket_cap))
-        .select("band", "bucket", "anchor")
     )
+    if metrics is not None:
+        # one slim aggregate over the hot set (bounded by
+        # total_bucket_rows / bucket_cap, so always tiny)
+        row = hot.agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.coalesce(
+                F.sum(
+                    F.col("bsz") * (F.col("bsz") - 1) / 2 - (F.col("bsz") - 1)
+                ),
+                F.lit(0.0),
+            ).alias("dropped"),
+        ).collect()[0]
+        metrics["capped_buckets"] = row["nb"]
+        metrics["cap_dropped_pairs"] = int(row["dropped"])
+    hot = hot.select("band", "bucket", "anchor")
     marked = buckets.join(F.broadcast(hot), ["band", "bucket"], "left")
     small = marked.filter(F.col("anchor").isNull()).select(
         "id", "band", "bucket"
@@ -533,6 +681,8 @@ def minhash_lsh_pairs(
         # (A/B at bench scale: 4.3s -> 3.4s interleaved best-of-3,
         # identical pairs).  Mode trade: see `sig`.
     )
+    if metrics is not None:
+        metrics["candidate_pairs"] = cands.count()
     # exact-Jaccard verification: recompute distinct shingle sets ONLY
     # for candidate docs (a semi-join-bounded set, tiny vs the corpus)
     cand_ids = cands.select(F.col("id_a").alias("id")).union(
@@ -1025,10 +1175,20 @@ def incremental_minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     bucket_cap: int = 2000,
+    metrics: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """NEAR-dup analogue of :func:`incremental_exact_dedup`: classify
     a new batch against a persistent MinHash SIGNATURE store without
     ever rescanning prior text.
+
+    ``metrics`` (optional dict) receives the cap observability counts
+    (no-silent-caps rule): ``batch_capped_buckets`` /
+    ``batch_cap_dropped_pairs`` and ``store_capped_buckets`` /
+    ``store_cap_dropped_pairs`` (buckets over ``bucket_cap`` on each
+    side and the all-pairs edges the anchor-star formulation did not
+    emit), plus ``batch_candidate_pairs`` / ``store_candidate_pairs``
+    (rows entering the estimated-Jaccard filter).  Requested counts
+    run as small extra jobs; ``metrics=None`` keeps plans unchanged.
 
     Returns ``(decisions, new_sigs)``: decisions are ``(id, status)``
     with status ``dup_of_store`` (signature-estimated Jaccard >=
@@ -1056,18 +1216,31 @@ def incremental_minhash_dedup(
     nb = _sig_band_keys(sigs, num_hashes, bands)
     est = sig_estimated_jaccard(num_hashes)
 
-    def marked_hot(bk: DataFrame) -> DataFrame:
+    def marked_hot(bk: DataFrame, side: str) -> DataFrame:
         # broadcast only the over-cap buckets (bounded by rows/cap);
         # `anchor` is NULL on rows of normal buckets
         hot = (
             bk.groupBy("band", "key")
             .agg(F.count(F.lit(1)).alias("bsz"), F.min("id").alias("anchor"))
             .filter(F.col("bsz") > F.lit(bucket_cap))
-            .select("band", "key", "anchor")
         )
+        if metrics is not None:
+            row = hot.agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.coalesce(
+                    F.sum(
+                        F.col("bsz") * (F.col("bsz") - 1) / 2
+                        - (F.col("bsz") - 1)
+                    ),
+                    F.lit(0.0),
+                ).alias("dropped"),
+            ).collect()[0]
+            metrics[f"{side}_capped_buckets"] = row["nb"]
+            metrics[f"{side}_cap_dropped_pairs"] = int(row["dropped"])
+        hot = hot.select("band", "key", "anchor")
         return bk.join(F.broadcast(hot), ["band", "key"], "left")
 
-    nbc = marked_hot(nb)
+    nbc = marked_hot(nb, "batch")
 
     # within-batch: est >= threshold against a smaller id (pairs from
     # shared buckets; over-cap buckets emit anchor-star edges only)
@@ -1086,6 +1259,8 @@ def incremental_minhash_dedup(
         F.col("anchor").isNotNull() & (F.col("id") != F.col("anchor"))
     ).select(F.col("anchor").alias("id_a"), F.col("id").alias("id_b"))
     cand_b = pairs_all.unionAll(pairs_star).dropDuplicates(["id_a", "id_b"])
+    if metrics is not None:
+        metrics["batch_candidate_pairs"] = cand_b.count()
     dup_in_batch = (
         cand_b.join(sigs.alias("a"), F.col("id_a") == F.col("a.id"))
         .join(sigs.alias("b"), F.col("id_b") == F.col("b.id"))
@@ -1097,7 +1272,7 @@ def incremental_minhash_dedup(
     # vs store: shared band buckets, est >= threshold (store side also
     # anchor-capped per bucket)
     if sig_store is not None:
-        sb = marked_hot(_sig_band_keys(sig_store, num_hashes, bands))
+        sb = marked_hot(_sig_band_keys(sig_store, num_hashes, bands), "store")
         sb = sb.filter(
             F.col("anchor").isNull() | (F.col("id") == F.col("anchor"))
         ).select("id", "band", "key")
@@ -1113,6 +1288,8 @@ def incremental_minhash_dedup(
             )
             .dropDuplicates(["id_a", "id_b"])
         )
+        if metrics is not None:
+            metrics["store_candidate_pairs"] = cand_s.count()
         dup_of_store = (
             cand_s.join(sigs.alias("a"), F.col("id_a") == F.col("a.id"))
             .join(sig_store.alias("b"), F.col("id_b") == F.col("b.id"))

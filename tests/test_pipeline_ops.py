@@ -72,12 +72,19 @@ def test_minhash_lsh_hot_bucket_emits_linear_star_edges(spark):
     rows += [(n + 1, "completely different content about gardens and rivers"),
              (n + 2, "completely different content about gardens and rivers")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    m: dict = {}
     pairs = D.minhash_lsh_pairs(
-        df, "text", "doc_id", n=3, threshold=0.8, bucket_cap=cap
+        df, "text", "doc_id", n=3, threshold=0.8, bucket_cap=cap, metrics=m
     ).collect()
     hot = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] <= n}
     assert hot == {(0, i) for i in range(1, n)}  # star at min id, O(n)
     assert (n + 1, n + 2) in {(r["id_a"], r["id_b"]) for r in pairs}
+    # cap observability: identical docs share every band's bucket ->
+    # 16 capped buckets, each dropping C(n,2)-(n-1) all-pairs edges;
+    # candidates = n-1 star pairs + the one under-cap pair
+    assert m["capped_buckets"] == 16
+    assert m["cap_dropped_pairs"] == 16 * (n * (n - 1) // 2 - (n - 1))
+    assert m["candidate_pairs"] == (n - 1) + 1
 
 
 def test_simhash_pairs(spark, docs):
@@ -831,10 +838,16 @@ def test_incremental_minhash_dedup(spark):
         ],
         "doc_id long, text string",
     )
-    d2, _ = incremental_minhash_dedup(b2, store, threshold=0.7)
+    m: dict = {}
+    d2, _ = incremental_minhash_dedup(b2, store, threshold=0.7, metrics=m)
     assert {r["id"]: r["status"] for r in d2.collect()} == {
         10: "dup_of_store", 11: "unique", 12: "dup_in_batch"
     }
+    # cap observability: nothing capped at this size, candidates exist
+    # on both sides (10 vs stored 1; 12 vs batch 11)
+    assert m["batch_capped_buckets"] == 0 and m["batch_cap_dropped_pairs"] == 0
+    assert m["store_capped_buckets"] == 0 and m["store_cap_dropped_pairs"] == 0
+    assert m["batch_candidate_pairs"] >= 1 and m["store_candidate_pairs"] >= 1
 
 
 def test_conversation_dedup(spark):
@@ -1214,6 +1227,56 @@ def test_duplicate_token_spans(spark):
     # doc 4: both copies of the 8-token run are duplicated grams
     # (positions 1 and 10); they don't touch, so two spans
     assert sorted(out[4]) == [(1, 8, 8), (10, 17, 8)]
+
+
+def test_duplicate_token_spans_winnowed(spark):
+    """The winnow_w volume lever: planted boilerplate of
+    >= n + w - 1 tokens is still recovered at stride w (content-defined
+    selection keeps one shared interior gram alive in every copy), the
+    recovered span sits within the documented w-1 gram-position
+    boundary slack, the materialized frame shrinks to the winnowing
+    density, and winnow_w=1 stays byte-identical to the historical
+    exact path."""
+    n, w = 5, 4
+    # boilerplate long enough for the guarantee: n + w - 1 = 8 tokens
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"
+    rows = [
+        (1, f"u1 u2 u3 {boiler} u4 u5 u6"),
+        (2, f"{boiler} v1 v2 v3 v4 v5 v6 v7"),
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m: dict = {}
+    out = {}
+    for r in D.duplicate_token_spans(
+        df, "text", "doc_id", n=n, winnow_w=w, metrics=m
+    ).collect():
+        out.setdefault(r["id"], []).append((r["span_start"], r["span_end"]))
+    # detection: the planted 12-token run recovered in BOTH copies
+    assert 1 in out and 2 in out and 3 not in out
+    assert len(out[1]) == 1 and len(out[2]) == 1
+    # resolution: true boiler spans are doc1 [4,15], doc2 [1,12];
+    # recovered ends may under-reach by up to w-1 gram positions at
+    # the start and the span never exceeds the true region
+    (s1, e1), (s2, e2) = out[1][0], out[2][0]
+    assert 4 <= s1 <= 4 + (w - 1) and e1 <= 15 and e1 >= s1 + n - 1
+    assert 1 <= s2 <= 1 + (w - 1) and e2 <= 12 and e2 >= s2 + n - 1
+    # volume: the frame holds only selected positions — at most the
+    # window count + 1 per doc (winnowing density ~2/(w+1)), strictly
+    # under the full gram count
+    assert 0 < m["frame_rows"] < m["gram_positions"]
+    per_doc_grams = [len(t.split()) - n + 1 for _, t in rows]
+    assert m["frame_rows"] <= sum(g - w + 2 for g in per_doc_grams)
+    # winnow_w=1 (default) unchanged: exact spans, full frame
+    m1: dict = {}
+    exact = {
+        (r["id"], r["span_start"], r["span_end"])
+        for r in D.duplicate_token_spans(
+            df, "text", "doc_id", n=n, metrics=m1
+        ).collect()
+    }
+    assert exact == {(1, 4, 15), (2, 1, 12)}
+    assert m1["frame_rows"] == m1["gram_positions"] == sum(per_doc_grams)
 
 
 def test_cut_duplicate_spans(spark):
