@@ -15,8 +15,18 @@ Protocol:
 2. drop partitions already COMPLETE in the manifest;
 3. run the check suite on the remaining partitions **in bounded
    batches**, appending verdicts/violations + a manifest row per
-   finished partition (parquet append = the commit point);
+   finished partition (the manifest append is THE commit point);
 4. a crash between batches loses at most one batch of work.
+
+Crash consistency (SURVEY.md §5's kill-mid-run claim): verdicts and
+violations are written hive-partitioned by ``partition``, and every
+run first deletes any ``partition=`` directory NOT marked COMPLETE in
+the manifest.  A process killed BETWEEN the result append and the
+manifest append (the one window where results exist uncommitted)
+therefore leaves orphan directories that the resume removes before
+re-running those partitions — without the sweep, the re-run would
+APPEND a second copy of every orphaned row.  Tested against a real
+SIGKILL in tests/test_run_job.py.
 """
 
 from __future__ import annotations
@@ -50,6 +60,34 @@ def completed_partitions(spark: SparkSession, path: str) -> set[str]:
     }
 
 
+def _sweep_orphans(spark: SparkSession, path: str, done: set[str]) -> int:
+    """Delete hive ``partition=`` directories under verdicts/violations
+    whose partition is not COMPLETE in the manifest — the leftovers of
+    a run killed between the result append and the manifest commit.
+    Hadoop FileSystem API, so the same sweep works on HDFS/object
+    stores, not just the local sandbox."""
+    from urllib.parse import unquote
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    removed = 0
+    for sub in ("verdicts", "violations"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            continue
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if not name.startswith("partition="):
+                continue
+            # Spark percent-escapes special chars in partition dirs
+            val = unquote(name.split("=", 1)[1])
+            if val not in done:
+                fs.delete(st.getPath(), True)
+                removed += 1
+    return removed
+
+
 def run_with_manifest(
     df: DataFrame,
     checks: list[Check],
@@ -70,6 +108,7 @@ def run_with_manifest(
     """
     spark = df.sparkSession
     done = completed_partitions(spark, output_path)
+    _sweep_orphans(spark, output_path, done)
     parts = [
         r["p"]
         for r in df.select(F.col(partition_col).cast("string").alias("p"))
@@ -92,8 +131,14 @@ def run_with_manifest(
             segment_size=segment_size,
         )
         verdicts = verdicts.cache()
-        verdicts.write.mode("append").parquet(f"{output_path}/verdicts")
-        violations.write.mode("append").parquet(f"{output_path}/violations")
+        # hive-partitioned by `partition` so an uncommitted batch is a
+        # set of whole directories the next run's orphan sweep removes
+        verdicts.write.mode("append").partitionBy("partition").parquet(
+            f"{output_path}/verdicts"
+        )
+        violations.write.mode("append").partitionBy("partition").parquet(
+            f"{output_path}/violations"
+        )
         counts = {
             r["partition"]: r["n"]
             for r in verdicts.groupBy("partition")
@@ -110,4 +155,11 @@ def run_with_manifest(
         ).parquet(f"{output_path}/manifest")
         verdicts.unpersist()
 
-    return spark.read.parquet(f"{output_path}/verdicts")
+    out = spark.read.parquet(f"{output_path}/verdicts")
+    # normalize the hive-partitioned read back to the run_checks verdict
+    # contract: `partition` a STRING (type inference would read "0" as
+    # int) in its original first position
+    return out.select(
+        F.col("partition").cast("string").alias("partition"),
+        *[c for c in out.columns if c != "partition"],
+    )
