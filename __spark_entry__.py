@@ -887,7 +887,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         error contract (<1%, vs the 12.5% bucket half-width).  Two
         drift rows pin digest_drift at its analytic extremes: KS of a
         distribution against itself (0) and against a
-        disjoint-support shift (1)."""
+        disjoint-support shift (1).
+
+        Round-5 hardening: structural rows pin each merged digest as a
+        GENUINE compressed sketch — centroid count inside the k1-scale
+        contract band [delta/4, 1.5*delta] (a degenerate one-centroid
+        digest, which could land the right rank bucket by luck on a
+        skewed column, fails the floor; an uncompressed value dump
+        fails the ceiling) and the serialized payload exactly
+        31 + 16*centroids bytes (the TD1 wire format)."""
         from datapatterns_spark.operators.incremental import (
             digest_drift,
             merge_states,
@@ -896,12 +904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         orders = _t(spark, sf, "orders")
         attrs = ["o_orderkey", "o_custkey", "o_totalprice"]
-        merged = merge_states(
-            profile_state(
-                orders, "o_orderpriority", field_list=attrs,
-                quantile_delta=100.0,
-            )
+        delta = 100.0
+        st = profile_state(
+            orders, "o_orderpriority", field_list=attrs,
+            quantile_delta=delta,
         )
+        merged = merge_states(st)
         est = {
             r["attribute"]: r.asDict()
             for r in merged.select(
@@ -956,11 +964,134 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         far_ks = digest_drift(mk(even), mk(shifted)).collect()[0]["ks"]
         rows.append(("drift_same", "o_totalprice", 0.0, round(same_ks * 4) / 4))
         rows.append(("drift_far", "o_totalprice", 1.0, round(far_ks * 4) / 4))
+        # structural pins: per-attribute merged digest shape (the state
+        # frame is (n_partitions x n_attrs) slim rows — driver-bounded)
+        from datapatterns_spark.functions.tdigest import TDigest
+
+        by_attr: dict[str, list] = {}
+        for r in st.select("attribute", "q_sketch").collect():
+            by_attr.setdefault(r["attribute"], []).append(
+                TDigest.from_bytes(bytes(r["q_sketch"]))
+            )
+        for a in attrs:
+            d = TDigest.merge_all(by_attr[a])
+            c = int(d.means.size)
+            rows.append(
+                ("centroids", a, 1.0,
+                 1.0 if delta / 4 <= c <= 1.5 * delta else 0.0)
+            )
+            rows.append(
+                ("sketch_bytes", a, 1.0,
+                 1.0 if len(d.to_bytes()) == 31 + 16 * c else 0.0)
+            )
         from datapatterns_spark.plans.local import lit_df
 
         return lit_df(
             spark, rows, "part string, attribute string, q double, val double"
         )
+
+    def q_streaming_state(spark, sf):
+        """Round 5: the streaming surface made gate-auditable.  One
+        bounded multi-micro-batch Structured Streaming run (the
+        documents table re-laid as a 4-file directory, read with
+        maxFilesPerTrigger=1 under trigger(availableNow) -> 4 real
+        micro-batches through a checkpointed foreachBatch) drives BOTH
+        streaming sinks; the emitted rows are the batch twins:
+
+        * ``profile``: the rolling merged profile from
+          profile_state_sink + stream_profile — every decomposable
+          statistic must equal a whole-table batch pass exactly
+          (micro-batch boundaries must not show);
+        * ``dedup``: dedup_sink's persistent fingerprint store — its
+          row count and distinct-fp count equal the corpus's distinct
+          normalized-text count (each fp appended exactly once across
+          batches), and total decisions equal the corpus size.
+
+        Every emitted number is ORDER-INDEPENDENT of micro-batch
+        boundaries by construction, so the SQL oracle needs no
+        knowledge of the file split.  Results are collected to
+        literals so the stream's temp dirs don't outlive the call."""
+        import shutil
+        import tempfile
+
+        from datapatterns_spark.plans.local import lit_df
+        from datapatterns_spark.streaming import (
+            dedup_sink,
+            profile_state_sink,
+            stream_profile,
+        )
+
+        base = tempfile.mkdtemp(prefix="dp_gate_stream_")
+        try:
+            docs = spark.read.parquet(f"{sf}/documents.parquet")
+            inp = f"{base}/in"
+            docs.repartition(4, "doc_id").write.parquet(inp)
+            schema = docs.schema
+
+            def run(sink, name):
+                q = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(inp)
+                    .writeStream.foreachBatch(sink)
+                    .option("checkpointLocation", f"{base}/ckpt_{name}")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(300)
+                assert not q.isActive
+
+            run(
+                profile_state_sink(
+                    f"{base}/prof", field_list=["doc_id", "lang", "n_chars"]
+                ),
+                "prof",
+            )
+            run(dedup_sink(f"{base}/store", f"{base}/ded"), "ded")
+
+            stats = [
+                "rec_count", "fill_count", "fill_rate", "min_length",
+                "max_length", "ave_length", "nmin", "nmax", "nmean",
+                "nstd",
+            ]
+            prof = stream_profile(spark, f"{base}/prof").select(
+                "attribute",
+                "rec_count",
+                "fill_count",
+                "fill_rate",
+                "min_length",
+                "max_length",
+                "ave_length",
+                F.col("numeric_min").alias("nmin"),
+                F.col("numeric_max").alias("nmax"),
+                F.col("numeric_mean").alias("nmean"),
+                F.col("numeric_std_dev").alias("nstd"),
+            )
+            rows = []
+            for r in prof.collect():  # 3 attribute rows
+                d = r.asDict()
+                for s in stats:
+                    v = d[s]
+                    rows.append(
+                        ("profile", d["attribute"], s,
+                         None if v is None else float(v))
+                    )
+            store = spark.read.parquet(f"{base}/store")
+            rows.append(("dedup", "store", "store_rows", float(store.count())))
+            rows.append(
+                ("dedup", "store", "n_unique_fp",
+                 float(store.select("fp").distinct().count()))
+            )
+            rows.append(
+                ("dedup", "decisions", "n_docs",
+                 float(spark.read.parquet(f"{base}/ded/decisions").count()))
+            )
+            return lit_df(
+                spark, rows,
+                "part string, attribute string, stat string, val double",
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
 
     # Round-3 note: the driver's correctness gate records at most 50
     # entries (CORRECTNESS_r02 covered exactly the first 50 of 60), so
@@ -1016,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "profile_incremental": q_profile_incremental,
         "profile_quantile_sketch": q_profile_quantile_sketch,
+        "streaming_state": q_streaming_state,
     }
 
 
@@ -2606,8 +2738,84 @@ FROM src GROUP BY attribute
         " CAST(0.0 AS DOUBLE)",
         "SELECT 'drift_far', 'o_totalprice', CAST(1.0 AS DOUBLE),"
         " CAST(1.0 AS DOUBLE)",
+    ] + [
+        # structural pins (round 5): every merged digest must report
+        # in-band centroid count and exact wire-format size
+        f"SELECT '{part}', '{a}', CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)"
+        for a in ["o_orderkey", "o_custkey", "o_totalprice"]
+        for part in ["centroids", "sketch_bytes"]
     ]
     profile_quantile_sketch_sql = " UNION ALL ".join(pqs_rows)
+
+    # ---- streaming_state ----
+    # Batch twins of the two streaming sinks: the rolling merged
+    # profile equals a whole-table pass (same melt as
+    # profile_incremental, over documents), and the dedup store's
+    # fingerprint counts equal the corpus's distinct normalized-text
+    # count.  Every pinned number is micro-batch-order independent, so
+    # the oracle needs no knowledge of the stream's file split.
+    _ss_norm = _NORM_SQL.format(v="text")
+    ss_src = " UNION ALL ".join(
+        [
+            f"SELECT '{c}' AS attribute,"
+            f" ({c} IS NOT NULL AND {c} <> 0) AS fil,"
+            f" length(CAST({c} AS VARCHAR)) AS len,"
+            f" CASE WHEN {c} IS NOT NULL AND {c} <> 0"
+            f" THEN CAST({c} AS DOUBLE) END AS v"
+            f" FROM documents"
+            for c in ["doc_id", "n_chars"]
+        ]
+        + [
+            "SELECT 'lang' AS attribute,"
+            " length(trim(coalesce(lang, ''))) > 0 AS fil,"
+            " length(trim(coalesce(lang, ''))) AS len,"
+            " TRY_CAST(trim(lang) AS DOUBLE) AS v"
+            " FROM documents"
+        ]
+    )
+    ss_stats = {
+        "rec_count": "CAST(COUNT(*) AS DOUBLE)",
+        "fill_count": "CAST(SUM(CASE WHEN fil THEN 1 ELSE 0 END) AS DOUBLE)",
+        "fill_rate": "CAST(ROUND(SUM(CASE WHEN fil THEN 1 ELSE 0 END)"
+                     " * 100.0 / COUNT(*), 6) AS DOUBLE)",
+        "min_length": "CAST(COALESCE(MIN(CASE WHEN fil THEN len END), 0)"
+                      " AS DOUBLE)",
+        "max_length": "CAST(COALESCE(MAX(CASE WHEN fil THEN len END), 0)"
+                      " AS DOUBLE)",
+        "ave_length": "CAST(COALESCE(CAST(FLOOR(SUM(CASE WHEN fil THEN len"
+                      " END) * 1.0 / SUM(CASE WHEN fil THEN 1 ELSE 0 END))"
+                      " AS BIGINT), 0) AS DOUBLE)",
+        "nmin": "CAST(ROUND(MIN(CASE WHEN fil THEN v END), 4) AS DOUBLE)",
+        "nmax": "CAST(ROUND(MAX(CASE WHEN fil THEN v END), 4) AS DOUBLE)",
+        "nmean": "CAST(ROUND(SUM(CASE WHEN fil THEN v END)"
+                 " / COUNT(CASE WHEN fil THEN v END), 4) AS DOUBLE)",
+        "nstd": "CAST(ROUND(SQRT(SUM(CASE WHEN fil THEN v * v END)"
+                " / COUNT(CASE WHEN fil THEN v END)"
+                " - (SUM(CASE WHEN fil THEN v END)"
+                " / COUNT(CASE WHEN fil THEN v END))"
+                " * (SUM(CASE WHEN fil THEN v END)"
+                " / COUNT(CASE WHEN fil THEN v END))), 4) AS DOUBLE)",
+    }
+    ss_melt = " UNION ALL ".join(
+        f"SELECT 'profile' AS part, attribute, '{s}' AS stat,"
+        f" {expr} AS val FROM ss_rows GROUP BY attribute"
+        for s, expr in ss_stats.items()
+    )
+    streaming_state_sql = f"""
+WITH ss_rows AS ({ss_src})
+SELECT * FROM ({ss_melt})
+UNION ALL
+SELECT 'dedup', 'store', 'store_rows',
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {_ss_norm}
+             FROM documents)) AS DOUBLE)
+UNION ALL
+SELECT 'dedup', 'store', 'n_unique_fp',
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {_ss_norm}
+             FROM documents)) AS DOUBLE)
+UNION ALL
+SELECT 'dedup', 'decisions', 'n_docs',
+       CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+"""
 
     return {
         "profile_fill_lengths": profile_fill_lengths_sql,
@@ -2634,6 +2842,7 @@ FROM src GROUP BY attribute
         "profile_normalize_compare": profile_normalize_compare_sql,
         "profile_incremental": profile_incremental_sql,
         "profile_quantile_sketch": profile_quantile_sketch_sql,
+        "streaming_state": streaming_state_sql,
         "best_record_structure": best_record_sql,
         "apply_best_types": apply_best_types_sql,
         "sample_stratified": sample_stratified_sql,

@@ -450,6 +450,19 @@ def run_suite(include_flagship: bool = True) -> dict:
         # NOT measured by this run — the N-vs-4N evidence protocol
         # takes ~25 min (bench.py --scaling); the authoritative record
         # with full methodology lives in BASELINE.md.
+        "scaling_multijvm_recorded": {
+            # round 5: REAL separate executor JVMs (local-cluster
+            # master, serialized shuffle, --py-files-style shipping),
+            # fixed 2-core/8GiB executor shape, best-of-2 interleaved
+            # (bench.py --scaling-cluster; BASELINE.md round-5 section)
+            "pair": "1 -> 4 executors (2 -> 8 cores)",
+            "efficiency": 0.982,
+            "turns_per_sec": {"exec1": 108851.6, "exec4": 427351.9},
+            "above_knee_pair": "2 -> 8 executors: 0.673 (16-core leg "
+            "sits above the host's single-memory-controller knee; see "
+            "BASELINE.md calibration)",
+            "input_turns": 38455298,
+        },
         "scaling_recorded": {
             "pair": "local[2] -> local[8]",
             "efficiency": 0.842,
