@@ -60,24 +60,25 @@ def _sf_from_dir(d: str) -> float:
 
 
 def _package_zip() -> str:
-    """Zip the package once per process for --py-files-style shipping
-    to executor JVMs (multi-JVM legs).  Deterministic content; rebuilt
-    only if missing."""
+    """Zip the package for --py-files-style shipping to executor JVMs
+    (multi-JVM legs).  ALWAYS rebuilt (atomic replace, ~50 ms): a
+    cached zip would silently ship stale code to executors after a
+    source edit while the driver imports the new code — a measurement
+    of version skew, not of the engine."""
     import zipfile
 
     repo = os.path.dirname(os.path.abspath(__file__))
     out = "/tmp/dp_bench/datapatterns_spark.zip"
-    if not os.path.exists(out):
-        os.makedirs("/tmp/dp_bench", exist_ok=True)
-        tmp = out + ".tmp"
-        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
-            pkg = os.path.join(repo, "datapatterns_spark")
-            for root, _dirs, files in os.walk(pkg):
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        p = os.path.join(root, f)
-                        z.write(p, os.path.relpath(p, repo))
-        os.replace(tmp, out)
+    os.makedirs("/tmp/dp_bench", exist_ok=True)
+    tmp = f"{out}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(repo, "datapatterns_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, repo))
+    os.replace(tmp, out)
     return out
 
 

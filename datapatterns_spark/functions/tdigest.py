@@ -178,18 +178,22 @@ class TDigest:
             return 1.0
         if x < self.vmin:
             return 0.0
-        if x == self.vmin:
-            # half of one sample's mass — Dunning's reference convention;
-            # P(V <= min) must not be 0 when the min was observed
-            return float(0.5 / self.count)
         total = self.count
         cum = np.cumsum(self.weights) - self.weights / 2.0
         pts = np.concatenate(([self.vmin], self.means, [self.vmax]))
         ranks = np.concatenate(([0.0], cum, [total]))
+        # side='right' skips past centroids AT x, so x == vmin lands
+        # right of any mass concentrated at the minimum (zero-inflated
+        # columns report ~half that mass, not 0)
         i = int(np.searchsorted(pts, x, side="right"))
         lo, hi = pts[i - 1], pts[i]
         t = 0.0 if hi == lo else (x - lo) / (hi - lo)
-        return float((ranks[i - 1] + t * (ranks[i] - ranks[i - 1])) / total)
+        est = (ranks[i - 1] + t * (ranks[i] - ranks[i - 1])) / total
+        if x == self.vmin:
+            # the observed minimum carries at least half of one
+            # sample's mass (Dunning's convention) — never hard 0
+            est = max(est, 0.5 / total)
+        return float(est)
 
     # -- serialization ------------------------------------------------
     def to_bytes(self) -> bytes:

@@ -1260,6 +1260,10 @@ def incremental_minhash_dedup(
     ).select(F.col("anchor").alias("id_a"), F.col("id").alias("id_b"))
     cand_b = pairs_all.unionAll(pairs_star).dropDuplicates(["id_a", "id_b"])
     if metrics is not None:
+        # materialize before counting: the count would otherwise run
+        # the band self-join once for the metric and AGAIN for the
+        # estimator join below
+        cand_b = materialize(cand_b)
         metrics["batch_candidate_pairs"] = cand_b.count()
     dup_in_batch = (
         cand_b.join(sigs.alias("a"), F.col("id_a") == F.col("a.id"))
@@ -1289,6 +1293,7 @@ def incremental_minhash_dedup(
             .dropDuplicates(["id_a", "id_b"])
         )
         if metrics is not None:
+            cand_s = materialize(cand_s)  # see cand_b note
             metrics["store_candidate_pairs"] = cand_s.count()
         dup_of_store = (
             cand_s.join(sigs.alias("a"), F.col("id_a") == F.col("a.id"))
@@ -1299,6 +1304,12 @@ def incremental_minhash_dedup(
         )
     else:
         dup_of_store = sigs.select("id").limit(0)
+        if metrics is not None:
+            # first batch: no store side — keep the documented keys
+            # present (and honest) instead of raising on read
+            metrics["store_capped_buckets"] = 0
+            metrics["store_cap_dropped_pairs"] = 0
+            metrics["store_candidate_pairs"] = 0
 
     decisions = (
         sigs.select("id")

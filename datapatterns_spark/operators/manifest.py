@@ -61,13 +61,26 @@ def completed_partitions(spark: SparkSession, path: str) -> set[str]:
 
 
 def _sweep_orphans(spark: SparkSession, path: str, done: set[str]) -> int:
-    """Delete hive ``partition=`` directories under verdicts/violations
-    whose partition is not COMPLETE in the manifest — the leftovers of
-    a run killed between the result append and the manifest commit.
-    Hadoop FileSystem API, so the same sweep works on HDFS/object
-    stores, not just the local sandbox."""
+    """Delete, under verdicts/violations: (a) hive ``partition=``
+    directories whose partition is not COMPLETE in the manifest — the
+    leftovers of a run killed between the result append and the
+    manifest commit — and (b) any ``_temporary`` job-attempt directory
+    — a kill DURING a write can leave committed task files there that
+    the next append job's commitJob would otherwise merge into the
+    output (FileOutputCommitter shares the ``_temporary/0`` attempt
+    path across jobs), duplicating rows despite the partition sweep.
+    Safe because the manifest protocol is single-writer.  Hadoop
+    FileSystem API, so the same sweep works on HDFS/object stores, not
+    just the local sandbox.
+
+    NULL and empty-string partition values both land in the
+    ``__HIVE_DEFAULT_PARTITION__`` directory; that directory is
+    committed iff the manifest holds either value — unquoting it to a
+    literal never in ``done`` would wrongly sweep COMMITTED results on
+    every resume."""
     from urllib.parse import unquote
 
+    default_committed = (None in done) or ("" in done)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     removed = 0
@@ -78,11 +91,20 @@ def _sweep_orphans(spark: SparkSession, path: str, done: set[str]) -> int:
             continue
         for st in fs.listStatus(p):
             name = st.getPath().getName()
+            if name == "_temporary":
+                fs.delete(st.getPath(), True)
+                removed += 1
+                continue
             if not name.startswith("partition="):
                 continue
             # Spark percent-escapes special chars in partition dirs
             val = unquote(name.split("=", 1)[1])
-            if val not in done:
+            committed = (
+                default_committed
+                if val == "__HIVE_DEFAULT_PARTITION__"
+                else val in done
+            )
+            if not committed:
                 fs.delete(st.getPath(), True)
                 removed += 1
     return removed
@@ -155,10 +177,18 @@ def run_with_manifest(
         ).parquet(f"{output_path}/manifest")
         verdicts.unpersist()
 
-    out = spark.read.parquet(f"{output_path}/verdicts")
     # normalize the hive-partitioned read back to the run_checks verdict
-    # contract: `partition` a STRING (type inference would read "0" as
-    # int) in its original first position
+    # contract: `partition` a STRING in its original first position.
+    # Type inference must be OFF for this read — inferring "01" and
+    # "1" as ints would collapse distinct string partitions and drop
+    # leading zeros; with it off the hive values round-trip verbatim.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    try:
+        out = spark.read.parquet(f"{output_path}/verdicts")
+    finally:
+        spark.conf.set(infer_key, old)
     return out.select(
         F.col("partition").cast("string").alias("partition"),
         *[c for c in out.columns if c != "partition"],

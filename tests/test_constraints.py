@@ -252,6 +252,42 @@ def test_drift_pair_fires_only_for_drifted_columns(spark):
     assert out["tool_drift"] is True  # undrifted column stays quiet
 
 
+def test_manifest_sweep_orphans(spark, tmp_path):
+    """The resume sweep removes only UNCOMMITTED leftovers: an orphan
+    partition dir and a stale _temporary job-attempt dir go; committed
+    partition dirs stay — including __HIVE_DEFAULT_PARTITION__ when
+    the manifest holds the empty-string partition (NULL/'' both land
+    in that dir; unquoting it literally would wrongly sweep committed
+    results on every resume)."""
+    import os
+
+    from datapatterns_spark.operators.manifest import _sweep_orphans
+
+    out = str(tmp_path / "sweep")
+    for d in (
+        "verdicts/partition=0",            # committed (in done)
+        "verdicts/partition=orphan",       # uncommitted -> swept
+        "verdicts/partition=__HIVE_DEFAULT_PARTITION__",  # '' committed
+        "verdicts/_temporary",             # killed write -> swept
+        "violations/partition=0",
+    ):
+        os.makedirs(f"{out}/{d}")
+    removed = _sweep_orphans(spark, out, {"0", ""})
+    assert removed == 2
+    assert os.path.isdir(f"{out}/verdicts/partition=0")
+    assert os.path.isdir(
+        f"{out}/verdicts/partition=__HIVE_DEFAULT_PARTITION__"
+    )
+    assert not os.path.exists(f"{out}/verdicts/partition=orphan")
+    assert not os.path.exists(f"{out}/verdicts/_temporary")
+    assert os.path.isdir(f"{out}/violations/partition=0")
+    # without '' in the manifest, the default dir IS an orphan
+    assert _sweep_orphans(spark, out, {"0"}) == 1
+    assert not os.path.exists(
+        f"{out}/verdicts/partition=__HIVE_DEFAULT_PARTITION__"
+    )
+
+
 def test_manifest_resume(spark, tmp_path):
     df = generate_transcripts(spark, 200, seed=42, violation_rate=0.01).withColumn(
         "part", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("string")

@@ -822,10 +822,16 @@ def test_incremental_minhash_dedup(spark):
     b1 = spark.createDataFrame(
         [(1, base), (2, other)], "doc_id long, text string"
     )
-    d1, sigs1 = incremental_minhash_dedup(b1, None, threshold=0.7)
+    m0: dict = {}
+    d1, sigs1 = incremental_minhash_dedup(b1, None, threshold=0.7, metrics=m0)
     assert {r["id"]: r["status"] for r in d1.collect()} == {
         1: "unique", 2: "unique"
     }
+    # first batch (no store): the documented store_* keys are present
+    # and zero, never missing
+    assert m0["store_capped_buckets"] == 0
+    assert m0["store_cap_dropped_pairs"] == 0
+    assert m0["store_candidate_pairs"] == 0
     store = sigs1  # both unique -> whole frame is the store
 
     b2 = spark.createDataFrame(

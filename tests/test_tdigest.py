@@ -85,6 +85,16 @@ def test_cdf_boundary_conventions():
     d = TDigest.from_values(np.arange(100, dtype=np.float64))
     assert d.cdf(0.0) == pytest.approx(0.5 / 100)
     assert d.cdf(-0.001) == 0.0
+    # zero-inflated: mass concentrated AT the minimum must show in
+    # cdf(vmin) — side='right' interpolation lands past every zero-mean
+    # centroid, reporting the point mass minus half the last zero
+    # centroid (>= half the total at worst, ~0.27 of the true 0.30
+    # here); a hard 0 or bare 0.5/count would understate it 60-600x
+    # and make self-drift at the min look like real drift
+    zi = TDigest.from_values(
+        np.concatenate([np.zeros(3000), np.linspace(1, 10, 7000)])
+    )
+    assert 0.15 <= zi.cdf(0.0) <= 0.301
 
 
 def test_merge_all_rejects_mixed_delta():
