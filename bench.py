@@ -466,10 +466,10 @@ def run_suite(include_flagship: bool = True) -> dict:
         },
         "scaling_recorded": {
             "pair": "local[2] -> local[8]",
-            "efficiency": 0.842,
-            "turns_per_sec": {"local2": 118921.2, "local8": 400681.5},
+            "efficiency": 0.823,
+            "turns_per_sec": {"local2": 112258.4, "local8": 369371.6},
             "input_turns": 38455298,
-            "source": "BASELINE.md 'Scaling evidence (round 4)' (bench.py --scaling-only; all probes 0.92-0.96 normal band; both legs ~8.5% faster than r3 at an unchanged ratio)",
+            "source": "BASELINE.md 'Scaling evidence (round 5)' (bench.py --scaling-only on final round-5 code; probes 0.90-0.95 normal band; fifth consecutive round >= 0.8 — legs ~5% slower than the r4 record in absolute terms, matching the measured host-window drift, at an unchanged ratio)",
         },
     }
 
