@@ -33,8 +33,12 @@ def curate_documents(
     max_top_ngram_char_frac: float | None = None,
     min_lm_score: float | None = None,
     lm_model: DataFrame | None = None,
+    cut_span_n: int | None = None,
+    cut_span_min_count: int = 2,
+    cut_span_winnow_w: int = 1,
 ) -> DataFrame:
-    """Curated ``(doc_id, lang_guess, quality, [pii_total,] text)``.
+    """Curated ``(doc_id, lang_guess, quality, [n_tokens_cut,]
+    [pii_total,] text)``.
 
     Stages (all optional except annotation):
 
@@ -43,6 +47,18 @@ def curate_documents(
     * repetition gates (Gopher rules, :func:`repetition_stats`):
       drop documents whose duplicate-line fraction or top-n-gram
       character coverage exceeds the given bounds;
+    * span cutting (``cut_span_n=n``): corpus-wide duplicated token
+      spans (word ``n``-grams seen >= ``cut_span_min_count`` times —
+      licence boilerplate, templated chrome) are CUT from each
+      surviving document instead of dropping the document
+      (:func:`~datapatterns_spark.operators.dedup.duplicate_token_spans`
+      + ``cut_duplicate_spans``; the Lee et al. 2022 order — cut
+      before dedup, so near-identical pages whose only difference was
+      boilerplate become exact duplicates and collapse).  The kept
+      text becomes the NORMALIZED token stream (the span positions'
+      frame of reference) and ``n_tokens_cut`` is added.
+      ``cut_span_winnow_w`` engages the winnowing volume lever at
+      10^12-token scale (detection floor ``n + w - 1`` tokens);
     * dedup ``"exact"``: one survivor (min id) per
       ``xxhash64(normalized_text)`` key — slim-key shuffle, hot
       duplicates collapse map-side;
@@ -99,6 +115,23 @@ def curate_documents(
             .drop("lm_score")
         )
 
+    cut = cut_span_n is not None
+    if cut:
+        from .dedup import cut_duplicate_spans, duplicate_token_spans
+
+        spans = duplicate_token_spans(
+            d, "text", "doc_id",
+            n=int(cut_span_n),
+            min_count=int(cut_span_min_count),
+            winnow_w=int(cut_span_winnow_w),
+        )
+        trimmed = cut_duplicate_spans(d, spans, "text", "doc_id").select(
+            F.col("id").alias("doc_id"), "text", "n_tokens_cut"
+        )
+        # every input doc comes back (span-free docs pass through with
+        # n_tokens_cut = 0), so this join replaces text 1:1
+        d = d.drop("text").join(trimmed, "doc_id")
+
     if dedup == "exact":
         d = d.withColumn("_k", F.xxhash64(normalized_text(F.col("text"))))
         canon = d.groupBy("_k").agg(F.min("doc_id").alias("_canon"))
@@ -134,5 +167,11 @@ def curate_documents(
             .drop("text", *[f"n_{k}" for k in PII_PATTERNS])
             .withColumnRenamed("redacted", "text")
         )
-        return d.select("doc_id", "lang_guess", "quality", "pii_total", "text")
-    return d.select("doc_id", "lang_guess", "quality", "text")
+        return d.select(
+            "doc_id", "lang_guess", "quality",
+            *(["n_tokens_cut"] if cut else []), "pii_total", "text",
+        )
+    return d.select(
+        "doc_id", "lang_guess", "quality",
+        *(["n_tokens_cut"] if cut else []), "text",
+    )

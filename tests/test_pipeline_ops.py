@@ -1323,6 +1323,49 @@ def test_cut_duplicate_spans_null_and_empty_text(spark):
     assert out[3]["text"] == "a b c d"
 
 
+def test_curate_documents_cut_spans(spark):
+    """cut_span_n stage: corpus-wide boilerplate is CUT from surviving
+    documents before dedup (Lee et al. order), so two pages whose only
+    difference was the boilerplate placement collapse to one exact
+    survivor; n_tokens_cut lands in the output schema."""
+    from datapatterns_spark.operators.curation import curate_documents
+
+    boiler = "all rights reserved contact the webmaster for details"
+    rows = [
+        (1, f"unique prose about rivers and stars {boiler}"),
+        (2, f"{boiler} different words concerning deserts and dunes"),
+        (3, "another page entirely about mountains and snow today"),
+        # 4 duplicates 1 exactly -> after cutting, still dedups onto 1
+        (4, f"unique prose about rivers and stars {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in curate_documents(df, dedup="exact", cut_span_n=5).collect()
+    }
+    assert set(out) == {1, 2, 3}  # 4 deduped onto 1
+    # the 8-token boiler is cut from every survivor that carried it;
+    # doc 1/4's shared prose is ALSO corpus-duplicated (it appears
+    # twice), so doc 1 loses everything — the Lee et al. semantics:
+    # duplicated means duplicated, boilerplate or not
+    assert out[2]["n_tokens_cut"] == 8 and out[3]["n_tokens_cut"] == 0
+    assert "webmaster" not in out[2]["text"]
+    assert out[2]["text"] == "different words concerning deserts and dunes"
+    assert out[1]["n_tokens_cut"] == 14 and out[1]["text"] == ""
+    # winnowed variant: same survivors; the boiler (8 tokens =
+    # n + w - 1 with n=5, w=4) is at the guaranteed detection floor,
+    # so at least its interior selected gram is cut from doc 2
+    out_w = {
+        r["doc_id"]: r
+        for r in curate_documents(
+            df, dedup="exact", cut_span_n=5, cut_span_winnow_w=4
+        ).collect()
+    }
+    assert set(out_w) == {1, 2, 3}
+    assert out_w[2]["n_tokens_cut"] >= 5
+    assert "deserts" in out_w[2]["text"]
+
+
 def test_curate_documents_lm_gate(spark):
     """min_lm_score gates mojibake out under a model trained on the
     natural-text majority (self-trained here); the pre-trained-model
