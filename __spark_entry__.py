@@ -731,6 +731,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), "text", "doc_id", n=8, min_count=2
         )
 
+    def q_dedup_spans_winnow(spark, sf):
+        """Round 5: the winnowing volume lever under full oracle
+        audit.  Same span semantics as dedup_spans but with
+        ``winnow_w=4`` — gram positions selected by rightmost-window-
+        minimum over the Spark ``xxhash64`` gram hashes, islands
+        merged with slack w.  The oracle replays the ENTIRE selection
+        in DuckDB: the pure-SQL xxhash64 twin (functions/xxh64_sql.py)
+        reproduces the exact hash values, a composite-key window
+        ``arg_min`` reproduces the rightmost-min rule, and the span
+        assembly runs over selected positions only — so the lever's
+        math (not just its planted-test behavior) is pinned."""
+        return D.duplicate_token_spans(
+            _t(spark, sf, "documents"), "text", "doc_id",
+            n=8, min_count=2, winnow_w=4,
+        )
+
     def q_dedup_components(spark, sf):
         """Near-dup pairs -> dedup clusters + canonical keep-list via
         large-star/small-star connected components."""
@@ -1133,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_best_types": q_apply_best_types,
         "sample_stratified": q_sample_stratified,
         "dedup_spans": q_dedup_spans,
+        "dedup_spans_winnow": q_dedup_spans_winnow,
         "dedup_components": q_dedup_components,
         "dedup_conversations": q_dedup_conversations,
         "dedup_incremental": q_dedup_incremental,
@@ -2004,6 +2021,63 @@ SELECT doc_id AS id, CAST(MIN(i) AS BIGINT) AS span_start,
 FROM disl GROUP BY doc_id, isl
 """
 
+    # ---- dedup_spans_winnow: the winnowing lever under full replay ----
+    # Selection depends on the ACTUAL Spark xxhash64 gram hash values
+    # (rightmost minimum per 4-window), so the oracle computes them
+    # with the pure-SQL twin and reproduces the argmin with a
+    # composite-key window arg_min: (h, -i) packed as
+    # h*2^32 - i in HUGEINT — lexicographic because |i| < 2^32 — so
+    # equal hashes pick the RIGHTMOST position, Spark's tie rule.
+    _dw_g = " || ' ' || ".join(f"tk[i + {j}]" for j in range(8))
+    _dw_gram_rel = (
+        f"(SELECT doc_id, i, {_dw_g} AS g"
+        f" FROM (SELECT doc_id, CAST(UNNEST(range(1, len(tk) - 6)) AS INT)"
+        f" AS i, tk FROM (SELECT doc_id, string_split({_ds_norm}, ' ')"
+        f" AS tk FROM documents) WHERE len(tk) >= 8))"
+    )
+    _dw_pipe = xxh64_str_sql(
+        _dw_gram_rel, ["doc_id", "i", "g"], "g", cte_prefix="dw", out="h"
+    )
+    _dw_key = "(h::HUGEINT * 4294967296) - i::HUGEINT"
+    dedup_spans_winnow_sql = f"""
+WITH dwh AS MATERIALIZED (SELECT doc_id, i, g, h FROM ({_dw_pipe})),
+dwm AS (SELECT doc_id, MAX(i) AS m FROM dwh GROUP BY doc_id),
+dwwin AS (
+  SELECT doc_id, i AS p,
+         arg_min(i, {_dw_key}) OVER (PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM dwh),
+dwselpos AS (
+  SELECT DISTINCT w.doc_id, w.sel AS i
+  FROM dwwin w JOIN dwm m ON w.doc_id = m.doc_id
+  WHERE w.p <= m.m - 3
+  UNION
+  SELECT doc_id, arg_min(i, {_dw_key}) AS i
+  FROM dwh WHERE doc_id IN (SELECT doc_id FROM dwm WHERE m < 4)
+  GROUP BY doc_id),
+dwsel AS (
+  SELECT h.doc_id, h.i, h.g
+  FROM dwh h JOIN dwselpos s ON h.doc_id = s.doc_id AND h.i = s.i),
+dwhot AS (SELECT g FROM dwsel GROUP BY g HAVING COUNT(*) >= 2),
+dwdup AS (SELECT doc_id, i, i + 7 AS e FROM dwsel
+          WHERE g IN (SELECT g FROM dwhot)),
+dwmrk AS (
+  SELECT doc_id, i, e,
+         CASE WHEN i > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 4
+              THEN 1 ELSE 0 END AS nw
+  FROM dwdup),
+dwisl AS (
+  SELECT doc_id, i, e,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM dwmrk)
+SELECT doc_id AS id, CAST(MIN(i) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(MAX(e) - MIN(i) + 1 AS BIGINT) AS span_tokens
+FROM dwisl GROUP BY doc_id, isl
+"""
+
     # ---- dedup_components: CC over the minhash pairs ----
     # Independent algorithm as the oracle: a recursive label-
     # propagation closure (min reachable id per node) vs Spark's
@@ -2847,6 +2921,7 @@ SELECT 'dedup', 'decisions', 'n_docs',
         "apply_best_types": apply_best_types_sql,
         "sample_stratified": sample_stratified_sql,
         "dedup_spans": dedup_spans_sql,
+        "dedup_spans_winnow": dedup_spans_winnow_sql,
         "dedup_components": dedup_components_sql,
         "dedup_conversations": dedup_conversations_sql,
         "dedup_incremental": dedup_incremental_sql,
