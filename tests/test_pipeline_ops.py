@@ -1285,6 +1285,89 @@ def test_duplicate_token_spans_winnowed(spark):
     assert m1["frame_rows"] == m1["gram_positions"] == sum(per_doc_grams)
 
 
+def test_duplicate_token_spans_winnowed_differential(spark):
+    """Randomized differential: the winnowed span pipeline (gram hash
+    -> rightmost-window-min selection -> corpus count over selected ->
+    slack-w islands) vs an independent imperative Python oracle, over
+    seeded random corpora with heavy token reuse (alphabet of 6 tokens
+    forces duplicated n-grams, repeats, ties, and short docs).  Gram
+    hashes are taken from Spark's own xxhash64 (one tiny batch job) so
+    the oracle disagrees only if the SELECTION or MERGE logic does."""
+    import random
+
+    n, w, min_count = 3, 4, 2
+    rng = random.Random(77)
+    alphabet = ["ax", "bx", "cx", "dx", "ex", "fx"]
+    docs = {
+        did: [rng.choice(alphabet) for _ in range(rng.randrange(0, 26))]
+        for did in range(1, 41)
+    }
+    df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got = {}
+    for r in D.duplicate_token_spans(
+        df, "text", "doc_id", n=n, min_count=min_count, winnow_w=w
+    ).collect():
+        got.setdefault(r["id"], set()).add(
+            (r["span_start"], r["span_end"], r["span_tokens"])
+        )
+
+    # --- imperative oracle ---
+    grams = {
+        d: [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+        for d, t in docs.items()
+        if len(t) >= n
+    }
+    uniq = sorted({g for gs in grams.values() for g in gs})
+    hdf = spark.createDataFrame([(g,) for g in uniq], "g string")
+    hmap = {
+        r["g"]: r["h"]
+        for r in hdf.select("g", F.xxhash64("g").alias("h")).collect()
+    }
+
+    def select_positions(gs):
+        m = len(gs)
+        h = [hmap[g] for g in gs]
+        if m == 0:
+            return set()
+        if m < w:
+            best = 0
+            for j in range(1, m):
+                if h[j] <= h[best]:
+                    best = j  # rightmost tie
+            return {best + 1}
+        sel = set()
+        for p in range(m - w + 1):
+            best = p
+            for j in range(p + 1, p + w):
+                if h[j] <= h[best]:
+                    best = j
+            sel.add(best + 1)  # 1-based
+        return sel
+
+    selected = {d: select_positions(gs) for d, gs in grams.items()}
+    counts: dict = {}
+    for d, pos in selected.items():
+        for i in pos:
+            counts[grams[d][i - 1]] = counts.get(grams[d][i - 1], 0) + 1
+    want = {}
+    for d, pos in selected.items():
+        dup = sorted(i for i in pos if counts[grams[d][i - 1]] >= min_count)
+        spans = []
+        for i in dup:
+            e = i + n - 1
+            if spans and i <= spans[-1][1] + w:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([i, e])
+        if spans:
+            want[d] = {(s, e, e - s + 1) for s, e in spans}
+    assert got == want
+    # sanity: the corpus actually exercised the interesting paths
+    assert len(want) > 5 and any(len(v) > 1 for v in want.values())
+
+
 def test_cut_duplicate_spans(spark):
     """Span-level cutting: the duplicated run is removed from each
     doc's normalized token stream, unique docs pass through unchanged
