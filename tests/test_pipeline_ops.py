@@ -1027,11 +1027,16 @@ def test_incremental_minhash_leaves_no_cached_frames(spark):
     )
     b1 = docs.filter("doc_id < 100")
     store = D.minhash_signatures(b1, "text", "doc_id")
+    # metrics=... exercises the r5 observability path, which adds two
+    # materialize() points (cand_b/cand_s) — the leak contract must
+    # hold there too
+    m: dict = {}
     decisions, sigs = D.incremental_minhash_dedup(
-        docs.filter("doc_id >= 100"), store, threshold=0.7
+        docs.filter("doc_id >= 100"), store, threshold=0.7, metrics=m
     )
     assert decisions.count() > 0
     assert sigs.count() > 0
+    assert m["batch_candidate_pairs"] >= 0
     assert _sql_cache_is_empty(spark)
 
 
